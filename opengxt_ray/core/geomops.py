@@ -1,0 +1,420 @@
+"""Vectorized geometry kernels — pure numpy (no GEOS/JTS).
+
+These are the per-batch compute kernels used inside ``map_batches``
+stages. Everything operating on *many points* is vectorized over numpy
+arrays; per-polygon loops only run over the (small, broadcast) polygon
+side of a join, mirroring the reference's per-run STRtree build
+(GT/operations/SpatialJoinOperation.java:120,185-198) without the JVM.
+
+Semantics references:
+- area/length: GT/transformation/AreaCalculationFeatureCollection.java,
+  LengthCalculationFeatureCollection.java (planar; geodesic variant via
+  :func:`haversine` / :func:`geodesic_area`).
+- point-in-polygon: JTS ``RayCrossingCounter`` semantics (boundary
+  counts as inside, matching ``Geometry.intersects``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wkb as _wkb
+
+EARTH_RADIUS_M = 6378137.0  # WGS84 semi-major, as GeoTools DefaultEllipsoid.WGS84
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (vectorized over points, per ring)
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Crossing-number test of N points against one ring (m,2).
+
+    Returns bool mask. Points exactly on an edge are treated as inside
+    (JTS ``intersects`` convention) via an epsilon-free on-segment check.
+    """
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    # crossing test
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    crossings = np.sum(cond & (px < xint), axis=1)
+    inside = (crossings % 2) == 1
+    # boundary: point on any segment
+    dx, dy = x1 - x0, y1 - y0
+    cross = (px - x0) * dy - (py - y0) * dx
+    within_x = (px >= np.minimum(x0, x1)) & (px <= np.maximum(x0, x1))
+    within_y = (py >= np.minimum(y0, y1)) & (py <= np.maximum(y0, y1))
+    on_edge = np.any((np.abs(cross) < 1e-12) & within_x & within_y, axis=1)
+    return inside | on_edge
+
+
+def points_in_geom(
+    px: np.ndarray, py: np.ndarray, fg: "_wkb.FlatGeoms", gi: int
+) -> np.ndarray:
+    """Test N points against polygon geometry ``gi`` (shells minus holes)."""
+    result = np.zeros(len(px), dtype=bool)
+    cur = None
+    for ring, is_shell in fg.rings(gi):
+        if len(ring) < 4:
+            continue
+        mask = points_in_ring(px, py, ring)
+        if is_shell:
+            if cur is not None:
+                result |= cur
+            cur = mask
+        else:  # hole subtracts from current shell
+            if cur is not None:
+                cur &= ~mask
+    if cur is not None:
+        result |= cur
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Measures
+# ---------------------------------------------------------------------------
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area of one ring."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def areas(fg: "_wkb.FlatGeoms") -> np.ndarray:
+    """Planar area per geometry (shells positive, holes subtracted)."""
+    out = np.zeros(len(fg), dtype=np.float64)
+    for i in range(len(fg)):
+        a = 0.0
+        for ring, is_shell in fg.rings(i):
+            if len(ring) < 4:
+                continue
+            ra = abs(ring_area(ring))
+            a += ra if is_shell else -ra
+        out[i] = a
+    return out
+
+
+def lengths(fg: "_wkb.FlatGeoms") -> np.ndarray:
+    """Planar length per geometry (perimeter for polygons)."""
+    out = np.zeros(len(fg), dtype=np.float64)
+    ro, po, co = fg.ring_offsets, fg.part_offsets, fg.coords
+    for i in range(len(fg)):
+        total = 0.0
+        for r in range(po[i], po[i + 1]):
+            c0, c1 = ro[r], ro[r + 1]
+            if c1 - c0 < 2:
+                continue
+            seg = co[c0:c1]
+            d = np.diff(seg, axis=0)
+            total += float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+        out[i] = total
+    return out
+
+
+def geodesic_lengths(fg: "_wkb.FlatGeoms") -> np.ndarray:
+    """Great-circle length per geometry (haversine per segment), meters."""
+    out = np.zeros(len(fg), dtype=np.float64)
+    ro, po, co = fg.ring_offsets, fg.part_offsets, fg.coords
+    for i in range(len(fg)):
+        total = 0.0
+        for r in range(po[i], po[i + 1]):
+            c0, c1 = ro[r], ro[r + 1]
+            if c1 - c0 < 2:
+                continue
+            seg = co[c0:c1]
+            total += float(
+                np.sum(
+                    haversine(seg[:-1, 0], seg[:-1, 1], seg[1:, 0], seg[1:, 1])
+                )
+            )
+        out[i] = total
+    return out
+
+
+def geodesic_area(ring: np.ndarray) -> float:
+    """Spherical excess area of one lon/lat ring (m²), L'Huilier-style."""
+    lon = np.radians(ring[:, 0])
+    lat = np.radians(ring[:, 1])
+    if len(lon) < 4:
+        return 0.0
+    # spherical shoelace (Chamberlain & Duquette 2007)
+    s = np.sum((lon[1:] - lon[:-1]) * (2 + np.sin(lat[1:]) + np.sin(lat[:-1])))
+    return abs(s) * EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+
+
+def centroids(wkb_column) -> tuple[np.ndarray, np.ndarray]:
+    """Centroid per geometry of a WKB column → (x, y) arrays.
+
+    Points → the point; lines → length-weighted midpoint; polygons →
+    area-weighted centroid (holes subtracted). Mirrors
+    GT/transformation/ToPointFeatureCollection.java (centroid mode).
+    """
+    fg = _wkb.decode(wkb_column)
+    return flat_centroids(fg)
+
+
+def flat_centroids(fg: "_wkb.FlatGeoms") -> tuple[np.ndarray, np.ndarray]:
+    n = len(fg)
+    cx = np.zeros(n)
+    cy = np.zeros(n)
+    for i in range(n):
+        t = fg.types[i]
+        pts = fg.geom_coords(i)
+        if len(pts) == 0:
+            cx[i] = cy[i] = np.nan
+            continue
+        if t == _wkb.POINT:
+            cx[i], cy[i] = pts[:, 0].mean(), pts[:, 1].mean()
+        elif t == _wkb.LINESTRING:
+            wsum = 0.0
+            mx = my = 0.0
+            for ring, _ in fg.rings(i):
+                if len(ring) < 2:
+                    continue
+                d = np.diff(ring, axis=0)
+                w = np.hypot(d[:, 0], d[:, 1])
+                mid = (ring[:-1] + ring[1:]) / 2
+                mx += float(np.sum(w * mid[:, 0]))
+                my += float(np.sum(w * mid[:, 1]))
+                wsum += float(np.sum(w))
+            if wsum > 0:
+                cx[i], cy[i] = mx / wsum, my / wsum
+            else:
+                cx[i], cy[i] = pts[:, 0].mean(), pts[:, 1].mean()
+        else:  # polygon
+            asum = 0.0
+            mx = my = 0.0
+            for ring, is_shell in fg.rings(i):
+                if len(ring) < 4:
+                    continue
+                x, y = ring[:-1, 0], ring[:-1, 1]
+                x1, y1 = ring[1:, 0], ring[1:, 1]
+                cr = x * y1 - x1 * y
+                a = 0.5 * np.sum(cr)
+                gx = np.sum((x + x1) * cr) / 6.0
+                gy = np.sum((y + y1) * cr) / 6.0
+                sgn = 1.0 if is_shell else -1.0
+                asum += sgn * abs(a)
+                sa = np.sign(a) if a != 0 else 1.0
+                mx += sgn * sa * gx
+                my += sgn * sa * gy
+            if asum != 0:
+                cx[i], cy[i] = mx / asum, my / asum
+            else:
+                cx[i], cy[i] = pts[:, 0].mean(), pts[:, 1].mean()
+    return cx, cy
+
+
+# ---------------------------------------------------------------------------
+# Distances
+# ---------------------------------------------------------------------------
+
+def haversine(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters, vectorized (spherical WGS84).
+
+    Stands in for GeoTools ``GeodeticCalculator.getOrthodromicDistance``
+    (GT/util/GeodeticBuilder.java:86-140); spherical approximation,
+    < 0.6% error vs. ellipsoidal.
+    """
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64))
+                              for a in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+
+
+def point_segment_dist(px, py, x0, y0, x1, y1):
+    """Min distance from points (px,py) to segments (x0,y0)-(x1,y1).
+
+    Broadcasts: points (N,1) against segments (M,) → (N,M).
+    """
+    dx, dy = x1 - x0, y1 - y0
+    seg2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x0) * dx + (py - y0) * dy) / seg2
+    t = np.where(seg2 == 0, 0.0, np.clip(t, 0.0, 1.0))
+    cx = x0 + t * dx
+    cy = y0 + t * dy
+    return np.hypot(px - cx, py - cy)
+
+
+def points_to_geom_dist(px: np.ndarray, py: np.ndarray,
+                        fg: "_wkb.FlatGeoms", gi: int) -> np.ndarray:
+    """Planar distance from N points to geometry gi (0 if inside polygon)."""
+    pts = fg.geom_coords(gi)
+    t = fg.types[gi]
+    if t == _wkb.POINT:
+        return np.hypot(px[:, None] - pts[None, :, 0],
+                        py[:, None] - pts[None, :, 1]).min(axis=1)
+    # edge distances
+    best = np.full(len(px), np.inf)
+    for ring, _ in fg.rings(gi):
+        if len(ring) < 2:
+            if len(ring) == 1:
+                best = np.minimum(best, np.hypot(px - ring[0, 0], py - ring[0, 1]))
+            continue
+        d = point_segment_dist(
+            px[:, None], py[:, None],
+            ring[:-1, 0][None, :], ring[:-1, 1][None, :],
+            ring[1:, 0][None, :], ring[1:, 1][None, :],
+        ).min(axis=1)
+        best = np.minimum(best, d)
+    if t == _wkb.POLYGON:
+        inside = points_in_geom(px, py, fg, gi)
+        best = np.where(inside, 0.0, best)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Hulls / simplification / derived shapes
+# ---------------------------------------------------------------------------
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns closed CCW ring (m,2)."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(it):
+        h: list = []
+        for p in it:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([ring, ring[:1]])
+
+
+def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Line simplification (GT/transformation/SimplifyFeatureCollection)."""
+    if len(coords) < 3:
+        return coords
+    keep = np.zeros(len(coords), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 - i0 < 2:
+            continue
+        seg = coords[i0 + 1 : i1]
+        d = point_segment_dist(
+            seg[:, 0], seg[:, 1],
+            coords[i0, 0], coords[i0, 1], coords[i1, 0], coords[i1, 1],
+        )
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            k = i0 + 1 + imax
+            keep[k] = True
+            stack.append((i0, k))
+            stack.append((k, i1))
+    return coords[keep]
+
+
+def circle_ring(cx: float, cy: float, radius: float, quadrant_segs: int = 24) -> np.ndarray:
+    """Closed circle approximation ring — JTS ``buffer`` default is 8
+    segments per quadrant; the reference uses 24 for geodesic buffers
+    (GT/util/GeodeticBuilder.java:92-140). CCW."""
+    n = 4 * quadrant_segs
+    ang = np.linspace(0, 2 * np.pi, n + 1)
+    return np.column_stack([cx + radius * np.cos(ang), cy + radius * np.sin(ang)])
+
+
+def densify(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_len (GT Densify)."""
+    out = [coords[:1]]
+    for i in range(len(coords) - 1):
+        p0, p1 = coords[i], coords[i + 1]
+        d = float(np.hypot(*(p1 - p0)))
+        n = max(1, int(np.ceil(d / max_len)))
+        if n > 1:
+            t = np.linspace(0, 1, n + 1)[1:]
+            out.append(p0 + t[:, None] * (p1 - p0))
+        else:
+            out.append(p1[None, :])
+    return np.concatenate(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Segment intersection (line × line)
+# ---------------------------------------------------------------------------
+
+def segment_intersections(a0, a1, b0, b1):
+    """Pairwise proper/touching intersections of segment sets.
+
+    a0,a1: (N,2) arrays; b0,b1: (M,2). Returns (xs, ys, ia, ib) of
+    intersection points. Vectorized O(N·M).
+    """
+    a0 = a0[:, None, :]
+    a1 = a1[:, None, :]
+    b0 = b0[None, :, :]
+    b1 = b1[None, :, :]
+    d1 = a1 - a0
+    d2 = b1 - b0
+    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    diff = b0 - a0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (diff[..., 0] * d2[..., 1] - diff[..., 1] * d2[..., 0]) / denom
+        u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / denom
+    ok = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    ia, ib = np.nonzero(ok)
+    xs = a0[ia, 0, 0] + t[ia, ib] * d1[ia, 0, 0]
+    ys = a0[ia, 0, 1] + t[ia, ib] * d1[ia, 0, 1]
+    return xs, ys, ia, ib
+
+
+# ---------------------------------------------------------------------------
+# Polygon clipping — Sutherland–Hodgman (convex clip window)
+# ---------------------------------------------------------------------------
+
+def clip_polygon_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Clip subject ring by a CONVEX clip ring. Returns open ring (m,2)
+    or empty. Used for rect/hex cell clips (fishnet, zonal rasterize)."""
+    # ensure CCW clip
+    if ring_area(clip_ring if np.array_equal(clip_ring[0], clip_ring[-1])
+                 else np.vstack([clip_ring, clip_ring[:1]])) < 0:
+        clip_ring = clip_ring[::-1]
+    poly = subject[:-1] if len(subject) and np.array_equal(subject[0], subject[-1]) else subject
+    cr = clip_ring[:-1] if np.array_equal(clip_ring[0], clip_ring[-1]) else clip_ring
+    for i in range(len(cr)):
+        if len(poly) == 0:
+            break
+        e0 = cr[i]
+        e1 = cr[(i + 1) % len(cr)]
+        edge = e1 - e0
+        rel = poly - e0
+        side = edge[0] * rel[:, 1] - edge[1] * rel[:, 0]  # >=0 inside (CCW)
+        new_pts: list = []
+        n = len(poly)
+        for j in range(n):
+            cur, nxt = j, (j + 1) % n
+            cin, nin = side[cur] >= 0, side[nxt] >= 0
+            if cin:
+                new_pts.append(poly[cur])
+            if cin != nin:
+                p0, p1 = poly[cur], poly[nxt]
+                t = side[cur] / (side[cur] - side[nxt])
+                new_pts.append(p0 + t * (p1 - p0))
+        poly = np.array(new_pts) if new_pts else np.empty((0, 2))
+        if len(poly):
+            rel = poly - e0
+            side = None  # recomputed next loop
+    return poly
+
+
+def bbox_intersects(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    """(N,4) × (4,) bbox overlap mask."""
+    return (
+        (b1[:, 0] <= b2[2]) & (b1[:, 2] >= b2[0])
+        & (b1[:, 1] <= b2[3]) & (b1[:, 3] >= b2[1])
+    )

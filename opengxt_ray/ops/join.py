@@ -1,0 +1,451 @@
+"""Spatial joins — the engine's core operator family.
+
+Reference semantics:
+- nearest join: GT/operations/SpatialJoinOperation.java:75-183
+  (STRtree nearestNeighbour per row, optional searchRadius cutoff,
+  joinType KeepAllRecord=left / OnlyMatchingRecord=inner).
+- intersects join: GT/transformation/IntersectFeatureCollection.java
+  :190-350 (1-to-many, overlay columns appended with ``_N`` dedup).
+- PIP aggregate: GT/operations/PointsInPolygonOperation.java:59-123.
+
+Ray-Data-first execution (SURVEY.md §7.2-7.3):
+
+1. **Broadcast path** (small polygon/join side): the side is packaged
+   once into the object store (``ray.put``) and every `map_batches`
+   actor builds its numpy index once in ``__init__`` — the distributed
+   analogue of the reference's per-run STRtree build, shared zero-copy
+   across the pool.
+2. **Co-partition path** (both sides large): both sides are keyed by
+   hex cell (polygons replicated to every covering cell via flat_map),
+   shuffled with ``groupby(cell)``, and refined per cell with the same
+   numpy kernels. Hot cells are salted (north_rule: explicit skew
+   splitting): cells whose point count exceeds ``hot_threshold`` get
+   their points split over ``nsplit`` salt keys and the polygon side
+   replicated per salt.
+
+Wide payload columns (html/text) should be projected out before a
+co-partition join and re-attached by key afterwards
+(:func:`slim_join_reattach`) — SURVEY.md §7.4 "wide binary rows".
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..core import geomops, wkb as _wkb
+from ..core.gridindex import BBoxIndex, GridPointIndex
+from ..index import hexgrid
+
+
+# ---------------------------------------------------------------------------
+# Polygon bundle (broadcast side)
+# ---------------------------------------------------------------------------
+
+class PolygonBundle:
+    """Picklable packaging of a geometry table for broadcast."""
+
+    def __init__(self, table: pa.Table, geom_col: str = "geom"):
+        self.attrs = table.drop_columns([geom_col])
+        self.fg = _wkb.decode(table[geom_col].to_pylist())
+        self.bboxes = self.fg.bboxes()
+
+    def build_index(self) -> BBoxIndex:
+        return BBoxIndex(self.bboxes)
+
+
+def put_bundle(table: pa.Table, geom_col: str = "geom") -> "ray.ObjectRef":
+    """Build + broadcast a PolygonBundle once (driver side)."""
+    return ray.put(PolygonBundle(table, geom_col))
+
+
+def _resolve_bundle(bundle_ref) -> PolygonBundle:
+    """Accept a PolygonBundle, an ObjectRef, or a [ObjectRef] wrapper
+    (the list prevents Ray from eagerly resolving the ref in
+    fn_constructor_kwargs, so the object is fetched zero-copy once per
+    actor here instead of being serialized into the task spec)."""
+    if isinstance(bundle_ref, list):
+        bundle_ref = bundle_ref[0]
+    if isinstance(bundle_ref, ray.ObjectRef):
+        return ray.get(bundle_ref)
+    return bundle_ref
+
+
+def _dedup_names(left_names, right_names, mode: str):
+    """Column-name collision handling.
+
+    mode='suffix': reference Intersect semantics — append _1, _2, …
+    (GT/transformation/IntersectFeatureCollection.java:131-156).
+    mode='skip': SpatialJoin semantics — drop duplicate join columns.
+    """
+    out = []
+    taken = set(left_names)
+    for name in right_names:
+        if name not in taken:
+            out.append((name, name))
+            taken.add(name)
+        elif mode == "skip":
+            continue
+        else:
+            i = 1
+            while f"{name}_{i}" in taken:
+                i += 1
+            out.append((name, f"{name}_{i}"))
+            taken.add(f"{name}_{i}")
+    return out
+
+
+def _point_coords(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Extract x/y for the point side: prefer lon/lat columns (zero
+    decode), else decode/centroid the geom column."""
+    if "lon" in batch.column_names and "lat" in batch.column_names:
+        return batch["lon"].to_numpy(), batch["lat"].to_numpy()
+    return _wkb.decode_points(batch["geom"].to_pylist())
+
+
+def _refine_pairs(px, py, bundle: PolygonBundle, index: BBoxIndex,
+                  predicate: str) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate bbox pairs → exact predicate pairs (pi, gi)."""
+    pi, gi = index.query_points(px, py)
+    if len(pi) == 0:
+        return pi, gi
+    keep = np.zeros(len(pi), dtype=bool)
+    order = np.argsort(gi, kind="stable")
+    gs, ps = gi[order], pi[order]
+    start = 0
+    for i in range(1, len(order) + 1):
+        if i == len(order) or gs[i] != gs[start]:
+            g = int(gs[start])
+            pts = ps[start:i]
+            if predicate in ("intersects", "contains", "within"):
+                m = geomops.points_in_geom(px[pts], py[pts], bundle.fg, g)
+            else:
+                raise ValueError(f"unknown predicate {predicate}")
+            keep[order[start:i]] = m
+            start = i
+    return pi[keep], gi[keep]
+
+
+class PipJoiner:
+    """Actor-pool stage: point-in-polygon / intersects join vs broadcast
+    polygons. Index built once per actor in __init__ (SURVEY.md §7.2)."""
+
+    def __init__(self, bundle_ref, *, predicate="intersects", how="inner",
+                 dedup="suffix", right_cols=None):
+        self.bundle: PolygonBundle = _resolve_bundle(bundle_ref)
+        self.index = self.bundle.build_index()
+        self.predicate = predicate
+        self.how = how
+        self.right_cols = right_cols
+        self.dedup = dedup
+        self._name_map = None
+
+    def _names(self, batch):
+        if self._name_map is None:
+            right = self.right_cols or self.bundle.attrs.column_names
+            self._name_map = _dedup_names(batch.column_names, right, self.dedup)
+        return self._name_map
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px, py = _point_coords(batch)
+        pi, gi = _refine_pairs(px, py, self.bundle, self.index, self.predicate)
+        names = self._names(batch)
+        if self.how == "left":
+            matched = np.zeros(len(batch), dtype=bool)
+            matched[pi] = True
+            miss = np.nonzero(~matched)[0]
+            all_pi = np.concatenate([pi, miss])
+            all_gi = np.concatenate([gi, np.full(len(miss), -1, dtype=np.int64)])
+        else:
+            all_pi, all_gi = pi, gi
+        order = np.argsort(all_pi, kind="stable")
+        all_pi, all_gi = all_pi[order], all_gi[order]
+        left = batch.take(pa.array(all_pi))
+        cols = dict(zip(left.column_names, left.columns))
+        attrs = self.bundle.attrs
+        gi_arr = pa.array(np.where(all_gi < 0, 0, all_gi))
+        null_mask = all_gi < 0
+        for src, dst in names:
+            col = attrs[src].take(gi_arr)
+            if null_mask.any():
+                col = pc.if_else(pa.array(~null_mask), col.combine_chunks()
+                                 if isinstance(col, pa.ChunkedArray) else col, None)
+            cols[dst] = col
+        return pa.table(cols)
+
+
+def broadcast_spatial_join(points_ds, poly_table: pa.Table, *,
+                           predicate="intersects", how="inner",
+                           dedup="suffix", right_cols=None,
+                           concurrency=None, batch_size: int = 8192):
+    """Points × broadcast polygons join (MB-actor path)."""
+    ref = put_bundle(poly_table)
+    return points_ds.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs=dict(
+            bundle_ref=[ref], predicate=predicate, how=how,
+            dedup=dedup, right_cols=right_cols,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest join (SpatialJoinOperation semantics)
+# ---------------------------------------------------------------------------
+
+class NearestJoiner:
+    """Nearest-feature join vs a broadcast side.
+
+    GT/operations/SpatialJoinOperation.java:125-175: per input row,
+    nearest join feature; if searchRadius > 0 and distance > radius the
+    row is emitted without join attrs (KeepAllRecord) or skipped
+    (OnlyMatchingRecord). Adds no distance column (use ops.near for
+    that). Distances are planar in CRS units unless geodesic=True
+    (haversine meters, standing in for GeodeticCalculator).
+    """
+
+    def __init__(self, bundle_ref, *, radius=0.0, how="left",
+                 dedup="skip", right_cols=None, geodesic=False,
+                 emit_dist: str | None = None):
+        self.bundle: PolygonBundle = _resolve_bundle(bundle_ref)
+        cx, cy = geomops.flat_centroids(self.bundle.fg)
+        self._cx, self._cy = cx, cy
+        self.index = GridPointIndex(cx, cy)
+        self._point_only = bool((self.bundle.fg.types == _wkb.POINT).all())
+        self.radius = float(radius)
+        self.how = how
+        self.dedup = dedup
+        self.right_cols = right_cols
+        self.geodesic = geodesic
+        self.emit_dist = emit_dist
+        self._name_map = None
+
+    def _nearest(self, px, py):
+        n = len(px)
+        out = np.full(n, -1, dtype=np.int64)
+        dist = np.full(n, np.inf)
+        k = 1 if self._point_only else 6
+        for i in range(n):
+            ii, dd = self.index.query_knn(float(px[i]), float(py[i]), k=k)
+            if len(ii) == 0:
+                continue
+            if self._point_only:
+                out[i], dist[i] = ii[0], dd[0]
+            else:
+                dmin, best = np.inf, -1
+                for j in ii:
+                    d = float(geomops.points_to_geom_dist(
+                        px[i : i + 1], py[i : i + 1], self.bundle.fg, int(j))[0])
+                    if d < dmin:
+                        dmin, best = d, int(j)
+                out[i], dist[i] = best, dmin
+        if self.geodesic:
+            ok = out >= 0
+            dist[ok] = geomops.haversine(px[ok], py[ok],
+                                         self._cx[out[ok]], self._cy[out[ok]])
+        return out, dist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px, py = _point_coords(batch)
+        gi, dist = self._nearest(px, py)
+        if self.radius > 0:
+            gi = np.where(dist <= self.radius, gi, -1)
+        if self.how == "inner":
+            keep = gi >= 0
+            batch = batch.take(pa.array(np.nonzero(keep)[0]))
+            gi, dist = gi[keep], dist[keep]
+        if self._name_map is None:
+            right = self.right_cols or self.bundle.attrs.column_names
+            self._name_map = _dedup_names(batch.column_names, right, self.dedup)
+        cols = dict(zip(batch.column_names, batch.columns))
+        null_mask = gi < 0
+        take_idx = pa.array(np.where(gi < 0, 0, gi))
+        for src, dst in self._name_map:
+            col = self.bundle.attrs[src].take(take_idx)
+            if null_mask.any():
+                col = pc.if_else(pa.array(~null_mask), col.combine_chunks()
+                                 if isinstance(col, pa.ChunkedArray) else col, None)
+            cols[dst] = col
+        if self.emit_dist:
+            cols[self.emit_dist] = pa.array(
+                np.where(gi < 0, np.nan, dist), pa.float64())
+        return pa.table(cols)
+
+
+def nearest_join(points_ds, join_table: pa.Table, *, radius=0.0,
+                 how="left", dedup="skip", right_cols=None,
+                 geodesic=False, emit_dist=None,
+                 concurrency=None, batch_size: int = 4096):
+    ref = put_bundle(join_table)
+    return points_ds.map_batches(
+        NearestJoiner,
+        fn_constructor_kwargs=dict(
+            bundle_ref=[ref], radius=radius, how=how, dedup=dedup,
+            right_cols=right_cols, geodesic=geodesic, emit_dist=emit_dist,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-partitioned cell join (both sides large) with hot-cell salting
+# ---------------------------------------------------------------------------
+
+_POLY_BLOB_COL = "__poly_blob"
+_KIND_COL = "__kind"
+_SALT_COL = "__salt"
+
+
+def _polys_to_cell_rows(batch: pa.Table, *, res: int, nsplit: int,
+                        geom_col: str = "geom") -> pa.Table:
+    """flat_map: each polygon → one row per covering cell × salt.
+
+    The polygon row is carried as a pickled (attrs_dict, wkb) blob; the
+    polygon side of a spatial join is narrow, so the blob stays small.
+    """
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    attrs = batch.drop_columns([geom_col])
+    cells_out, blobs, salts = [], [], []
+    for i in range(len(fg)):
+        cells = hexgrid.cover_geom(fg, i, res)
+        row = {c: attrs[c][i].as_py() for c in attrs.column_names}
+        blob = pickle.dumps((row, batch[geom_col][i].as_py()), protocol=5)
+        for c in cells:
+            for s in range(nsplit):
+                cells_out.append(c)
+                blobs.append(blob)
+                salts.append(s)
+    return pa.table({
+        "cell": pa.array(np.asarray(cells_out, dtype=np.uint64), pa.uint64()),
+        _SALT_COL: pa.array(salts, pa.int32()),
+        _POLY_BLOB_COL: pa.array(blobs, pa.binary()),
+    })
+
+
+def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
+                          predicate: str = "intersects",
+                          nsplit: int = 1,
+                          point_cols: list[str] | None = None,
+                          right_cols: list[str] | None = None,
+                          num_partitions: int | None = None):
+    """Large × large PIP/intersects join via groupby-on-cell co-shuffle.
+
+    Returns an inner-join Dataset of point_cols + polygon attr cols.
+    ``nsplit`` > 1 salts EVERY cell (uniform splitting); use
+    :func:`hot_cell_salts` to derive a targeted per-cell salt map and
+    pass it via ``salt_map`` in a future revision (targeted salting is
+    applied by the flagship pipeline directly).
+
+    Points must already carry lon/lat + ``cell`` (geocode stage).
+    """
+    point_cols = point_cols or [c for c in points_ds.schema().names
+                                if c not in ("html", "text")]
+    pschema_in = points_ds.schema()
+    rschema_in = polys_ds.schema()
+    rnames = right_cols or [n for n in rschema_in.names if n != "geom"]
+    # deterministic output schema so empty groups emit typed empties
+    out_fields = [(c, pschema_in.types[pschema_in.names.index(c)])
+                  for c in point_cols]
+    name_map = _dedup_names(point_cols, rnames, "suffix")
+    for src, dst in name_map:
+        out_fields.append((dst, rschema_in.types[rschema_in.names.index(src)]))
+    out_schema = pa.schema(out_fields)
+    polys_cells = polys_ds.map_batches(
+        lambda b: _polys_to_cell_rows(b, res=res, nsplit=nsplit),
+        batch_format="pyarrow",
+    )
+
+    def _points_prep(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in point_cols}
+        h = np.asarray(batch["cell"].to_numpy(), dtype=np.uint64)
+        if nsplit > 1:
+            from ..core.fid import hash_ints
+            salt = (hash_ints(h + np.arange(len(h), dtype=np.uint64))
+                    % np.uint64(nsplit)).astype(np.int32)
+        else:
+            salt = np.zeros(len(h), dtype=np.int32)
+        cols[_SALT_COL] = pa.array(salt, pa.int32())
+        cols[_POLY_BLOB_COL] = pa.array([None] * len(batch), pa.binary())
+        return pa.table(cols)
+
+    points_prep = points_ds.map_batches(_points_prep, batch_format="pyarrow")
+
+    # align schemas for union: polygon rows get nulls for point cols
+    pschema = points_prep.schema()
+
+    def _polys_align(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in zip(pschema.names, pschema.types):
+            if name in batch.column_names:
+                cols[name] = batch[name].cast(typ)
+            else:
+                cols[name] = pa.nulls(len(batch), typ)
+        return pa.table(cols)
+
+    polys_aligned = polys_cells.map_batches(_polys_align, batch_format="pyarrow")
+    both = points_prep.union(polys_aligned)
+
+    empty = pa.Table.from_arrays(
+        [pa.array([], type=t) for t in out_schema.types], schema=out_schema)
+
+    def _join_group(group: pa.Table) -> pa.Table:
+        blob_col = group[_POLY_BLOB_COL]
+        is_poly = np.asarray(pc.is_valid(blob_col).to_numpy(zero_copy_only=False))
+        if not is_poly.any() or is_poly.all():
+            return empty
+        poly_rows = group.filter(pa.array(is_poly))
+        pt_rows = group.filter(pa.array(~is_poly))
+        decoded = [pickle.loads(b.as_py()) for b in poly_rows[_POLY_BLOB_COL]]
+        fg = _wkb.decode([w for _, w in decoded])
+        bundle = PolygonBundle.__new__(PolygonBundle)
+        bundle.fg = fg
+        bundle.bboxes = fg.bboxes()
+        index = BBoxIndex(bundle.bboxes)
+        px, py = pt_rows["lon"].to_numpy(), pt_rows["lat"].to_numpy()
+        pi, gi = _refine_pairs(px, py, bundle, index, predicate)
+        if len(pi) == 0:
+            return empty
+        # pairs are naturally unique: each point lives in exactly one
+        # (cell, salt) group; the polygon is replicated to all of them.
+        left = pt_rows.select(point_cols).take(pa.array(pi))
+        arrays = [left[c].cast(out_schema.field(c).type) for c in point_cols]
+        for src, dst in name_map:
+            arrays.append(pa.array([decoded[int(g)][0][src] for g in gi],
+                                   type=out_schema.field(dst).type))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    grouped = both.groupby(["cell", _SALT_COL], num_partitions=num_partitions)
+    return grouped.map_groups(_join_group, batch_format="pyarrow")
+
+
+def hot_cell_salts(points_ds, *, hot_threshold: int = 200_000,
+                   nsplit: int = 8) -> dict[int, int]:
+    """Pre-pass: per-cell counts on the slim projection → salt map for
+    cells exceeding hot_threshold (north_rule skew splitting)."""
+    counts = points_ds.select_columns(["cell"]).groupby("cell").count()
+    out = {}
+    for row in counts.iter_rows():
+        if row["count()"] > hot_threshold:
+            out[int(row["cell"])] = nsplit
+    return out
+
+
+def slim_join_reattach(result_ds, payload_ds, *, key: str = "fid",
+                       num_partitions: int = 32,
+                       payload_cols: list[str] | None = None):
+    """Re-attach wide payload columns (html/text) to a slim join result
+    by key — hash join, payload never entered the shuffle."""
+    if payload_cols:
+        payload_ds = payload_ds.select_columns([key] + payload_cols)
+    return result_ds.join(payload_ds, join_type="inner",
+                          num_partitions=num_partitions, on=(key,))
