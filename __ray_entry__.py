@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the opengxt_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline on /root/testdata/sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2);
+each takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (same column names,
+float expressions written to match the engine's IEEE operation order
+exactly — see opengxt_ray/sources/tpch_geo.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module; nothing
+here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,753 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# shared derivation SQL fragments (must mirror opengxt_ray.sources.tpch_geo)
+# ---------------------------------------------------------------------------
+
+def _lon(k: str) -> str:
+    return f"((({k}) * 7919) % 36000) / 100.0 - 180.0 + 0.005"
+
+
+def _lat(k: str) -> str:
+    return f"((({k}) * 104729) % 17000) / 100.0 - 85.0 + 0.005"
+
+
+def _zone(k: str) -> str:
+    lon, lat = _lon(k), _lat(k)
+    return (f"(CAST(floor(({lat} + 90.0) / 36.0) AS INTEGER) * 5 "
+            f"+ CAST(floor(({lon} + 180.0) / 72.0) AS INTEGER))")
+
+
+def _read_pts(sf_dir: str, table: str, key: str, columns=None):
+    import ray
+
+    from opengxt_ray.sources import tpch_geo
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                               columns=columns or [key])
+    return ds.map_batches(
+        lambda b: tpch_geo.add_point_geom(b, key, with_wkb=False),
+        batch_format="pyarrow")
+
+
+def _zones(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from opengxt_ray.sources import tpch_geo
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    return tpch_geo.nation_zones_table(nation)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_pip_join_rows(sf_dir: str):
+    from opengxt_ray.ops import join as J
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    out = J.broadcast_spatial_join(pts, _zones(sf_dir), predicate="intersects",
+                                   how="inner", dedup="suffix")
+    return out.map_batches(lambda b: b.select(["c_custkey", "n_nationkey"]),
+                           batch_format="pyarrow")
+
+
+def _q_copart_pip_join_rows(sf_dir: str):
+    import ray
+
+    from opengxt_ray.index import hexgrid
+    from opengxt_ray.ops import join as J
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    pts = pts.map_batches(
+        lambda b: b.append_column("cell", pa.array(
+            hexgrid.hex_cell(b["lon"].to_numpy(), b["lat"].to_numpy(), 3),
+            pa.uint64())),
+        batch_format="pyarrow")
+    zds = ray.data.from_arrow(_zones(sf_dir))
+    out = J.cell_copartition_join(pts, zds, res=3,
+                                  point_cols=["c_custkey", "lon", "lat", "cell"],
+                                  right_cols=["n_nationkey"])
+    return out.map_batches(lambda b: b.select(["c_custkey", "n_nationkey"]),
+                           batch_format="pyarrow")
+
+
+def _q_pip_join_count(sf_dir: str):
+    from opengxt_ray.ops.pip import points_in_polygon
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    out = points_in_polygon(pts, _zones(sf_dir), poly_key="n_nationkey")
+    return out.map_batches(
+        lambda b: b.select(["n_nationkey", "n_name", "n_regionkey", "val"]),
+        batch_format="pyarrow")
+
+
+def _q_nearest_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from opengxt_ray.ops.near import knn_links
+    from opengxt_ray.sources import tpch_geo
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    skey = supp["s_suppkey"].to_numpy()
+    sx, sy = tpch_geo.point_lonlat(skey)
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    links = knn_links(pts, skey, sx, sy, k=1, id_col="c_custkey",
+                      nbr_id_col="s_suppkey")
+    return links.map_batches(lambda b: b.select(["c_custkey", "s_suppkey"]),
+                             batch_format="pyarrow")
+
+
+def _q_knn_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from opengxt_ray.ops.near import knn_links
+    from opengxt_ray.sources import tpch_geo
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    skey = supp["s_suppkey"].to_numpy()
+    sx, sy = tpch_geo.point_lonlat(skey)
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    links = knn_links(pts, skey, sx, sy, k=3, id_col="c_custkey",
+                      nbr_id_col="s_suppkey")
+    return links.map_batches(
+        lambda b: b.select(["c_custkey", "s_suppkey", "rank"]).set_column(
+            2, "rank", b["rank"].cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+def _q_near_dist(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from opengxt_ray.ops.near import knn_links
+    from opengxt_ray.sources import tpch_geo
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    skey = supp["s_suppkey"].to_numpy()
+    sx, sy = tpch_geo.point_lonlat(skey)
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    links = knn_links(pts, skey, sx, sy, k=1, id_col="c_custkey",
+                      nbr_id_col="s_suppkey", emit_dist_sq=True)
+    return links.map_batches(
+        lambda b: b.select(["c_custkey", "s_suppkey", "dist_sq"]),
+        batch_format="pyarrow")
+
+
+def _q_rect_binning(sf_dir: str):
+    from opengxt_ray.ops.binning import rect_binning
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    out = rect_binning(pts, width=10.0, height=10.0, origin=(-180.0, -90.0))
+    return out.map_batches(
+        lambda b: pa.table({"col": b["col"], "row": b["row"],
+                            "val": b["val"]}),
+        batch_format="pyarrow")
+
+
+def _q_hex_binning(sf_dir: str):
+    from opengxt_ray.ops.binning import hex_binning
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    out = hex_binning(pts, size=5.0, origin=(0.0, 0.0))
+    return out.map_batches(
+        lambda b: pa.table({"q": b["q"], "r": b["r"], "val": b["val"]}),
+        batch_format="pyarrow")
+
+
+def _q_dissolve_stats(sf_dir: str):
+    import ray
+
+    from opengxt_ray.ops.aggregate import data_statistics
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_mktsegment", "c_acctbal"])
+    out = data_statistics(ds, ["c_acctbal"], group_by="c_mktsegment",
+                          funcs=("count", "sum", "mean"), round_digits=6)
+    return out
+
+
+def _q_data_statistics(sf_dir: str):
+    import ray
+
+    from opengxt_ray.ops.aggregate import data_statistics
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_quantity"])
+    return data_statistics(ds, ["l_quantity"],
+                           funcs=("count", "sum", "mean", "min", "max",
+                                  "range", "std", "var"))
+
+
+def _q_collect_events(sf_dir: str):
+    from opengxt_ray.ops.aggregate import collect_events
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    out = collect_events(pts, tolerance=0.5)
+    return out.map_batches(
+        lambda b: pa.table({"qx": b["qx"], "qy": b["qy"],
+                            "icount": b["icount"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray
+
+    from opengxt_ray.textops.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = exact_dedup(ds)
+    return out.map_batches(
+        lambda b: pa.table({"keep_id": b["min(doc_id)"]}),
+        batch_format="pyarrow")
+
+
+def _q_token_count(sf_dir: str):
+    import ray
+
+    from opengxt_ray.textops.quality import token_count_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
+
+
+def _q_quality_len(sf_dir: str):
+    import ray
+
+    from opengxt_ray.textops.quality import quality_score_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(quality_score_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_chars", "n_words"]),
+        batch_format="pyarrow")
+
+
+def _q_gi_star(sf_dir: str):
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops import hotspot
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey",
+                    columns=["c_custkey", "c_acctbal"])
+    out = hotspot.local_gi_star(pts, "c_acctbal", id_col="c_custkey",
+                                band=15.0, round_digits=None)
+
+    def _final(b: pa.Table) -> pa.Table:
+        z = b["GiZScore"].to_numpy()
+        hot = np.where(z >= 1.96, 1, np.where(z <= -1.96, -1, 0)).astype(np.int32)
+        return pa.table({
+            "c_custkey": b["id"],
+            "nn": b["nn"],
+            "hot": pa.array(hot),
+            "gi_z4": pa.array(format_round(z, 4)),
+        })
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+def _q_global_moran(sf_dir: str):
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops import hotspot
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey",
+                    columns=["c_custkey", "c_acctbal"])
+    res = hotspot.global_morans_i(pts, "c_acctbal", id_col="c_custkey",
+                                  band=20.0)
+    return pa.table({
+        "moran_i6": [format_round(res["observed"], 6)],
+        "z6": [format_round(res["z"], 4)],
+    })
+
+
+def _q_mean_center(sf_dir: str):
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.distribution import mean_center, standard_distance
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    mc = mean_center(pts)
+    sd = standard_distance(pts)
+    return pa.table({
+        "cx6": [format_round(mc["cx"], 6)],
+        "cy6": [format_round(mc["cy"], 6)],
+        "sd6": [format_round(sd["std_dist"], 6)],
+    })
+
+
+def _q_attribute_join(sf_dir: str):
+    import ray
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"],
+                            "c_mktsegment": b["c_mktsegment"]}),
+        batch_format="pyarrow")
+    out = orders.join(cust, join_type="inner", num_partitions=8,
+                      on=("o_custkey",))
+    return out.map_batches(lambda b: b.select(["o_orderkey", "c_mktsegment"]),
+                           batch_format="pyarrow")
+
+
+def _q_events_window(sf_dir: str):
+    import ray
+
+    from opengxt_ray.core.ssutils import format_round
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def _hour(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({"hour": h, "event_type": b["event_type"],
+                         "value": b["value"]})
+
+    hourly = ds.map_batches(_hour, batch_format="pyarrow")
+    import ray.data.aggregate as A
+
+    agg = hourly.groupby(["hour", "event_type"]).aggregate(
+        A.Count(), A.Sum("value"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "hour": b["hour"], "event_type": b["event_type"],
+            "cnt": b["count()"],
+            "sval6": pa.array(format_round(
+                b["sum(value)"].to_numpy(zero_copy_only=False), 6)),
+        }),
+        batch_format="pyarrow")
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    from opengxt_ray.vector.ann import brute_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qtab = emb.slice(0, 5)
+    qids = qtab["vec_id"].to_numpy()
+    qm = np.stack(qtab["embedding"].to_numpy(zero_copy_only=False))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = brute_topk(ds, qids, qm, k=10)
+    return out.map_batches(
+        lambda b: pa.table({"query_id": b["query_id"], "vec_id": b["vec_id"],
+                            "rank": b["rank"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_minhash_dedup(sf_dir: str):
+    import ray
+
+    from opengxt_ray.textops.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_dedup(ds)
+
+
+def _q_simhash(sf_dir: str):
+    import ray
+
+    from opengxt_ray.textops.dedup import simhash_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "simhash"]),
+                           batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    import ray
+
+    from opengxt_ray.textops.quality import LanguageId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(LanguageId, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    return out.map_batches(lambda b: b.select(["doc_id", "lang_pred"]),
+                           batch_format="pyarrow")
+
+
+def _q_kmeans(sf_dir: str):
+    from opengxt_ray.ops.cluster import kmeans_assign
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    out = kmeans_assign(pts, 8)
+    return out.map_batches(lambda b: b.select(["c_custkey", "cluster"]),
+                           batch_format="pyarrow")
+
+
+def _q_standardized_scores(sf_dir: str):
+    import ray
+
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.regression import standardized_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber",
+                                        "l_quantity"])
+    out = standardized_scores(ds, "l_quantity")
+    return out.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"].cast(pa.int64()),
+            "z6": pa.array(format_round(b["z_l_quantity"].to_numpy(), 6)),
+        }),
+        batch_format="pyarrow")
+
+
+def _q_ols(sf_dir: str):
+    import ray
+
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.regression import ols
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_quantity"])
+    fit = ols(ds, "l_extendedprice", ["l_quantity"])
+    return pa.table({
+        "slope4": [format_round(fit["coef"]["l_quantity"], 4)],
+        "intercept4": [format_round(fit["intercept"], 4)],
+        "r2_6": [format_round(fit["r2"], 6)],
+    })
+
+
+def _q_pearson(sf_dir: str):
+    import ray
+
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.regression import pearson
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"])
+    r = pearson(ds, ["l_quantity", "l_extendedprice", "l_discount"])
+    return pa.table({
+        "r_qty_price6": [format_round(r[("l_quantity", "l_extendedprice")], 6)],
+        "r_qty_disc6": [format_round(r[("l_quantity", "l_discount")], 6)],
+    })
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 (driver smoke check)."""
+    from opengxt_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pip_join_rows": _q_pip_join_rows,
+        "copart_pip_join_rows": _q_copart_pip_join_rows,
+        "pip_join_count": _q_pip_join_count,
+        "nearest_join": _q_nearest_join,
+        "knn_join": _q_knn_join,
+        "near_dist": _q_near_dist,
+        "rect_binning": _q_rect_binning,
+        "hex_binning": _q_hex_binning,
+        "dissolve_stats": _q_dissolve_stats,
+        "data_statistics": _q_data_statistics,
+        "collect_events": _q_collect_events,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality_len": _q_quality_len,
+        "gi_star": _q_gi_star,
+        "global_moran": _q_global_moran,
+        "mean_center": _q_mean_center,
+        "attribute_join": _q_attribute_join,
+        "events_window": _q_events_window,
+        "ann_topk": _q_ann_topk,
+        "standardized_scores": _q_standardized_scores,
+        "ols": _q_ols,
+        "pearson": _q_pearson,
+        # rows-only (no SQL oracle): model/heuristic & LSH ops
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+        "kmeans": _q_kmeans,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lon_c, lat_c = _lon("c_custkey"), _lat("c_custkey")
+    lon_s, lat_s = _lon("s_suppkey"), _lat("s_suppkey")
+    zone_c = _zone("c_custkey")
+    pip_rows = (f"SELECT c_custkey, CAST({zone_c} AS INTEGER) AS n_nationkey "
+                f"FROM customer")
+    knn_base = f"""
+        SELECT c.c_custkey, s.s_suppkey,
+               (({lon_c}) - ({lon_s})) * (({lon_c}) - ({lon_s}))
+             + (({lat_c}) - ({lat_s})) * (({lat_c}) - ({lat_s})) AS dist_sq,
+               row_number() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY (({lon_c}) - ({lon_s})) * (({lon_c}) - ({lon_s}))
+                          + (({lat_c}) - ({lat_s})) * (({lat_c}) - ({lat_s})),
+                         s.s_suppkey) AS rn
+        FROM customer c, supplier s
     """
-    return {}
+    gi_sql = f"""
+        WITH pts AS (
+            SELECT c_custkey, {lon_c} AS x, {lat_c} AS y, c_acctbal AS v
+            FROM customer
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s1, SUM(v*v) AS s2
+            FROM pts
+        ),
+        nb AS (
+            SELECT a.c_custkey,
+                   SUM(b.v) AS ls,
+                   CAST(COUNT(*) AS DOUBLE) AS ws,
+                   CAST(COUNT(*) AS DOUBLE) AS w2,
+                   COUNT(*) AS nn
+            FROM pts a JOIN pts b
+              ON (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 225.0
+            GROUP BY a.c_custkey
+        )
+        SELECT c_custkey, nn,
+               CASE WHEN z >= 1.96 THEN 1 WHEN z <= -1.96 THEN -1 ELSE 0
+               END AS hot,
+               round(z, 4) AS gi_z4
+        FROM (
+            SELECT nb.c_custkey AS c_custkey, nb.nn AS nn,
+                   (ls - ws * (s1/n))
+                   / (sqrt(s2/n - (s1/n)*(s1/n))
+                      * sqrt((n * w2 - ws * ws) / (n - 1.0))) AS z
+            FROM nb, mom
+        ) t
+    """
+    moran_sql = f"""
+        WITH pts AS (
+            SELECT c_custkey, {lon_c} AS x, {lat_c} AS y, c_acctbal AS v
+            FROM customer
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v)/COUNT(*) AS mu FROM pts
+        ),
+        pairs AS (
+            SELECT a.c_custkey AS ia, (a.v - mom.mu) AS zi, (b.v - mom.mu) AS zj
+            FROM pts a, pts b, mom
+            WHERE a.c_custkey <> b.c_custkey
+              AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 400.0
+        ),
+        rs AS (
+            SELECT ia, COUNT(*) AS rowsum, SUM(zi * zj) AS zw FROM pairs GROUP BY ia
+        ),
+        gl AS (
+            SELECT SUM(rowsum) AS W, SUM(zw) AS zijw,
+                   SUM(4.0 * rowsum) AS s1x,
+                   SUM((2.0 * rowsum) * (2.0 * rowsum)) AS s2
+            FROM rs
+        ),
+        zz AS (
+            SELECT SUM((v - mom.mu)*(v - mom.mu)) / mom.n AS z2,
+                   SUM((v-mom.mu)*(v-mom.mu)*(v-mom.mu)*(v-mom.mu)) / mom.n AS z4,
+                   ANY_VALUE(mom.n) AS n
+            FROM pts, mom GROUP BY mom.n
+        )
+        SELECT round(zijw / (z2 * W), 6) AS moran_i6,
+               round((zijw / (z2 * W) - (-1.0/(n-1.0)))
+                     / sqrt(
+                        (n * ((n*n - 3*n + 3) * (0.5*s1x) - n * s2 + 3.0 * W * W))
+                        / ((n-1.0)*(n-2.0)*(n-3.0)*W*W)
+                        - ((z4/(z2*z2)) * ((n*n - n) * (0.5*s1x) - 2.0*n*s2 + 6.0*W*W))
+                        / ((n-1.0)*(n-2.0)*(n-3.0)*W*W)
+                        - (1.0/((n-1.0)*(n-1.0)))
+                     ), 4) AS z6
+        FROM gl, zz
+    """
+    return {
+        "pip_join_rows": pip_rows,
+        "copart_pip_join_rows": pip_rows,
+        "pip_join_count": f"""
+            SELECT n.n_nationkey, n.n_name, n.n_regionkey,
+                   CAST(COALESCE(z.cnt, 0) AS DOUBLE) AS val
+            FROM nation n LEFT JOIN (
+                SELECT {zone_c} AS zone, COUNT(*) AS cnt
+                FROM customer GROUP BY 1
+            ) z ON z.zone = n.n_nationkey
+        """,
+        "nearest_join": (f"SELECT c_custkey, s_suppkey FROM ({knn_base}) t "
+                         f"WHERE rn = 1"),
+        "knn_join": (f"SELECT c_custkey, s_suppkey, rn AS rank "
+                     f"FROM ({knn_base}) t WHERE rn <= 3"),
+        "near_dist": (f"SELECT c_custkey, s_suppkey, dist_sq "
+                      f"FROM ({knn_base}) t WHERE rn = 1"),
+        "rect_binning": f"""
+            SELECT CAST(floor((({lon_c}) - (-180.0)) / 10.0) AS BIGINT) AS col,
+                   CAST(floor((({lat_c}) - (-90.0)) / 10.0) AS BIGINT) AS row,
+                   CAST(COUNT(*) AS DOUBLE) AS val
+            FROM customer GROUP BY 1, 2
+        """,
+        "hex_binning": f"""
+            WITH frac AS (
+                SELECT (sqrt(3.0)/3.0 * ({lon_c}) - ({lat_c})/3.0) / 5.0 AS qf,
+                       (2.0/3.0 * ({lat_c})) / 5.0 AS rf
+                FROM customer
+            ),
+            rounded AS (
+                SELECT qf, rf, -qf - rf AS sf,
+                       round(qf, 0) AS q0, round(rf, 0) AS r0,
+                       round(-qf - rf, 0) AS s0
+                FROM frac
+            ),
+            fixed AS (
+                SELECT
+                  CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf)
+                       THEN -r0 - s0 ELSE q0 END AS q,
+                  CASE WHEN NOT (abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf))
+                        AND abs(r0-rf) > abs(s0-sf)
+                       THEN -(CASE WHEN abs(q0-qf) > abs(r0-rf)
+                                    AND abs(q0-qf) > abs(s0-sf)
+                                   THEN -r0 - s0 ELSE q0 END) - s0
+                       ELSE r0 END AS r
+                FROM rounded
+            )
+            SELECT CAST(q AS BIGINT) AS q, CAST(r AS BIGINT) AS r,
+                   CAST(COUNT(*) AS DOUBLE) AS val
+            FROM fixed GROUP BY 1, 2
+        """,
+        "dissolve_stats": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(c_acctbal) AS DOUBLE) AS count_c_acctbal,
+                   round(SUM(c_acctbal), 6) AS sum_c_acctbal,
+                   round(SUM(c_acctbal) / COUNT(c_acctbal), 6) AS mean_c_acctbal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "data_statistics": """
+            WITH s AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(l_quantity) AS s1,
+                       SUM(l_quantity * l_quantity) AS s2,
+                       MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+                FROM lineitem
+            )
+            SELECT n AS count_l_quantity, s1 AS sum_l_quantity,
+                   s1 / n AS mean_l_quantity, mn AS min_l_quantity,
+                   mx AS max_l_quantity, mx - mn AS range_l_quantity,
+                   sqrt((s2 - (s1 * s1) / n) / n) AS std_l_quantity,
+                   (s2 - (s1 * s1) / n) / n AS var_l_quantity
+            FROM s
+        """,
+        "collect_events": f"""
+            SELECT CAST(floor(({lon_c}) / 0.5) AS BIGINT) AS qx,
+                   CAST(floor(({lat_c}) / 0.5) AS BIGINT) AS qy,
+                   COUNT(*) AS icount
+            FROM customer GROUP BY 1, 2
+        """,
+        "exact_dedup": "SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text",
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(length(list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_len": r"""
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '')) AS BIGINT) AS n_words
+            FROM documents
+        """,
+        "gi_star": gi_sql,
+        "global_moran": moran_sql,
+        "mean_center": f"""
+            SELECT round(SUM({lon_c}) / COUNT(*), 6) AS cx6,
+                   round(SUM({lat_c}) / COUNT(*), 6) AS cy6,
+                   round(sqrt(
+                       (SUM(({lon_c}) * ({lon_c})) / COUNT(*)
+                        - (SUM({lon_c}) / COUNT(*)) * (SUM({lon_c}) / COUNT(*)))
+                     + (SUM(({lat_c}) * ({lat_c})) / COUNT(*)
+                        - (SUM({lat_c}) / COUNT(*)) * (SUM({lat_c}) / COUNT(*)))
+                   ), 6) AS sd6
+            FROM customer
+        """,
+        "attribute_join": """
+            SELECT o.o_orderkey, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "events_window": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS cnt, round(SUM(value), 6) AS sval6
+            FROM events GROUP BY 1, 2
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS score,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                                    DESC, e.vec_id) AS rank
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM scored WHERE rank <= 10
+        """,
+        "standardized_scores": """
+            WITH m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(l_quantity) AS s1,
+                       SUM(l_quantity * l_quantity) AS s2
+                FROM lineitem
+            )
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round((l_quantity - s1 / n)
+                         / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z6
+            FROM lineitem, m
+        """,
+        "ols": """
+            WITH m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+                       SUM(l_quantity * l_quantity) AS sxx,
+                       SUM(l_quantity * l_extendedprice) AS sxy,
+                       SUM(l_extendedprice * l_extendedprice) AS syy
+                FROM lineitem
+            )
+            SELECT round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS slope4,
+                   round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                         * (sx / n), 4) AS intercept4,
+                   round(
+                     ((sxy - sx*sy/n) * (sxy - sx*sy/n))
+                     / ((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS r2_6
+            FROM m
+        """,
+        "pearson": """
+            WITH m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(l_quantity) AS sq, SUM(l_extendedprice) AS sp,
+                       SUM(l_discount) AS sd,
+                       SUM(l_quantity*l_quantity) AS sqq,
+                       SUM(l_extendedprice*l_extendedprice) AS spp,
+                       SUM(l_discount*l_discount) AS sdd,
+                       SUM(l_quantity*l_extendedprice) AS sqp,
+                       SUM(l_quantity*l_discount) AS sqd
+                FROM lineitem
+            )
+            SELECT round((sqp/n - (sq/n)*(sp/n))
+                         / sqrt((sqq/n - (sq/n)*(sq/n))
+                                * (spp/n - (sp/n)*(sp/n))), 6) AS r_qty_price6,
+                   round((sqd/n - (sq/n)*(sd/n))
+                         / sqrt((sqq/n - (sq/n)*(sq/n))
+                                * (sdd/n - (sd/n)*(sd/n))), 6) AS r_qty_disc6
+            FROM m
+        """,
+    }

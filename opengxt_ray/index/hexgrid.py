@@ -141,6 +141,37 @@ def hex_disk(cell, k: int) -> np.ndarray:
     return np.unique(packed)
 
 
+def disk_per_row(cells: np.ndarray, k: int) -> np.ndarray:
+    """(n,) cell ids → (n, m) matrix: the k-disk of each cell (m = number
+    of cells in a k-disk, 3k²+3k+1). Used for halo replication."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    res, q, r = _unpack(cells)
+    dq_list, dr_list = [], []
+    for dq in range(-k, k + 1):
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
+            dq_list.append(dq)
+            dr_list.append(dr)
+    dq = np.asarray(dq_list, dtype=np.int64)
+    dr = np.asarray(dr_list, dtype=np.int64)
+    allq = q[:, None] + dq[None, :]
+    allr = r[:, None] + dr[None, :]
+    rr = np.broadcast_to(res[:, None], allq.shape)
+    return (
+        (rr.astype(np.uint64) << np.uint64(58))
+        | ((allq + _OFF).astype(np.uint64) << np.uint64(29))
+        | (allr + _OFF).astype(np.uint64)
+    )
+
+
+def res_for_band(band: float, *, factor: float = 2.0) -> int:
+    """Largest resolution whose hex circumradius ≥ factor·band — with
+    factor 2 a 1-ring halo provably contains every neighbor within
+    ``band`` (worst case: |pq| ≤ band ⇒ cell centers ≤ band+2s apart
+    ≤ 2.5s < 2·√3·s ⇒ hex distance ≤ 1)."""
+    res = int(np.floor(np.log2(BASE_SIZE / (factor * band)))) if band > 0 else 20
+    return max(0, min(20, res))
+
+
 def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int) -> np.ndarray:
     """Superset of cells whose hexes may intersect the bbox.
 

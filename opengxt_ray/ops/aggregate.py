@@ -1,0 +1,220 @@
+"""Aggregation operators: Dissolve, DataStatistics, CollectEvents, dedup.
+
+Reference semantics:
+- Dissolve: GT/operations/DissolveOperation.java:69-220 — group by a
+  field, union geometries per group, summary stats per group.
+- DataStatistics: GT/operations/DataStatisticsOperation.java +
+  GT/core/StatisticsVisitor.java:150-553 — per-column count/sum/mean/
+  min/max/range/std/var/CoV with POPULATION variance
+  ``(Σx² − (Σx)²/n)/n`` (StatisticsVisitor.java:226).
+- CollectEvents: GT/operations/CollectEventsOperation.java:49-97 —
+  snap-dedup points within tolerance, append ``icount`` multiplicity.
+- DeleteDuplicates: GT/operations/DeleteDuplicateFeaturesOperation.java
+  :52-90 — drop rows with exactly-equal geometry (keep first).
+
+Ray execution: partial aggregation inside ``map_batches`` (one partial
+row per block per group) followed by a small ``groupby`` over partials —
+the all-to-all shuffle only moves pre-aggregated rows (SURVEY.md §7.3
+"push aggregation partial").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core import fid as _fid
+from ..core import geomops, wkb as _wkb
+
+SUMMARY_FUNCS = ("count", "sum", "mean", "min", "max", "range", "std", "var", "cov")
+
+
+# ---------------------------------------------------------------------------
+# Partial-aggregate machinery (combiner before the shuffle)
+# ---------------------------------------------------------------------------
+
+def _partial_stats_batch(batch: pa.Table, key: str | None,
+                         value_cols: list[str]) -> pa.Table:
+    """One partial row per (key,) per batch: n, sum, sumsq, min, max."""
+    cols: dict = {}
+    if key is not None:
+        import pandas as pd
+
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys, sort=True)
+    else:
+        codes = np.zeros(len(batch), dtype=np.int64)
+        uniq = np.array([0])
+        cols["__k"] = pa.array([0])
+    if key is not None:
+        cols[key] = pa.array(uniq)
+    ng = len(uniq)
+    for c in value_cols:
+        v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(v)
+        n = np.bincount(codes[valid], minlength=ng)
+        s = np.bincount(codes[valid], weights=v[valid], minlength=ng)
+        s2 = np.bincount(codes[valid], weights=(v * v)[valid], minlength=ng)
+        mn = np.full(ng, np.inf)
+        mx = np.full(ng, -np.inf)
+        np.minimum.at(mn, codes[valid], v[valid])
+        np.maximum.at(mx, codes[valid], v[valid])
+        cols[f"__n_{c}"] = pa.array(n.astype(np.int64))
+        cols[f"__s_{c}"] = pa.array(s)
+        cols[f"__s2_{c}"] = pa.array(s2)
+        cols[f"__mn_{c}"] = pa.array(mn)
+        cols[f"__mx_{c}"] = pa.array(mx)
+    return pa.table(cols)
+
+
+def _finalize_stats(group: pa.Table, key: str | None, value_cols, funcs,
+                    round_digits: int | None) -> pa.Table:
+    from ..core.ssutils import format_round
+
+    out: dict = {}
+    if key is not None:
+        out[key] = [group[key][0].as_py()]
+    for c in value_cols:
+        n = int(pc.sum(group[f"__n_{c}"]).as_py() or 0)
+        s = float(pc.sum(group[f"__s_{c}"]).as_py() or 0.0)
+        s2 = float(pc.sum(group[f"__s2_{c}"]).as_py() or 0.0)
+        mn = float(pc.min(group[f"__mn_{c}"]).as_py())
+        mx = float(pc.max(group[f"__mx_{c}"]).as_py())
+        mean = s / n if n else 0.0
+        var = (s2 - (s * s) / n) / n if n else 0.0
+        std = float(np.sqrt(max(var, 0.0)))
+        vals = {
+            "count": float(n), "sum": s, "mean": mean, "min": mn, "max": mx,
+            "range": mx - mn, "std": std, "var": var,
+            "cov": (std / mean) if (n and mean != 0) else 0.0,
+        }
+        for f in funcs:
+            v = vals[f]
+            if round_digits is not None and f != "count":
+                v = format_round(v, round_digits)
+            out[f"{f}_{c}"] = [v]
+    return pa.table(out)
+
+
+def data_statistics(ds, value_cols: list[str], *, group_by: str | None = None,
+                    funcs=SUMMARY_FUNCS, round_digits: int | None = None):
+    """DataStatisticsOperation — per-column descriptive stats, optional
+    grouping. Partial per block → tiny groupby → finalize."""
+    partials = ds.map_batches(
+        lambda b: _partial_stats_batch(b, group_by, value_cols),
+        batch_format="pyarrow",
+    )
+    keycol = group_by if group_by is not None else "__k"
+    return partials.groupby(keycol).map_groups(
+        lambda g: _finalize_stats(g, group_by, value_cols, funcs, round_digits),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dissolve
+# ---------------------------------------------------------------------------
+
+def dissolve(ds, dissolve_field: str, *, value_cols: list[str] = (),
+             funcs=("sum", "mean"), union_geom: bool = False,
+             geom_col: str = "geom", round_digits: int | None = None):
+    """DissolveOperation — group by field; stats per group; optionally a
+    (convex-hull approximate) unioned geometry per group.
+
+    Exact geometric union without GEOS is out of scope; when
+    ``union_geom`` the per-group geometry is the convex hull of member
+    vertices (documented approximation, flagged in SURVEY parity notes).
+    """
+    if not union_geom:
+        return data_statistics(ds, list(value_cols), group_by=dissolve_field,
+                               funcs=funcs, round_digits=round_digits)
+
+    def _group_union(group: pa.Table) -> pa.Table:
+        fg = _wkb.decode(group[geom_col].to_pylist())
+        allpts = fg.coords
+        hull = geomops.convex_hull(allpts)
+        out = {dissolve_field: [group[dissolve_field][0].as_py()],
+               geom_col: [_wkb.encode_polygon(hull)]}
+        for c in value_cols:
+            v = group[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for f in funcs:
+                if f == "sum":
+                    out[f"{f}_{c}"] = [float(np.nansum(v))]
+                elif f == "mean":
+                    out[f"{f}_{c}"] = [float(np.nanmean(v))]
+                elif f == "count":
+                    out[f"{f}_{c}"] = [float(np.sum(~np.isnan(v)))]
+                elif f == "min":
+                    out[f"{f}_{c}"] = [float(np.nanmin(v))]
+                elif f == "max":
+                    out[f"{f}_{c}"] = [float(np.nanmax(v))]
+        return pa.table(out)
+
+    return ds.groupby(dissolve_field).map_groups(_group_union,
+                                                 batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CollectEvents / DeleteDuplicates / geometry dedup
+# ---------------------------------------------------------------------------
+
+def collect_events(ds, *, tolerance: float = 0.1,
+                   xcol: str = "lon", ycol: str = "lat"):
+    """CollectEventsOperation — snap points to a tolerance grid, count
+    multiplicity per snapped location (``icount``).
+
+    Exact dedup via hash-partitioned groupby on the quantized coordinate
+    key (SURVEY.md §2.4: "exact dedup via groupby(quantized-coord key)").
+    Emits one row per distinct snapped location: qx, qy, icount.
+    """
+
+    def _quantize(batch: pa.Table) -> pa.Table:
+        x = batch[xcol].to_numpy()
+        y = batch[ycol].to_numpy()
+        qx = np.floor(x / tolerance).astype(np.int64)
+        qy = np.floor(y / tolerance).astype(np.int64)
+        return pa.table({
+            "qkey": pa.array(qx * np.int64(1 << 32) + qy),
+            "qx": pa.array(qx), "qy": pa.array(qy),
+        })
+
+    q = ds.map_batches(_quantize, batch_format="pyarrow")
+    agg = q.groupby("qkey").aggregate(
+        # first qx/qy are identical within a group
+        __import__("ray").data.aggregate.Min("qx"),
+        __import__("ray").data.aggregate.Min("qy"),
+        __import__("ray").data.aggregate.Count(),
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "qx": b["min(qx)"], "qy": b["min(qy)"],
+            "icount": b["count()"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def delete_duplicates(ds, *, key_cols: list[str], keep_col: str,
+                      num_partitions: int | None = None):
+    """Exact dedup: keep the row with MIN(keep_col) per key — the
+    deterministic analogue of the reference's keep-first
+    (GT/operations/DeleteDuplicateFeaturesOperation.java:52-90; first-by-
+    iteration-order is nondeterministic under parallel blocks, so we key
+    on the smallest id).
+
+    For geometry dedup pass a WKB-hash column as the key (see
+    :func:`add_geom_hash`).
+    """
+    import ray
+
+    gb = ds.groupby(key_cols[0] if len(key_cols) == 1 else key_cols,
+                    num_partitions=num_partitions)
+    return gb.aggregate(ray.data.aggregate.Min(keep_col))
+
+
+def add_geom_hash(batch: pa.Table, geom_col: str = "geom",
+                  out_col: str = "geom_hash") -> pa.Table:
+    """Append an FNV-1a hash of the WKB geometry bytes."""
+    h = _fid.hash_strings(batch[geom_col])
+    return batch.append_column(out_col, pa.array(h, pa.uint64()))

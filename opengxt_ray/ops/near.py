@@ -1,0 +1,150 @@
+"""Near / k-nearest-neighbor operators.
+
+Reference:
+- Near: GT/operations/NearOperation.java:77-185 — per-row nearest
+  neighbor distance + id (null beyond maxDistance) — covered by
+  ops.join.nearest_join(emit_dist=...).
+- KNearestNeighborMap: GT/pattern/KNearestNeighborMapOperation.java
+  :59-147 — k-NN link rows per input feature.
+- NearestNeighborCount: GT/operations/NearestNeighborCountOperation.java
+  — count of neighbors within radius.
+- NNI: GT/pattern/NNIOperation.java:83-156 — observed mean NN distance
+  vs expected 0.5·√(A/n), z-score.
+
+Execution: broadcast GridPointIndex in an actor pool; deterministic
+tie-break (distance, then id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..core.gridindex import GridPointIndex
+from ..core.ssutils import zprob
+
+
+class KnnLinker:
+    """Actor stage: k-NN against a broadcast point table.
+
+    Emits one row per (input, neighbor) link with rank 1..k, ties broken
+    by (distance, neighbor_id) — deterministic under any block order.
+    """
+
+    def __init__(self, points_ref, *, k=3, id_col="id", nbr_id_col="nbr_id",
+                 xcol="lon", ycol="lat", max_radius=np.inf,
+                 exclude_self=False, emit_dist_sq=False):
+        if isinstance(points_ref, list):
+            points_ref = points_ref[0]
+        nid, nx, ny = ray.get(points_ref) if isinstance(
+            points_ref, ray.ObjectRef) else points_ref
+        self.nid, self.nx, self.ny = nid, nx, ny
+        self.index = GridPointIndex(nx, ny)
+        self.k = k
+        self.id_col = id_col
+        self.nbr_id_col = nbr_id_col
+        self.xcol = xcol
+        self.ycol = ycol
+        self.max_radius = max_radius
+        self.exclude_self = exclude_self
+        self.emit_dist_sq = emit_dist_sq
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch[self.xcol].to_numpy()
+        y = batch[self.ycol].to_numpy()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_src, out_nbr, out_rank, out_d2 = [], [], [], []
+        kq = self.k + (1 if self.exclude_self else 0)
+        for i in range(len(x)):
+            ii, dd = self.index.query_knn(float(x[i]), float(y[i]),
+                                          k=kq + 4,  # head-room for ties
+                                          max_radius=self.max_radius)
+            if self.exclude_self:
+                keep = self.nid[ii] != ids[i]
+                ii, dd = ii[keep], dd[keep]
+            # deterministic: (EXACT squared dist, neighbor id) — hypot
+            # can round two distinct d² to the same double, flipping the
+            # tie-break vs an exact-d² oracle
+            dxc = x[i] - self.nx[ii]
+            dyc = y[i] - self.ny[ii]
+            d2c = dxc * dxc + dyc * dyc
+            order = np.lexsort((self.nid[ii], d2c))[: self.k]
+            ii, dd = ii[order], dd[order]
+            m = len(ii)
+            out_src.append(np.full(m, ids[i]))
+            out_nbr.append(self.nid[ii])
+            out_rank.append(np.arange(1, m + 1, dtype=np.int32))
+            if self.emit_dist_sq:
+                dx = x[i] - self.nx[ii]
+                dy = y[i] - self.ny[ii]
+                out_d2.append(dx * dx + dy * dy)
+        cols = {
+            self.id_col: pa.array(np.concatenate(out_src)),
+            self.nbr_id_col: pa.array(np.concatenate(out_nbr)),
+            "rank": pa.array(np.concatenate(out_rank)),
+        }
+        if self.emit_dist_sq:
+            cols["dist_sq"] = pa.array(np.concatenate(out_d2))
+        return pa.table(cols)
+
+
+def knn_links(ds, nbr_ids, nbr_x, nbr_y, *, k=3, id_col="id",
+              nbr_id_col="nbr_id", xcol="lon", ycol="lat",
+              max_radius=np.inf, exclude_self=False, emit_dist_sq=False,
+              concurrency=(1, 8)):
+    ref = ray.put((np.asarray(nbr_ids), np.asarray(nbr_x, dtype=np.float64),
+                   np.asarray(nbr_y, dtype=np.float64)))
+    return ds.map_batches(
+        KnnLinker,
+        fn_constructor_kwargs=dict(points_ref=[ref], k=k, id_col=id_col,
+                                   nbr_id_col=nbr_id_col, xcol=xcol, ycol=ycol,
+                                   max_radius=max_radius,
+                                   exclude_self=exclude_self,
+                                   emit_dist_sq=emit_dist_sq),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+
+def neighbor_count(ds, *, radius: float, id_col="id", xcol="lon", ycol="lat"):
+    """NearestNeighborCount — self-count of dataset neighbors within
+    radius, via the hotspot halo co-shuffle (no broadcast of the full
+    set needed)."""
+    from . import hotspot
+
+    sums = hotspot.neighbor_sums(
+        ds.map_batches(lambda b: b.append_column(
+            "__one", pa.array(np.ones(len(b)))), batch_format="pyarrow"),
+        "__one", id_col=id_col, band=radius, concept=hotspot.FIXED,
+        self_neighbors=False, xcol=xcol, ycol=ycol)
+    return sums.map_batches(
+        lambda b: pa.table({id_col: b["id"], "nbr_count": b["nn"]}),
+        batch_format="pyarrow")
+
+
+def nearest_neighbor_index(ds, *, id_col="id", xcol="lon", ycol="lat",
+                           area: float | None = None) -> dict:
+    """NNI — observed mean NN distance / expected 0.5√(A/n), z-score
+    (NNIOperation.java:83-156). NN distances via the self k-NN pass."""
+    import ray.data.aggregate as A
+
+    if area is None:
+        stats = ds.aggregate(A.Min(xcol), A.Max(xcol), A.Min(ycol), A.Max(ycol))
+        area = ((stats[f"max({xcol})"] - stats[f"min({xcol})"])
+                * (stats[f"max({ycol})"] - stats[f"min({ycol})"]))
+    pdf = ds.select_columns([id_col, xcol, ycol]).to_pandas()
+    ids = pdf[id_col].to_numpy()
+    x = pdf[xcol].to_numpy()
+    y = pdf[ycol].to_numpy()
+    links = knn_links(ds, ids, x, y, k=1, id_col=id_col, xcol=xcol, ycol=ycol,
+                      exclude_self=True, emit_dist_sq=True)
+    dd = links.to_pandas()["dist_sq"].to_numpy()
+    n = len(dd)
+    observed = float(np.sqrt(dd).mean())
+    expected = 0.5 * np.sqrt(area / n)
+    se = 0.26136 / np.sqrt(n * n / area)
+    z = (observed - expected) / se
+    return {"observed_mean_dist": observed, "expected_mean_dist": float(expected),
+            "nni": observed / expected, "z": float(z),
+            "p": float(zprob(z, "both")), "n": n}

@@ -1,0 +1,219 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All stateless vectorized ``map_batches`` stages; the language-ID
+profile table and the BPE-ish token regex are compiled once per actor
+(callable-class stages) when used in an actor pool.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.fid import hash_strings
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+_BPEISH = re.compile(r"\w+|[^\w\s]")
+
+
+def token_count_batch(batch: pa.Table, *, text_col="text",
+                      mode: str = "whitespace") -> pa.Table:
+    """Append n_tokens. mode: 'whitespace' (split on \\s+) or 'bpe'
+    (word/punct regex, a BPE-ish proxy)."""
+    if mode == "whitespace":
+        # vectorized on arrow: count non-empty whitespace-split parts
+        parts = pc.split_pattern_regex(batch[text_col], r"\s+")
+        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        # leading/trailing whitespace yields empty strings; correct by
+        # counting empties
+        texts = batch[text_col].to_pylist()
+        cnt = np.asarray([len(t.split()) if t else 0 for t in texts],
+                         dtype=np.int64)
+        return batch.append_column("n_tokens", pa.array(cnt))
+    texts = batch[text_col].to_pylist()
+    cnt = np.asarray([len(_BPEISH.findall(t)) if t else 0 for t in texts],
+                     dtype=np.int64)
+    return batch.append_column("n_tokens", pa.array(cnt))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the of and to in a is that it for on as are with be this was at by an "
+    "or from has have not but they you we his her its their which".split())
+
+
+def quality_score_batch(batch: pa.Table, *, text_col="text") -> pa.Table:
+    """Append heuristic quality columns:
+    n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
+    upper_ratio, digit_ratio, quality (composite 0..1).
+    """
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_chars = np.zeros(n, dtype=np.int64)
+    n_words = np.zeros(n, dtype=np.int64)
+    mwl = np.zeros(n)
+    punct = np.zeros(n)
+    stop = np.zeros(n)
+    upper = np.zeros(n)
+    digit = np.zeros(n)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        n_chars[i] = len(t)
+        words = t.split()
+        n_words[i] = len(words)
+        if words:
+            mwl[i] = sum(len(w) for w in words) / len(words)
+            stop[i] = sum(1 for w in words if w.lower() in _STOPWORDS) / len(words)
+        np_chars = sum(1 for ch in t if not ch.isalnum() and not ch.isspace())
+        punct[i] = np_chars / len(t)
+        upper[i] = sum(1 for ch in t if ch.isupper()) / len(t)
+        digit[i] = sum(1 for ch in t if ch.isdigit()) / len(t)
+    # composite: reward stopword presence + sane word length, punish
+    # punctuation/digit/upper extremes (C4/Gopher-style heuristics)
+    q = (np.clip(stop * 3, 0, 1) * 0.4
+         + np.clip(1 - np.abs(mwl - 5) / 5, 0, 1) * 0.3
+         + np.clip(1 - punct * 4, 0, 1) * 0.1
+         + np.clip(1 - digit * 5, 0, 1) * 0.1
+         + np.clip(1 - upper * 3, 0, 1) * 0.1)
+    out = batch
+    for name, arr in [("n_chars", n_chars), ("n_words", n_words),
+                      ("mean_word_len", mwl), ("punct_ratio", punct),
+                      ("stopword_ratio", stop), ("upper_ratio", upper),
+                      ("digit_ratio", digit), ("quality", q)]:
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+# tiny per-language trigram profiles over the synthetic corpus languages;
+# heuristic stand-in for fasttext-style LID — the Ray plumbing (stateful
+# actor stage, vectorized scoring) is the real component.
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " is ", "ing ", " to "],
+    "de": [" der ", " die ", " und ", " ist ", "sch", " das "],
+    "fr": [" le ", " la ", " est ", " les ", " des ", " une "],
+    "es": [" el ", " la ", " los ", " que ", "ción", " una "],
+    "pt": [" o ", " a ", " que ", "ção", " uma ", " dos "],
+    "it": [" il ", " la ", " che ", " di ", "zione", " una "],
+    "ko": ["이", "의", "는", "을", "다", "에"],
+    "ja": ["の", "に", "は", "を", "た", "で"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+    "ru": [" и ", " в ", "ый", "ть", " не ", " на "],
+}
+
+
+class LanguageId:
+    """Actor-pool stage: marker tables prepared once per actor."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.markers = {k: list(v) for k, v in _LANG_MARKERS.items()}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        t = f" {text.lower()} "
+        best, best_score = "und", 0
+        for lang, marks in self.markers.items():
+            score = sum(t.count(m) for m in marks)
+            if score > best_score:
+                best, best_score = lang, score
+        # script-level fallback for CJK/Cyrillic
+        if best_score == 0:
+            for ch in text[:200]:
+                o = ord(ch)
+                if 0xAC00 <= o <= 0xD7AF:
+                    return "ko"
+                if 0x3040 <= o <= 0x30FF:
+                    return "ja"
+                if 0x4E00 <= o <= 0x9FFF:
+                    return "zh"
+                if 0x0400 <= o <= 0x04FF:
+                    return "ru"
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        return batch.append_column(
+            self.out_col, pa.array([self.classify(t) for t in texts], pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling hash / winnowing)
+# ---------------------------------------------------------------------------
+
+def fingerprint_batch(batch: pa.Table, *, text_col="text", id_col="doc_id",
+                      k: int = 25, window: int = 16) -> pa.Table:
+    """Winnowing fingerprints: rolling k-char hashes, min per window,
+    deduped → one row per (doc, fingerprint). Standard MOSS scheme."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_ids, out_fp = [], []
+    B = np.uint64(257)
+    for i, t in enumerate(texts):
+        if not t or len(t) < k:
+            continue
+        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(data) < k:
+            continue
+        with np.errstate(over="ignore"):
+            powers = B ** np.arange(k, dtype=np.uint64)
+            # rolling hash via cumulative trick (vectorized convolution)
+            n = len(data) - k + 1
+            idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+            h = (data[idx].astype(np.uint64) * powers[None, ::-1]).sum(axis=1)
+        if len(h) <= window:
+            mins = np.unique(h.min(keepdims=True))
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            mins = np.unique(sliding_window_view(h, window).min(axis=1))
+        out_ids.extend([ids[i]] * len(mins))
+        out_fp.extend(mins.tolist())
+    return pa.table({
+        id_col: pa.array(out_ids, batch.schema.field(id_col).type),
+        "fingerprint": pa.array(np.asarray(out_fp, dtype=np.uint64), pa.uint64()),
+    })
+
+
+def ngram_jaccard_pairs(ds, pairs_ds, *, text_col="text", id_col="doc_id",
+                        k: int = 3, num_partitions: int = 8):
+    """Exact n-gram Jaccard for candidate pairs: joins texts to (a, b)
+    pair rows then computes per-pair. pairs_ds: columns a, b."""
+    texts = ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], text_col: b[text_col]}),
+        batch_format="pyarrow")
+    a_join = pairs_ds.join(
+        texts.map_batches(lambda b: pa.table({"a": b[id_col], "text_a": b[text_col]}),
+                          batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("a",))
+    b_join = a_join.join(
+        texts.map_batches(lambda b: pa.table({"b": b[id_col], "text_b": b[text_col]}),
+                          batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("b",))
+
+    def _jac(batch: pa.Table) -> pa.Table:
+        from .dedup import jaccard
+
+        sims = [jaccard(ta or "", tb or "", k)
+                for ta, tb in zip(batch["text_a"].to_pylist(),
+                                  batch["text_b"].to_pylist())]
+        return pa.table({"a": batch["a"], "b": batch["b"],
+                         "jaccard": pa.array(sims, pa.float64())})
+
+    return b_join.map_batches(_jac, batch_format="pyarrow")

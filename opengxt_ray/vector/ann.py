@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`brute_topk` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), each batch does one numpy matmul against it
+  (baseline; exact).
+- :func:`ivf_topk` — IVF-style scale path: k-means coarse centroids
+  partition the corpus into ``nlist`` buckets; queries probe the
+  ``nprobe`` nearest buckets via a co-partitioned groupby — at 100 TB
+  only ~nprobe/nlist of the corpus is scanned per query.
+
+Both return (query_id, vec_id, rank [, score]) rows with deterministic
+tie-breaking (score desc, then vec_id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceScorer:
+    """Actor-pool stage: normalized query matrix fetched once per actor."""
+
+    def __init__(self, queries_ref, *, vec_col="embedding", id_col="vec_id",
+                 k=10, emit_score=True):
+        if isinstance(queries_ref, list):
+            queries_ref = queries_ref[0]
+        qids, qm = ray.get(queries_ref) if isinstance(
+            queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = qids
+        self.qm = _normalize(np.asarray(qm, dtype=np.float64))
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+        self.emit_score = emit_score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[self.vec_col].to_numpy(zero_copy_only=False)
+                        ).astype(np.float64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sim = _normalize(vecs) @ self.qm.T  # (batch, nq)
+        nq = sim.shape[1]
+        k = min(self.k, len(ids))
+        # per query: partial top-k of this batch (merged by later groupby)
+        part = np.argpartition(-sim, k - 1, axis=0)[:k]  # (k, nq)
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(nq):
+            cand = part[:, qi]
+            rows_q.append(np.full(k, self.qids[qi]))
+            rows_v.append(ids[cand])
+            rows_s.append(sim[cand, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            self.id_col: pa.array(np.concatenate(rows_v)),
+            "score": pa.array(np.concatenate(rows_s)),
+        })
+
+
+def brute_topk(ds, query_ids, query_matrix, *, k=10, vec_col="embedding",
+               id_col="vec_id", concurrency=(1, 8)):
+    """Exact cosine top-k of each query against the full dataset.
+
+    Per-batch partial top-k (k rows per query per block) → groupby(query)
+    final top-k: the shuffle moves only k·num_blocks rows per query.
+    """
+    ref = ray.put((np.asarray(query_ids), np.asarray(query_matrix)))
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs=dict(queries_ref=[ref], vec_col=vec_col,
+                                   id_col=id_col, k=k),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def _final(group: pa.Table) -> pa.Table:
+        s = group["score"].to_numpy()
+        v = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": group["query_id"].take(pa.array(order)),
+            id_col: pa.array(v[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            "score": pa.array(s[order]),
+        })
+
+    return partials.groupby("query_id").map_groups(_final, batch_format="pyarrow")
+
+
+def ivf_topk(ds, query_ids, query_matrix, *, k=10, nlist=64, nprobe=8,
+             vec_col="embedding", id_col="vec_id", sample_n=20_000):
+    """IVF-bucketed approximate top-k (scale path).
+
+    1. Train coarse centroids on a sample (driver, deterministic).
+    2. Assign every corpus vector to its nearest centroid (stateless MB).
+    3. Each query probes its nprobe nearest centroid buckets; per-bucket
+       exact scoring via groupby(bucket) co-partition.
+    """
+    samp = ds.limit(sample_n).to_pandas()
+    M = _normalize(np.stack(samp[vec_col].to_numpy()).astype(np.float64))
+    # deterministic farthest-point init + a few Lloyd iterations
+    cents = [M[0]]
+    for _ in range(1, nlist):
+        d = 1.0 - np.max(M @ np.stack(cents).T, axis=1)
+        cents.append(M[int(np.argmax(d))])
+    C = np.stack(cents)
+    for _ in range(5):
+        a = np.argmax(M @ C.T, axis=1)
+        for j in range(nlist):
+            m = a == j
+            if m.any():
+                C[j] = _normalize(M[m].mean(axis=0, keepdims=True))[0]
+    c_ref = ray.put(C)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        vecs = _normalize(np.stack(batch[vec_col].to_numpy(zero_copy_only=False)
+                                   ).astype(np.float64))
+        b = np.argmax(vecs @ C_.T, axis=1)
+        return pa.table({
+            "bucket": pa.array(b.astype(np.int32)),
+            id_col: batch[id_col], vec_col: batch[vec_col],
+        })
+
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
+
+    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qb = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # bucket → queries probing it
+    probe_map: dict[int, list[int]] = {}
+    for qi in range(len(Q)):
+        for b in qb[qi]:
+            probe_map.setdefault(int(b), []).append(qi)
+    pm_ref = ray.put((probe_map, np.asarray(query_ids), Q))
+
+    def _score_bucket(group: pa.Table) -> pa.Table:
+        probe_map_, qids_, Q_ = ray.get(pm_ref)
+        b = int(group["bucket"][0].as_py())
+        qis = probe_map_.get(b, [])
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], group.schema.field(id_col).type),
+                          "score": pa.array([], pa.float64())})
+        if not qis:
+            return empty
+        vecs = _normalize(np.stack(group[vec_col].to_numpy(zero_copy_only=False)
+                                   ).astype(np.float64))
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sim = vecs @ Q_[qis].T
+        kk = min(k, len(ids))
+        part = np.argpartition(-sim, kk - 1, axis=0)[:kk]
+        rows_q, rows_v, rows_s = [], [], []
+        for col, qi in enumerate(qis):
+            cand = part[:, col]
+            rows_q.append(np.full(kk, qids_[qi]))
+            rows_v.append(ids[cand])
+            rows_s.append(sim[cand, col])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q), pa.int64()),
+            id_col: pa.array(np.concatenate(rows_v)),
+            "score": pa.array(np.concatenate(rows_s)),
+        })
+
+    partials = assigned.groupby("bucket").map_groups(_score_bucket,
+                                                     batch_format="pyarrow")
+
+    def _final(group: pa.Table) -> pa.Table:
+        s = group["score"].to_numpy()
+        v = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": group["query_id"].take(pa.array(order)),
+            id_col: pa.array(v[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            "score": pa.array(s[order]),
+        })
+
+    return partials.groupby("query_id").map_groups(_final, batch_format="pyarrow")
