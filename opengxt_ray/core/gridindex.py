@@ -194,10 +194,25 @@ class BBoxIndex:
         """For each point → candidate geometry indices (bbox contains).
 
         Returns (point_idx, geom_idx) pair arrays — the candidate join
-        pairs for refinement.
+        pairs for refinement. Small geometry sets (≤256) use one
+        vectorized (N × G) containment matrix; larger sets use the
+        bucketed path.
         """
         if self.n == 0 or len(px) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
+        if self.n <= 1024:
+            bb = self.bboxes
+            out_pi, out_gi = [], []
+            CH = max(1, (1 << 23) // max(self.n, 1))  # ≤8M bools per chunk
+            for c0 in range(0, len(px), CH):
+                pxs = px[c0 : c0 + CH, None]
+                pys = py[c0 : c0 + CH, None]
+                m = ((bb[None, :, 0] <= pxs) & (pxs <= bb[None, :, 2])
+                     & (bb[None, :, 1] <= pys) & (pys <= bb[None, :, 3]))
+                pi, gi = np.nonzero(m)
+                out_pi.append(pi.astype(np.int64) + c0)
+                out_gi.append(gi.astype(np.int64))
+            return np.concatenate(out_pi), np.concatenate(out_gi)
         cix = np.floor(px / self.cell).astype(np.int64)
         ciy = np.floor(py / self.cell).astype(np.int64)
         pi_out, gi_out = [], []

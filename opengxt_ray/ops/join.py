@@ -40,6 +40,7 @@ import ray
 
 from ..core import geomops, wkb as _wkb
 from ..core.gridindex import BBoxIndex, GridPointIndex
+from ..core.util import default_concurrency
 from ..index import hexgrid
 
 
@@ -193,7 +194,7 @@ def broadcast_spatial_join(points_ds, poly_table: pa.Table, *,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or default_concurrency(),
     )
 
 
@@ -293,7 +294,7 @@ def nearest_join(points_ds, join_table: pa.Table, *, radius=0.0,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or default_concurrency(),
     )
 
 

@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray
 
 from ..core.gridindex import GridPointIndex
+from ..core.util import default_concurrency
 from ..core.ssutils import zprob
 
 
@@ -40,8 +41,17 @@ class KnnLinker:
             points_ref = points_ref[0]
         nid, nx, ny = ray.get(points_ref) if isinstance(
             points_ref, ray.ObjectRef) else points_ref
-        self.nid, self.nx, self.ny = nid, nx, ny
-        self.index = GridPointIndex(nx, ny)
+        # pre-sort by id so stable argsort on distance breaks ties by id
+        order = np.argsort(nid, kind="stable")
+        self.nid, self.nx, self.ny = nid[order], nx[order], ny[order]
+        # small index → fully vectorized brute-force per batch;
+        # large → grid ring search per row
+        self.brute = len(nid) <= 8192
+        self.index = None if self.brute else GridPointIndex(self.nx, self.ny)
+        if self.brute:
+            self._S = np.ascontiguousarray(
+                np.column_stack([self.nx, self.ny]).T)  # (2, m) for matmul
+            self._n2 = self.nx * self.nx + self.ny * self.ny
         self.k = k
         self.id_col = id_col
         self.nbr_id_col = nbr_id_col
@@ -51,7 +61,55 @@ class KnnLinker:
         self.exclude_self = exclude_self
         self.emit_dist_sq = emit_dist_sq
 
+    def _call_brute(self, batch: pa.Table) -> pa.Table:
+        """Vectorized path: candidate selection via one BLAS matmul
+        (|p|²+|q|²−2p·q — fast but cancellation-prone), then EXACT
+        (dx·dx+dy·dy) recompute on the few candidates for ordering and
+        the emitted dist_sq; ties broken by neighbor id via the
+        pre-sorted layout."""
+        x = batch[self.xcol].to_numpy()
+        y = batch[self.ycol].to_numpy()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        m = len(self.nid)
+        k = min(self.k, m)
+        P = np.column_stack([x, y])
+        d2a = (x * x + y * y)[:, None] + self._n2[None, :] - 2.0 * (P @ self._S)
+        if self.exclude_self:
+            d2a[ids[:, None] == self.nid[None, :]] = np.inf
+        head = min(m, max(k * 2, k + 8))
+        if head < m:
+            part = np.sort(np.argpartition(d2a, head - 1, axis=1)[:, :head],
+                           axis=1)
+        else:
+            part = np.broadcast_to(np.arange(m), (len(x), m)).copy()
+        # exact squared distance on candidates only
+        cx = self.nx[part]
+        cy = self.ny[part]
+        ddx = x[:, None] - cx
+        ddy = y[:, None] - cy
+        sub = ddx * ddx + ddy * ddy
+        if self.exclude_self:
+            sub[ids[:, None] == self.nid[part]] = np.inf
+        if np.isfinite(self.max_radius):
+            sub[sub > self.max_radius * self.max_radius] = np.inf
+        o = np.argsort(sub, axis=1, kind="stable")[:, :k]
+        nbr_idx = np.take_along_axis(part, o, axis=1)
+        d2k = np.take_along_axis(sub, o, axis=1)
+        valid = np.isfinite(d2k)
+        rows, cols_ = np.nonzero(valid)
+        flat_nbr = nbr_idx[rows, cols_]
+        cols = {
+            self.id_col: pa.array(ids[rows]),
+            self.nbr_id_col: pa.array(self.nid[flat_nbr]),
+            "rank": pa.array((cols_ + 1).astype(np.int32)),
+        }
+        if self.emit_dist_sq:
+            cols["dist_sq"] = pa.array(d2k[rows, cols_])
+        return pa.table(cols)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.brute:
+            return self._call_brute(batch)
         x = batch[self.xcol].to_numpy()
         y = batch[self.ycol].to_numpy()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -93,7 +151,7 @@ class KnnLinker:
 def knn_links(ds, nbr_ids, nbr_x, nbr_y, *, k=3, id_col="id",
               nbr_id_col="nbr_id", xcol="lon", ycol="lat",
               max_radius=np.inf, exclude_self=False, emit_dist_sq=False,
-              concurrency=(1, 8)):
+              concurrency=None, batch_size: int = 16384):
     ref = ray.put((np.asarray(nbr_ids), np.asarray(nbr_x, dtype=np.float64),
                    np.asarray(nbr_y, dtype=np.float64)))
     return ds.map_batches(
@@ -103,7 +161,8 @@ def knn_links(ds, nbr_ids, nbr_x, nbr_y, *, k=3, id_col="id",
                                    max_radius=max_radius,
                                    exclude_self=exclude_self,
                                    emit_dist_sq=emit_dist_sq),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
     )
 
 

@@ -70,6 +70,31 @@ def nation_zones_table(nation: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def nation_zones_fine(nation: pa.Table, split: int = 5) -> pa.Table:
+    """Subdivide each nation rectangle into split×split subzones →
+    25·split² rect polygons (zone_id = n·split² + row·split + col).
+    Used to give the bench join a realistically sized polygon side."""
+    keys = nation["n_nationkey"].to_numpy().astype(np.int64)
+    zone_ids, geoms, nkeys = [], [], []
+    for n in keys:
+        x0, y0, x1, y1 = nation_rect(int(n))
+        w = (x1 - x0) / split
+        h = (y1 - y0) / split
+        for r in range(split):
+            for c in range(split):
+                zone_ids.append(int(n) * split * split + r * split + c)
+                nkeys.append(int(n))
+                gx0, gy0 = x0 + c * w, y0 + r * h
+                geoms.append(_wkb.encode_polygon(np.array(
+                    [[gx0, gy0], [gx0 + w, gy0],
+                     [gx0 + w, gy0 + h], [gx0, gy0 + h]])))
+    return pa.table({
+        "zone_id": pa.array(zone_ids, pa.int64()),
+        "n_nationkey": pa.array(nkeys, pa.int32()),
+        "geom": pa.array(geoms, pa.binary()),
+    })
+
+
 def add_point_geom(batch: pa.Table, key_col: str, *, with_wkb: bool = True) -> pa.Table:
     """map_batches stage: derive lon/lat (+ WKB point) from an int key col."""
     lon, lat = point_lonlat(batch[key_col].to_numpy())

@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray
 
 from ..core.fid import hash_ints, hash_strings
+from ..core.util import default_concurrency
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -91,12 +92,13 @@ class MinHasher:
 
 def minhash_signatures(ds, *, num_perm=128, shingle_k=3,
                        text_col="text", id_col="doc_id",
-                       concurrency=(1, 8)):
+                       concurrency=None):
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency(),
     )
 
 

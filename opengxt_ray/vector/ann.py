@@ -19,6 +19,8 @@ import pyarrow as pa
 
 import ray
 
+from ..core.util import default_concurrency
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -65,7 +67,7 @@ class BruteForceScorer:
 
 
 def brute_topk(ds, query_ids, query_matrix, *, k=10, vec_col="embedding",
-               id_col="vec_id", concurrency=(1, 8)):
+               id_col="vec_id", concurrency=None):
     """Exact cosine top-k of each query against the full dataset.
 
     Per-batch partial top-k (k rows per query per block) → groupby(query)
@@ -76,7 +78,7 @@ def brute_topk(ds, query_ids, query_matrix, *, k=10, vec_col="embedding",
         BruteForceScorer,
         fn_constructor_kwargs=dict(queries_ref=[ref], vec_col=vec_col,
                                    id_col=id_col, k=k),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=concurrency or default_concurrency(),
     )
 
     def _final(group: pa.Table) -> pa.Table:
