@@ -459,6 +459,58 @@ def _q_pearson(sf_dir: str):
     })
 
 
+_KD_RADIUS = 3
+_KD_META = None
+
+
+def _kd_meta():
+    global _KD_META
+    if _KD_META is None:
+        from opengxt_ray.raster import RasterMeta
+
+        _KD_META = RasterMeta(origin_x=-180.0, origin_y=90.0, cell_size=1.0,
+                              width=360, height=180, tile_size=64)
+    return _KD_META
+
+
+def _q_kernel_density(sf_dir: str):
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.raster import kernel_density, raster_to_points
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    tiles = kernel_density(pts, _kd_meta(), search_radius=3.0,
+                           kernel="quadratic")
+    cells = raster_to_points(tiles, _kd_meta(), drop_zero=True)
+    return cells.map_batches(
+        lambda b: pa.table({
+            "col": b["col"], "row": b["row"],
+            "kd6": pa.array(format_round(b["val"].to_numpy(), 6)),
+        }),
+        batch_format="pyarrow")
+
+
+def _q_zonal_stats(sf_dir: str):
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.raster import points_to_raster, zonal_statistics
+
+    from opengxt_ray.raster.algebra import raster_set_null
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    tiles = points_to_raster(pts, _kd_meta(), assign="count")
+    # empty cells → nodata so the zonal visitor sees exactly the
+    # occupied cells (the SQL oracle can only enumerate those)
+    tiles = raster_set_null(tiles, lambda a: a == 0)
+    res = zonal_statistics(tiles, _kd_meta(), _zones(sf_dir),
+                           zone_key="n_nationkey")
+    return res.map_batches(
+        lambda b: pa.table({
+            "n_nationkey": b["n_nationkey"],
+            "zsum6": pa.array(format_round(b["zsum"].to_numpy(), 6)),
+            "zmax6": pa.array(format_round(b["zmax"].to_numpy(), 6)),
+        }),
+        batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -482,6 +534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "quality_len": _q_quality_len,
+        "kernel_density": _q_kernel_density,
+        "zonal_stats": _q_zonal_stats,
         "gi_star": _q_gi_star,
         "global_moran": _q_global_moran,
         "mean_center": _q_mean_center,
@@ -677,6 +731,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(list_filter(string_split_regex(text, '\s+'),
                                            x -> x <> '')) AS BIGINT) AS n_words
             FROM documents
+        """,
+        "kernel_density": f"""
+            WITH pts AS (
+                SELECT CAST(floor((({lon_c}) + 180.0) / 1.0) AS BIGINT) AS col,
+                       CAST(floor((90.0 - ({lat_c})) / 1.0) AS BIGINT) AS row
+                FROM customer
+            ),
+            offs AS (
+                SELECT dx.r AS dx, dy.r AS dy,
+                       ((3.0 * (1.0 - (dx.r*dx.r + dy.r*dy.r) / 9.0))
+                        * (1.0 - (dx.r*dx.r + dy.r*dy.r) / 9.0)) / 25.0 AS kv
+                FROM (SELECT unnest(range(-3, 4)) AS r) dx,
+                     (SELECT unnest(range(-3, 4)) AS r) dy
+                WHERE dx.r*dx.r + dy.r*dy.r < 9
+            )
+            SELECT p.col + o.dx AS col, p.row + o.dy AS row,
+                   round(SUM(o.kv), 6) AS kd6
+            FROM pts p, offs o
+            WHERE p.col + o.dx BETWEEN 0 AND 359
+              AND p.row + o.dy BETWEEN 0 AND 179
+            GROUP BY 1, 2
+        """,
+        "zonal_stats": f"""
+            WITH cells AS (
+                SELECT CAST(floor((({lon_c}) + 180.0) / 1.0) AS BIGINT) AS col,
+                       CAST(floor((90.0 - ({lat_c})) / 1.0) AS BIGINT) AS row,
+                       CAST(COUNT(*) AS DOUBLE) AS v
+                FROM customer GROUP BY 1, 2
+            ),
+            zoned AS (
+                SELECT (CAST(floor(((90.0 - (row + 0.5) * 1.0) + 90.0) / 36.0)
+                             AS INTEGER) * 5
+                      + CAST(floor(((-180.0 + (col + 0.5) * 1.0) + 180.0) / 72.0)
+                             AS INTEGER)) AS z, v
+                FROM cells
+            )
+            SELECT CAST(z AS INTEGER) AS n_nationkey,
+                   round(SUM(v), 6) AS zsum6,
+                   round(MAX(v), 6) AS zmax6
+            FROM zoned GROUP BY z
         """,
         "gi_star": gi_sql,
         "global_moran": moran_sql,

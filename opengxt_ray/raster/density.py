@@ -1,0 +1,121 @@
+"""Kernel / point density rasters.
+
+Reference: GT/gridcoverage/RasterKernelDensityOperation.java —
+- kernel window radius = floor(searchRadius / cellSize) integer cells
+  (:211-212); 11 kernel types, Quadratic default = Silverman (1986)
+  eq. 4.5: ``3·(1 − d²/r²)²`` (:262-265);
+- scaleArea = (#nonzero kernel cells) · cellArea, divided by 10⁶ on
+  projected CRS (km², :84-89);
+- cell += weight · kernelValue / scaleArea (:181);
+- defaults: searchRadius = min(extent w, h)/30 (:66-71), cellsize =
+  min(w, h)/250 (RasterProcessingOperation.java:412-417).
+- PointDensity: GT/gridcoverage/RasterPointDensityOperation.java —
+  neighborhood sum / neighborhood area (Binary kernel / area).
+
+Execution: the scatter is additive — each batch scatters its points'
+kernel windows into per-tile partial arrays (vectorized COO build),
+then one ``groupby(tile)`` merges partials. Kernel footprints spanning
+tile borders are handled naturally by the COO→tile split (SURVEY.md
+§2.7 Density row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .tiles import RasterMeta, partials_from_coo, reduce_tiles
+
+KERNELS = ("binary", "cosine", "distance", "epanechnikov", "gaussian",
+           "inverse_distance", "quadratic", "quartic", "triangular",
+           "triweight", "tricube")
+
+
+def kernel_matrix(radius_cells: int, kernel: str = "quadratic"
+                  ) -> tuple[np.ndarray, int]:
+    """(2r+1)² kernel weights + valid-cell count, replicating
+    RasterKernelDensityOperation.getKernel(:205-293)."""
+    r = radius_cells
+    w = 2 * r + 1
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    dist2 = (dx * dx + dy * dy).astype(np.float64)
+    r2 = float(r * r)
+    dist = np.sqrt(dist2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = dist / r if r > 0 else np.zeros_like(dist)
+        if kernel == "binary":
+            val = np.ones_like(dist)
+        elif kernel == "cosine":
+            val = (np.pi / 4.0) * np.cos(np.pi * u / 2.0)
+        elif kernel == "distance":
+            val = dist
+        elif kernel == "epanechnikov":
+            val = 3.0 * (1.0 - u * u) / 4.0
+        elif kernel == "gaussian":
+            val = (1.0 / np.sqrt(2 * np.pi)) * np.exp(-0.5 * u * u)
+        elif kernel == "inverse_distance":
+            val = np.where(dist == 0, 0.0, 1.0 / np.where(dist == 0, 1.0, dist))
+        elif kernel == "quadratic":
+            term = 1.0 - dist2 / r2 if r > 0 else np.zeros_like(dist2)
+            val = 3.0 * term * term
+        elif kernel == "quartic":
+            val = (15.0 / 16.0) * (1.0 - u * u) ** 2
+        elif kernel == "triangular":
+            val = 1.0 - u
+        elif kernel == "triweight":
+            val = (35.0 / 32.0) * (1.0 - u * u) ** 3
+        elif kernel == "tricube":
+            t = 1.0 - np.abs(u) ** 3
+            val = (70.0 / 81.0) * t * t * t
+        else:
+            raise ValueError(f"unknown kernel {kernel}")
+    val = np.where(dist2 > r2, 0.0, np.maximum(val, 0.0))
+    return val, int(np.count_nonzero(val))
+
+
+def kernel_density(ds, meta: RasterMeta, *, search_radius: float,
+                   kernel: str = "quadratic", weight_col: str | None = None,
+                   geographic: bool = True,
+                   xcol: str = "lon", ycol: str = "lat"):
+    """Kernel density raster → tile Dataset (tx, ty, data float64).
+
+    Accumulates in float64 per tile (the reference's float32 add order
+    is block-order-dependent; float64 partials keep the result exact
+    and deterministic — SURVEY.md §7.4 numeric-parity note).
+    """
+    r = int(np.floor(search_radius / meta.cell_size))
+    K, valid = kernel_matrix(r, kernel)
+    cell_area = meta.cell_size * meta.cell_size
+    scale_area = valid * cell_area
+    if not geographic:
+        scale_area /= 1_000_000.0
+    kw = 2 * r + 1
+    krows, kcols = np.nonzero(K)
+    kvals = K[krows, kcols] / scale_area
+    kdr = krows - r
+    kdc = kcols - r
+
+    def _scatter(batch: pa.Table) -> pa.Table:
+        x = batch[xcol].to_numpy()
+        y = batch[ycol].to_numpy()
+        col, row = meta.world_to_cell(x, y)
+        w = (batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+             if weight_col else np.ones(len(x)))
+        # COO expansion: every point × every nonzero kernel cell
+        rows = (row[:, None] + kdr[None, :]).ravel()
+        cols = (col[:, None] + kdc[None, :]).ravel()
+        vals = (w[:, None] * kvals[None, :]).ravel()
+        return partials_from_coo(meta, rows, cols, vals)
+
+    partials = ds.map_batches(_scatter, batch_format="pyarrow")
+    return reduce_tiles(partials)
+
+
+def point_density(ds, meta: RasterMeta, *, search_radius: float,
+                  weight_col: str | None = None,
+                  xcol: str = "lon", ycol: str = "lat"):
+    """PointDensity — neighborhood (binary-kernel) sum / neighborhood
+    area (RasterPointDensityOperation semantics)."""
+    return kernel_density(ds, meta, search_radius=search_radius,
+                          kernel="binary", weight_col=weight_col,
+                          xcol=xcol, ycol=ycol)

@@ -1,0 +1,245 @@
+"""Tile-table raster model: metadata, rasterize, vectorize, stats.
+
+Reference semantics:
+- PointsToRaster: GT/gridcoverage/RasterPointsToRasterOperation.java
+  (PointAssignmentType Count/Sum/Mean/MostFrequent…)
+- CoverageToPoint: GT/transformation/CoverageToPointFeatureCollection
+  .java:58-90 (one point per cell, retainNoData flag)
+- StatisticsGridCoverage: GLOBAL stats over cells.
+
+Execution: per-batch partial tile accumulation (np.add.at into dense
+tile arrays) → ``groupby(tile_key)`` sum of partials — the scatter is
+additive ⇒ associative, so partials combine exactly (SURVEY.md §2.7
+"additive ⇒ associative partial sums").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+@dataclass(frozen=True)
+class RasterMeta:
+    origin_x: float          # left edge
+    origin_y: float          # TOP edge
+    cell_size: float
+    width: int               # columns
+    height: int              # rows
+    tile_size: int = 256
+    nodata: float = float("nan")
+
+    @property
+    def tiles_x(self) -> int:
+        return (self.width + self.tile_size - 1) // self.tile_size
+
+    @property
+    def tiles_y(self) -> int:
+        return (self.height + self.tile_size - 1) // self.tile_size
+
+    def world_to_cell(self, x: np.ndarray, y: np.ndarray):
+        col = np.floor((x - self.origin_x) / self.cell_size).astype(np.int64)
+        row = np.floor((self.origin_y - y) / self.cell_size).astype(np.int64)
+        return col, row
+
+    def cell_center(self, col: np.ndarray, row: np.ndarray):
+        x = self.origin_x + (col + 0.5) * self.cell_size
+        y = self.origin_y - (row + 0.5) * self.cell_size
+        return x, y
+
+    def tile_shape(self, tx: int, ty: int) -> tuple[int, int]:
+        h = min(self.tile_size, self.height - ty * self.tile_size)
+        w = min(self.tile_size, self.width - tx * self.tile_size)
+        return h, w
+
+    @staticmethod
+    def from_extent(extent, cell_size: float, tile_size: int = 256,
+                    nodata: float = float("nan")) -> "RasterMeta":
+        minx, miny, maxx, maxy = extent
+        width = int(np.ceil((maxx - minx) / cell_size))
+        height = int(np.ceil((maxy - miny) / cell_size))
+        return RasterMeta(minx, maxy, cell_size, width, height, tile_size,
+                          nodata)
+
+
+def _tile_key(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
+    return tx.astype(np.int64) * np.int64(1 << 32) + ty.astype(np.int64)
+
+
+def _unkey(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    tx = key >> np.int64(32)
+    ty = key & np.int64((1 << 32) - 1)
+    return tx, ty
+
+
+def partials_from_coo(meta: RasterMeta, rows: np.ndarray, cols: np.ndarray,
+                      vals: np.ndarray) -> pa.Table:
+    """Scatter COO triplets into per-tile dense partial arrays → tile
+    rows. In-bounds filtering included."""
+    ts = meta.tile_size
+    ok = (cols >= 0) & (cols < meta.width) & (rows >= 0) & (rows < meta.height)
+    rows, cols, vals = rows[ok], cols[ok], vals[ok]
+    if len(rows) == 0:
+        return pa.table({"tkey": pa.array([], pa.int64()),
+                         "data": pa.array([], pa.binary())})
+    tx = cols // ts
+    ty = rows // ts
+    key = _tile_key(tx, ty)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    bounds = np.nonzero(np.diff(key_s))[0] + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(key_s)]])
+    out_keys, out_blobs = [], []
+    for s, e in zip(starts, ends):
+        sel = order[s:e]
+        k = int(key_s[s])
+        txi, tyi = k >> 32, k & 0xFFFFFFFF
+        h, w = meta.tile_shape(txi, tyi)
+        tile = np.zeros((h, w), dtype=np.float64)
+        lr = rows[sel] - tyi * ts
+        lc = cols[sel] - txi * ts
+        np.add.at(tile, (lr, lc), vals[sel])
+        out_keys.append(k)
+        out_blobs.append(tile.tobytes())
+    return pa.table({"tkey": pa.array(out_keys, pa.int64()),
+                     "data": pa.array(out_blobs, pa.binary())})
+
+
+def reduce_tiles(partials):
+    """groupby(tile) sum of partial tiles → final tile Dataset
+    (tx, ty, data)."""
+
+    def _merge(group: pa.Table) -> pa.Table:
+        k = int(group["tkey"][0].as_py())
+        acc = None
+        for blob in group["data"]:
+            arr = np.frombuffer(blob.as_py(), dtype=np.float64)
+            acc = arr.copy() if acc is None else acc + arr
+        return pa.table({
+            "tx": pa.array([k >> 32], pa.int32()),
+            "ty": pa.array([k & 0xFFFFFFFF], pa.int32()),
+            "data": pa.array([acc.tobytes()], pa.binary()),
+        })
+
+    return partials.groupby("tkey").map_groups(_merge, batch_format="pyarrow")
+
+
+def points_to_raster(ds, meta: RasterMeta, *, assign: str = "count",
+                     value_col: str | None = None,
+                     xcol: str = "lon", ycol: str = "lat"):
+    """Rasterize points → tile Dataset. assign ∈ {count, sum, mean}.
+
+    mean = sum tiles / count tiles (two accumulators in one pass).
+    """
+
+    def _scatter(batch: pa.Table) -> pa.Table:
+        x = batch[xcol].to_numpy()
+        y = batch[ycol].to_numpy()
+        col, row = meta.world_to_cell(x, y)
+        if assign == "count" or value_col is None:
+            v = np.ones(len(x))
+        else:
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return partials_from_coo(meta, row, col, v)
+
+    partials = ds.map_batches(_scatter, batch_format="pyarrow")
+    tiles = reduce_tiles(partials)
+    if assign != "mean":
+        return tiles
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        x = batch[xcol].to_numpy()
+        y = batch[ycol].to_numpy()
+        col, row = meta.world_to_cell(x, y)
+        return partials_from_coo(meta, row, col, np.ones(len(x)))
+
+    counts = reduce_tiles(ds.map_batches(_cnt, batch_format="pyarrow"))
+    joined = tiles.join(
+        counts.map_batches(lambda b: pa.table(
+            {"tx": b["tx"], "ty": b["ty"], "cdata": b["data"]}),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("tx", "ty"))
+
+    def _div(batch: pa.Table) -> pa.Table:
+        out = []
+        for s, c in zip(batch["data"], batch["cdata"]):
+            sv = np.frombuffer(s.as_py(), dtype=np.float64)
+            cv = np.frombuffer(c.as_py(), dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out.append(np.where(cv > 0, sv / cv, meta.nodata).tobytes())
+        return pa.table({"tx": batch["tx"], "ty": batch["ty"],
+                         "data": pa.array(out, pa.binary())})
+
+    return joined.map_batches(_div, batch_format="pyarrow")
+
+
+def raster_to_points(tiles, meta: RasterMeta, *, drop_nodata: bool = True,
+                     drop_zero: bool = False):
+    """CoverageToPoint — one row per cell (col, row, x, y, val)."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        cols_out = {"col": [], "row": [], "x": [], "y": [], "val": []}
+        for tx, ty, blob in zip(batch["tx"].to_numpy(), batch["ty"].to_numpy(),
+                                batch["data"]):
+            h, w = meta.tile_shape(int(tx), int(ty))
+            arr = np.frombuffer(blob.as_py(), dtype=np.float64).reshape(h, w)
+            lr, lc = np.nonzero(np.ones_like(arr, dtype=bool))
+            v = arr[lr, lc]
+            keep = np.ones(len(v), dtype=bool)
+            if drop_nodata:
+                keep &= ~np.isnan(v)
+            if drop_zero:
+                keep &= v != 0
+            lr, lc, v = lr[keep], lc[keep], v[keep]
+            gc = lc + tx * meta.tile_size
+            gr = lr + ty * meta.tile_size
+            x, y = meta.cell_center(gc, gr)
+            cols_out["col"].append(gc)
+            cols_out["row"].append(gr)
+            cols_out["x"].append(x)
+            cols_out["y"].append(y)
+            cols_out["val"].append(v)
+        return pa.table({
+            "col": pa.array(np.concatenate(cols_out["col"]) if cols_out["col"] else np.array([], np.int64)),
+            "row": pa.array(np.concatenate(cols_out["row"]) if cols_out["row"] else np.array([], np.int64)),
+            "x": pa.array(np.concatenate(cols_out["x"]) if cols_out["x"] else np.array([])),
+            "y": pa.array(np.concatenate(cols_out["y"]) if cols_out["y"] else np.array([])),
+            "val": pa.array(np.concatenate(cols_out["val"]) if cols_out["val"] else np.array([])),
+        })
+
+    return tiles.map_batches(_explode, batch_format="pyarrow")
+
+
+def raster_statistics(tiles, meta: RasterMeta) -> dict:
+    """GLOBAL descriptive stats over cells (nodata-aware)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = s = s2 = 0.0
+        mn, mx = np.inf, -np.inf
+        for blob in batch["data"]:
+            arr = np.frombuffer(blob.as_py(), dtype=np.float64)
+            v = arr[~np.isnan(arr)]
+            if len(v):
+                n += len(v)
+                s += float(v.sum())
+                s2 += float((v * v).sum())
+                mn = min(mn, float(v.min()))
+                mx = max(mx, float(v.max()))
+        return pa.table({"n": [n], "s": [s], "s2": [s2], "mn": [mn], "mx": [mx]})
+
+    parts = tiles.map_batches(_partial, batch_format="pyarrow")
+    import ray.data.aggregate as A
+
+    agg = parts.aggregate(A.Sum("n"), A.Sum("s"), A.Sum("s2"),
+                          A.Min("mn"), A.Max("mx"))
+    n = agg["sum(n)"]
+    mean = agg["sum(s)"] / n if n else 0.0
+    var = agg["sum(s2)"] / n - mean ** 2 if n else 0.0
+    return {"count": int(n), "sum": agg["sum(s)"], "mean": mean,
+            "min": agg["min(mn)"], "max": agg["max(mx)"],
+            "std": float(np.sqrt(max(var, 0.0))), "variance": var}

@@ -1,0 +1,140 @@
+"""Raster layer: tile scatter/reduce vs dense-numpy oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from opengxt_ray.raster import (RasterMeta, kernel_density, points_to_raster,
+                                raster_statistics, raster_to_points,
+                                zonal_statistics)
+from opengxt_ray.raster.algebra import raster_math, raster_ndvi
+from opengxt_ray.raster.density import kernel_matrix
+from opengxt_ray.raster.surface import slope
+from opengxt_ray.core import wkb as _wkb
+
+
+META = RasterMeta(origin_x=0.0, origin_y=100.0, cell_size=1.0,
+                  width=100, height=100, tile_size=32)
+
+
+def _pts(n=3000, seed=9):
+    rs = np.random.RandomState(seed)
+    x = rs.uniform(0, 100, n)
+    y = rs.uniform(0, 100, n)
+    w = rs.uniform(0.5, 2.0, n)
+    return x, y, w
+
+
+def _dense(tiles_ds, meta):
+    """Assemble tile Dataset → dense (H, W) array (zeros where absent)."""
+    out = np.zeros((meta.height, meta.width))
+    for row in tiles_ds.iter_rows():
+        tx, ty = row["tx"], row["ty"]
+        h, w = meta.tile_shape(tx, ty)
+        arr = np.frombuffer(row["data"], dtype=np.float64).reshape(h, w)
+        out[ty * meta.tile_size : ty * meta.tile_size + h,
+            tx * meta.tile_size : tx * meta.tile_size + w] = arr
+    return out
+
+
+@pytest.fixture(scope="module")
+def pts_ds():
+    x, y, w = _pts()
+    t = pa.table({"lon": pa.array(x), "lat": pa.array(y), "w": pa.array(w)})
+    return ray.data.from_arrow(t).repartition(4), (x, y, w)
+
+
+def test_points_to_raster_count(pts_ds):
+    ds, (x, y, w) = pts_ds
+    tiles = points_to_raster(ds, META, assign="count")
+    dense = _dense(tiles, META)
+    col, row = META.world_to_cell(x, y)
+    expect = np.zeros_like(dense)
+    np.add.at(expect, (row, col), 1.0)
+    np.testing.assert_array_equal(dense, expect)
+
+
+def test_kernel_density_matches_dense_conv(pts_ds):
+    ds, (x, y, w) = pts_ds
+    tiles = kernel_density(ds, META, search_radius=5.0, weight_col="w")
+    dense = _dense(tiles, META)
+    # oracle: dense scatter of kernel windows
+    K, valid = kernel_matrix(5, "quadratic")
+    scale = valid * 1.0
+    col, row = META.world_to_cell(x, y)
+    expect = np.zeros((META.height + 10, META.width + 10))
+    for xi, yi, wi in zip(col, row, w):
+        expect[yi : yi + 11, xi : xi + 11] += wi * K / scale
+    expect = expect[5:-5, 5:-5]
+    # clip: engine drops out-of-bounds cells, oracle added padding then cropped
+    np.testing.assert_allclose(dense, expect, rtol=1e-12)
+
+
+def test_zonal_statistics(pts_ds):
+    ds, (x, y, w) = pts_ds
+    tiles = points_to_raster(ds, META, assign="sum", value_col="w")
+    zones = pa.table({
+        "zid": pa.array([0, 1], pa.int64()),
+        "geom": pa.array([
+            _wkb.encode_polygon(np.array([[0, 0], [50, 0], [50, 100], [0, 100]])),
+            _wkb.encode_polygon(np.array([[50, 0], [100, 0], [100, 100], [50, 100]])),
+        ], pa.binary()),
+    })
+    res = zonal_statistics(tiles, META, zones, zone_key="zid").to_pandas()
+    res = res.sort_values("zid").reset_index(drop=True)
+    dense = _dense(tiles, META)
+    cols, rows = np.meshgrid(np.arange(META.width), np.arange(META.height))
+    cx, cy = META.cell_center(cols, rows)
+    for zid, (x0, x1) in [(0, (0, 50)), (1, (50, 100))]:
+        mask = (cx >= x0) & (cx <= x1)  # boundary-inclusive PIP
+        vals = dense[mask]
+        assert res.loc[zid, "zcount"] == pytest.approx(mask.sum())
+        assert res.loc[zid, "zsum"] == pytest.approx(vals.sum())
+        assert res.loc[zid, "zmax"] == pytest.approx(vals.max())
+
+
+def test_raster_roundtrip_and_stats(pts_ds):
+    ds, (x, y, w) = pts_ds
+    tiles = points_to_raster(ds, META, assign="sum", value_col="w")
+    stats = raster_statistics(tiles, META)
+    dense = _dense(tiles, META)
+    assert stats["sum"] == pytest.approx(dense.sum())
+    assert stats["max"] == pytest.approx(dense.max())
+    pts = raster_to_points(tiles, META, drop_zero=True).to_pandas()
+    assert len(pts) == int((dense != 0).sum())
+    assert pts["val"].sum() == pytest.approx(dense.sum())
+
+
+def test_raster_math_and_ndvi(pts_ds):
+    ds, _ = pts_ds
+    a = points_to_raster(ds, META, assign="count")
+    doubled = raster_math(a, lambda v: v * 2.0)
+    assert raster_statistics(doubled, META)["sum"] == pytest.approx(
+        2 * raster_statistics(a, META)["sum"])
+    nd = raster_ndvi(doubled, a)  # (2c - c)/(3c) = 1/3 where c>0
+    dense = _dense(nd, META)
+    vals = dense[~np.isnan(dense) & (dense != 0)]
+    np.testing.assert_allclose(vals, 1.0 / 3.0)
+
+
+def test_slope_flat_and_ramp():
+    # ramp raster: z = x → slope = atan(1) = 45° everywhere (interior)
+    meta = RasterMeta(0.0, 64.0, 1.0, 64, 64, tile_size=32)
+    rows_ = []
+    for ty in range(2):
+        for tx in range(2):
+            h, w = meta.tile_shape(tx, ty)
+            cols = np.arange(tx * 32, tx * 32 + w)
+            tile = np.tile(cols.astype(np.float64), (h, 1))
+            rows_.append({"tx": tx, "ty": ty, "data": tile.tobytes()})
+    tiles = ray.data.from_items(rows_).map_batches(
+        lambda b: pa.table({"tx": pa.array(b["tx"], pa.int32()),
+                            "ty": pa.array(b["ty"], pa.int32()),
+                            "data": pa.array(list(b["data"]), pa.binary())}),
+        batch_format="pandas")
+    s = slope(tiles, meta)
+    from tests.test_raster import _dense as dense_fn
+    d = dense_fn(s, meta)
+    # interior cells all 45°
+    np.testing.assert_allclose(d[1:-1, 1:-1], 45.0, atol=1e-9)
