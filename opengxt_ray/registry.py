@@ -1,0 +1,268 @@
+"""Operator registry — the engine's analogue of the reference's
+Process SPI (SURVEY.md §2.9: ProcessFactory entries registered in
+META-INF/services, typed param metadata in GT/core/Params.java:36-71).
+
+Each entry maps a process name to a builder plus a typed parameter
+spec, so a thin WPS/CLI front-end (or the driver) can enumerate and
+invoke every operator uniformly:
+
+    fn = registry.get("SpatialJoin")
+    ds_out = fn.build(points_ds, polygons=zones_table, predicate=...)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Param:
+    name: str
+    type: str           # "dataset" | "table" | "str" | "float" | "int" | "bool" | "list"
+    required: bool = True
+    default: object = None
+    doc: str = ""
+
+
+@dataclass
+class ProcessEntry:
+    name: str
+    category: str
+    build: object       # callable
+    params: list[Param] = field(default_factory=list)
+    reference: str = ""  # GT/... citation
+    doc: str = ""
+
+
+_REGISTRY: dict[str, ProcessEntry] = {}
+
+
+def register(entry: ProcessEntry) -> None:
+    _REGISTRY[entry.name] = entry
+
+
+def get(name: str) -> ProcessEntry:
+    return _REGISTRY[name]
+
+
+def names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def by_category() -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for e in _REGISTRY.values():
+        out.setdefault(e.category, []).append(e.name)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def _populate() -> None:
+    from .ops import aggregate as AG
+    from .ops import binning as BN
+    from .ops import classify as CL
+    from .ops import cluster as CU
+    from .ops import distribution as DI
+    from .ops import hotspot as HS
+    from .ops import join as J
+    from .ops import near as NE
+    from .ops import pip as PIP
+    from .ops import regression as RG
+    from .raster import density as RD
+    from .raster import tiles as RT
+    from .raster import zonal as RZ
+    from .raster import algebra as RA
+    from .raster import surface as RS
+    from .stages import transforms as T
+    from .textops import dedup as TD
+    from .textops import quality as TQ
+    from .vector import ann as ANN
+
+    def E(name, category, build, reference="", params=()):
+        register(ProcessEntry(name, category, build, list(params), reference))
+
+    # joins / lookups (§2.3)
+    E("SpatialJoin", "join", J.nearest_join,
+      "GT/operations/SpatialJoinOperation.java:75-183")
+    E("IntersectsJoin", "join", J.broadcast_spatial_join,
+      "GT/transformation/IntersectFeatureCollection.java:190-350")
+    E("CellCopartitionJoin", "join", J.cell_copartition_join,
+      "SURVEY.md §7.3 (scale path)")
+    E("PointsInPolygon", "join", PIP.points_in_polygon,
+      "GT/operations/PointsInPolygonOperation.java:59-123")
+    E("PointStatistics", "join", PIP.point_statistics,
+      "GT/operations/PointStatisticsOperation.java:101-127")
+    E("Near", "join", J.nearest_join,
+      "GT/operations/NearOperation.java:77-185")
+    E("KNearestNeighborMap", "join", NE.knn_links,
+      "GT/pattern/KNearestNeighborMapOperation.java:59-147")
+    E("NearestNeighborCount", "join", NE.neighbor_count,
+      "GT/operations/NearestNeighborCountOperation.java")
+    E("AttributeJoin", "join", J.slim_join_reattach,
+      "GT/transformation/JoinAttributeFeatureCollection.java:62-69")
+
+    # aggregation (§2.4)
+    E("Dissolve", "aggregate", AG.dissolve,
+      "GT/operations/DissolveOperation.java:69-220")
+    E("StatisticsFeatures", "aggregate", AG.data_statistics,
+      "GT/operations/DataStatisticsOperation.java")
+    E("CollectEvents", "aggregate", AG.collect_events,
+      "GT/operations/CollectEventsOperation.java:49-97")
+    E("DeleteDuplicates", "aggregate", AG.delete_duplicates,
+      "GT/operations/DeleteDuplicateFeaturesOperation.java:52-90")
+    E("Pearson", "aggregate", RG.pearson,
+      "GT/operations/PearsonOperation.java")
+    E("OLS", "aggregate", RG.ols, "GT/relationship/OLSOperation.java:105-450")
+    E("StandardizedScores", "aggregate", RG.standardized_scores,
+      "GT/pattern/StandardizedScoresOperation.java")
+
+    # hotspot / autocorrelation (§2.5)
+    E("LocalGStatistics", "hotspot", HS.local_gi_star,
+      "GT/autocorrelation/LocalGStatisticOperation.java:63-188")
+    E("LocalMoransI", "hotspot", HS.local_morans_i,
+      "GT/autocorrelation/LocalMoranIStatisticOperation.java:76-251")
+    E("GlobalMoransI", "hotspot", HS.global_morans_i,
+      "GT/autocorrelation/GlobalMoranIStatisticOperation.java:49-135")
+    E("NearestNeighborIndex", "hotspot", NE.nearest_neighbor_index,
+      "GT/pattern/NNIOperation.java:83-156")
+
+    # distribution (§2.5)
+    E("MeanCenter", "distribution", DI.mean_center,
+      "GT/distribution/MeanCenterOperation.java")
+    E("MedianCenter", "distribution", DI.median_center,
+      "GT/distribution/MedianCenterOperation.java")
+    E("StandardDistance", "distribution", DI.standard_distance,
+      "GT/distribution/StandardDistanceOperation.java")
+    E("StandardDeviationalEllipse", "distribution",
+      DI.standard_deviational_ellipse, "GT/distribution/SDEOperation")
+    E("DirectionalMean", "distribution", DI.directional_mean,
+      "GT/distribution/DirectionalMeanOperation.java")
+    E("CentralFeature", "distribution", DI.central_feature,
+      "GT/distribution/CentralFeatureOperation.java")
+
+    # binning / tessellation (§2.6)
+    E("HexagonalBinning", "binning", BN.hex_binning,
+      "GT/pattern/HexagonalBinningVisitor.java:40-130")
+    E("RectangularBinning", "binning", BN.rect_binning,
+      "GT/pattern/RectangularBinningVisitor.java")
+    E("Fishnet", "binning", BN.fishnet, "GT/operations/FishnetOperation.java")
+    E("HexagonGrid", "binning", BN.hexagon_grid,
+      "GT/operations/HexagonOperation.java")
+    E("QuadratAnalysis", "binning", BN.quadrat_analysis,
+      "GT/pattern/QuadratOperation.java:44-")
+    E("KMeansClustering", "binning", CU.kmeans_assign,
+      "GT/pattern/KMeansClusterOperation.java")
+
+    # classification (§2.4)
+    E("EqualInterval", "classify", CL.equal_interval, "GT/clsssifier/")
+    E("Quantile", "classify", CL.quantile_breaks, "GT/clsssifier/")
+    E("NaturalBreaks", "classify", CL.natural_breaks,
+      "GT/clsssifier/NaturalBreaksClassify.java:50-96")
+    E("StdDevBreaks", "classify", CL.std_dev_breaks, "GT/clsssifier/")
+
+    # per-record transforms (§2.2)
+    E("CalculateArea", "transform", T.calculate_area,
+      "GT/transformation/AreaCalculationFeatureCollection.java")
+    E("CalculateLength", "transform", T.calculate_length,
+      "GT/transformation/LengthCalculationFeatureCollection.java")
+    E("CalculateXY", "transform", T.calculate_xy,
+      "GT/transformation/XYCalculationFeatureCollection.java")
+    E("CalculateField", "transform", T.make_calculate_field,
+      "GT/CalculateFieldProcess.java:76-96")
+    E("SelectFeatures", "transform", T.make_filter,
+      "GT/SelectFeaturesProcess.java:76-91")
+    E("Buffer", "transform", T.make_buffer,
+      "GT/transformation/BufferExpressionFeatureCollection.java")
+    E("MultipleRingBuffer", "transform", T.make_multiple_ring_buffer,
+      "GT/transformation/MultipleBufferFeatureCollection.java")
+    E("FeatureToPoint", "transform", T.feature_to_point,
+      "GT/transformation/ToPointFeatureCollection.java")
+    E("FeatureToConvexHull", "transform", T.convex_hull_transform,
+      "GT/transformation/FeatureToConvexHull")
+    E("FeatureEnvelopeToPolygon", "transform", T.envelope_to_polygon,
+      "GT/transformation/FeatureEnvelopeToPolygon")
+    E("FeatureToMinimumRectangle", "transform", T.minimum_rectangle,
+      "GT/transformation/FeatureToMinimumRectangle")
+    E("FeatureToMinimumBoundingCircle", "transform",
+      T.minimum_bounding_circle, "GT/transformation/FeatureToMBC")
+    E("FeatureToOctagonalEnvelope", "transform", T.octagonal_envelope,
+      "GT/transformation/FeatureToOctagonalEnvelope")
+    E("Simplify", "transform", T.make_simplify,
+      "GT/transformation/SimplifyFeatureCollection.java")
+    E("Densify", "transform", T.make_densify,
+      "GT/transformation/DensifyFeatureCollection.java")
+    E("FlipLine", "transform", T.flip_line, "GT/transformation/FlipLine")
+    E("OffsetFeatures", "transform", T.make_offset,
+      "GT/transformation/OffsetFeatureCollection.java")
+    E("RotateFeatures", "transform", T.make_rotate,
+      "GT/transformation/RotateFeatureCollection.java")
+    E("ScaleFeatures", "transform", T.make_scale,
+      "GT/transformation/ScaleFeatureCollection.java")
+    E("VerticesToPoints", "transform", T.vertices_to_points,
+      "GT/transformation/VerticesToPointsFeatureCollection.java")
+    E("MultipartToSinglepart", "transform", T.multipart_to_singlepart,
+      "GT/transformation/ExplodeFeatureCollection.java")
+    E("PointsAlongLines", "transform", T.points_along_lines,
+      "GT/transformation/PointsAlongLines")
+    E("SplitLineAtVertices", "transform", T.split_line_at_vertices,
+      "GT/transformation/SplitLineFeatureCollection.java")
+    E("RemoveHoles", "transform", T.remove_holes,
+      "GT/transformation/RemoveHolesFeatureCollection")
+    E("RepairGeometry", "transform", T.repair_geometry,
+      "GT/transformation/RepairGeometryFeatureCollection")
+    E("Reproject", "transform", T.make_reproject,
+      "GT/transformation/ReprojectFeatureCollection.java")
+
+    # raster (§2.7)
+    E("KernelDensity", "raster", RD.kernel_density,
+      "GT/gridcoverage/RasterKernelDensityOperation.java")
+    E("PointDensity", "raster", RD.point_density,
+      "GT/gridcoverage/RasterPointDensityOperation.java")
+    E("ZonalStatistics", "raster", RZ.zonal_statistics,
+      "GT/gridcoverage/RasterZonalOperation.java:69-224")
+    E("PointsToRaster", "raster", RT.points_to_raster,
+      "GT/gridcoverage/RasterPointsToRasterOperation.java")
+    E("RasterToPoint", "raster", RT.raster_to_points,
+      "GT/transformation/CoverageToPointFeatureCollection.java:58-90")
+    E("RasterDescribe", "raster", RT.raster_statistics,
+      "GT/gridcoverage/RasterDescribeOperation.java")
+    E("RasterMath", "raster", RA.raster_math,
+      "GT/gridcoverage/RasterMathOperation.java")
+    E("RasterCon", "raster", RA.raster_con,
+      "GT/gridcoverage/RasterConOperation.java")
+    E("RasterReclass", "raster", RA.raster_reclass,
+      "GT/gridcoverage/RasterReclassOperation.java")
+    E("RasterSetNull", "raster", RA.raster_set_null,
+      "GT/gridcoverage/RasterSetNullOperation.java")
+    E("RasterReplaceValues", "raster", RA.raster_replace,
+      "GT/gridcoverage/RasterReplaceValuesOperation.java")
+    E("RasterRescale", "raster", RA.raster_rescale,
+      "GT/gridcoverage/RasterRescaleOperation.java")
+    E("RasterNDVI", "raster", RA.raster_ndvi,
+      "GT/gridcoverage/RasterNDVIOperation.java")
+    E("RasterCutFill", "raster", RA.raster_cut_fill,
+      "GT/gridcoverage/RasterCutFillOperation.java")
+    E("RasterSlope", "raster", RS.slope,
+      "GT/gridcoverage/RasterSlopeOperation.java")
+    E("RasterAspect", "raster", RS.aspect,
+      "GT/gridcoverage/RasterAspectOperation.java")
+    E("RasterHillshade", "raster", RS.hillshade,
+      "GT/gridcoverage/RasterHillshadeOperation.java")
+    E("RasterTPI", "raster", RS.tpi, "GT/gridcoverage/RasterTPIOperation")
+    E("RasterTRI", "raster", RS.tri, "GT/gridcoverage/RasterTRIOperation")
+    E("RasterRoughness", "raster", RS.roughness,
+      "GT/gridcoverage/RasterRoughnessOperation")
+
+    # training-data ops (engine extensions)
+    E("ExactDedup", "trainingdata", TD.exact_dedup)
+    E("MinHashDedup", "trainingdata", TD.minhash_dedup)
+    E("SimHash", "trainingdata", TD.simhash_dedup)
+    E("EmbeddingNearDup", "trainingdata", TD.embedding_neardup)
+    E("TokenCount", "trainingdata", TQ.token_count_batch)
+    E("QualityScore", "trainingdata", TQ.quality_score_batch)
+    E("LanguageId", "trainingdata", TQ.LanguageId)
+    E("Fingerprint", "trainingdata", TQ.fingerprint_batch)
+    E("AnnBruteTopK", "trainingdata", ANN.brute_topk)
+    E("AnnIvfTopK", "trainingdata", ANN.ivf_topk)
+
+
+_populate()

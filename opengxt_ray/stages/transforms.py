@@ -1,0 +1,660 @@
+"""Per-record geometry/field transforms — the reference's 48 lazy
+``GXTSimpleFeatureCollection`` wrappers (SURVEY.md §2.2), re-expressed
+as stateless vectorized ``map_batches`` stages over WKB columns.
+
+Each public function takes and returns a ``pyarrow.Table`` batch (use
+``ds.map_batches(fn)``), or is a factory returning such a function.
+1→N operators return longer tables (flat-map style). Reference classes
+are cited per function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import geomops, wkb as _wkb
+
+EARTH = geomops.EARTH_RADIUS_M
+
+
+# ---------------------------------------------------------------------------
+# measures (AreaCalculation/LengthCalculation/XYCalculation FeatureCollection)
+# ---------------------------------------------------------------------------
+
+def calculate_area(batch: pa.Table, *, geom_col="geom", out_col="geom_area",
+                   geodesic=False) -> pa.Table:
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    if geodesic:
+        vals = np.zeros(len(fg))
+        for i in range(len(fg)):
+            a = 0.0
+            for ring, is_shell in fg.rings(i):
+                if len(ring) >= 4:
+                    ra = geomops.geodesic_area(ring)
+                    a += ra if is_shell else -ra
+            vals[i] = a
+    else:
+        vals = geomops.areas(fg)
+    return batch.append_column(out_col, pa.array(vals))
+
+
+def calculate_length(batch: pa.Table, *, geom_col="geom", out_col="geom_len",
+                     geodesic=False) -> pa.Table:
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    vals = geomops.geodesic_lengths(fg) if geodesic else geomops.lengths(fg)
+    return batch.append_column(out_col, pa.array(vals))
+
+
+def calculate_xy(batch: pa.Table, *, geom_col="geom",
+                 xcol="center_x", ycol="center_y") -> pa.Table:
+    cx, cy = geomops.centroids(batch[geom_col].to_pylist())
+    out = batch.append_column(xcol, pa.array(cx))
+    return out.append_column(ycol, pa.array(cy))
+
+
+# ---------------------------------------------------------------------------
+# field calculation (FieldCalculationFeatureCollection — safe expressions)
+# ---------------------------------------------------------------------------
+
+_ALLOWED_FUNCS = {
+    "abs": np.abs, "sqrt": np.sqrt, "log": np.log, "log10": np.log10,
+    "exp": np.exp, "sin": np.sin, "cos": np.cos, "tan": np.tan,
+    "floor": np.floor, "ceil": np.ceil, "round": np.round,
+    "min": np.minimum, "max": np.maximum, "pow": np.power,
+}
+
+
+def make_calculate_field(expression: str, out_col: str):
+    """CalculateField — compile a restricted arithmetic expression over
+    column names into a vectorized batch fn (the engine's ECQL-
+    expression analogue, GT/CalculateFieldProcess.java:76-96)."""
+    import ast
+
+    tree = ast.parse(expression, mode="eval")
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            if not (isinstance(node.func, ast.Name)
+                    and node.func.id in _ALLOWED_FUNCS):
+                raise ValueError(f"function not allowed: {ast.dump(node.func)}")
+        elif not isinstance(node, (ast.Expression, ast.BinOp, ast.UnaryOp,
+                                   ast.Num, ast.Constant, ast.Name, ast.Load,
+                                   ast.Add, ast.Sub, ast.Mult, ast.Div,
+                                   ast.Mod, ast.Pow, ast.USub, ast.UAdd,
+                                   ast.Compare, ast.Lt, ast.LtE, ast.Gt,
+                                   ast.GtE, ast.Eq, ast.NotEq, ast.IfExp,
+                                   ast.BoolOp, ast.And, ast.Or)):
+            raise ValueError(f"node not allowed: {type(node).__name__}")
+    code = compile(tree, "<calc>", "eval")
+
+    def _calc(batch: pa.Table) -> pa.Table:
+        env = dict(_ALLOWED_FUNCS)
+        for name in batch.column_names:
+            if name in code.co_names:
+                env[name] = batch[name].to_numpy(zero_copy_only=False)
+        val = eval(code, {"__builtins__": {}}, env)  # noqa: S307 (sandboxed)
+        val = np.broadcast_to(np.asarray(val), (len(batch),)).copy()
+        return batch.append_column(out_col, pa.array(val))
+
+    return _calc
+
+
+def make_filter(expression: str):
+    """SelectFeatures — predicate filter from the same expression
+    language (GT/SelectFeaturesProcess.java:76-91)."""
+    calc = make_calculate_field(expression, "__pred")
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        out = calc(batch)
+        mask = out["__pred"].to_numpy(zero_copy_only=False).astype(bool)
+        return batch.filter(pa.array(mask))
+
+    return _filter
+
+
+# ---------------------------------------------------------------------------
+# derived geometries (per-row)
+# ---------------------------------------------------------------------------
+
+def _map_geoms(batch: pa.Table, geom_col: str, fn) -> pa.Table:
+    """Replace geom column with fn(fg, i) -> wkb bytes per row."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    out = [fn(fg, i) for i in range(len(fg))]
+    idx = batch.column_names.index(geom_col)
+    return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
+
+
+def feature_to_point(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """ToPointFeatureCollection — centroid point per row."""
+    cx, cy = geomops.centroids(batch[geom_col].to_pylist())
+    idx = batch.column_names.index(geom_col)
+    return batch.set_column(idx, geom_col,
+                            pa.array(list(_wkb.encode_points(cx, cy)),
+                                     pa.binary()))
+
+
+def convex_hull_transform(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """FeatureToConvexHull."""
+
+    def _hull(fg, i):
+        pts = fg.geom_coords(i)
+        h = geomops.convex_hull(pts)
+        if len(h) <= 2:
+            return _wkb.encode_point(float(pts[0, 0]), float(pts[0, 1]))
+        return _wkb.encode_polygon(h)
+
+    return _map_geoms(batch, geom_col, _hull)
+
+
+def envelope_to_polygon(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """FeatureEnvelopeToPolygon."""
+
+    def _env(fg, i):
+        pts = fg.geom_coords(i)
+        x0, y0 = pts[:, 0].min(), pts[:, 1].min()
+        x1, y1 = pts[:, 0].max(), pts[:, 1].max()
+        return _wkb.encode_polygon(np.array([[x0, y0], [x1, y0],
+                                             [x1, y1], [x0, y1]]))
+
+    return _map_geoms(batch, geom_col, _env)
+
+
+def minimum_bounding_circle(batch: pa.Table, *, geom_col="geom",
+                            segs=24) -> pa.Table:
+    """FeatureToMinimumBoundingCircle — Welzl-lite (ritter's algorithm,
+    deterministic)."""
+
+    def _mbc(fg, i):
+        pts = fg.geom_coords(i)
+        c = pts.mean(axis=0)
+        for _ in range(64):
+            d = np.hypot(pts[:, 0] - c[0], pts[:, 1] - c[1])
+            j = int(np.argmax(d))
+            r = d[j]
+            if r < 1e-12:
+                break
+            c = c + (pts[j] - c) * 0.1
+        d = np.hypot(pts[:, 0] - c[0], pts[:, 1] - c[1])
+        r = float(d.max())
+        return _wkb.encode_polygon(geomops.circle_ring(float(c[0]),
+                                                       float(c[1]), r, segs))
+
+    return _map_geoms(batch, geom_col, _mbc)
+
+
+def minimum_rectangle(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """FeatureToMinimumRectangle — rotating calipers over hull edges."""
+
+    def _mbr(fg, i):
+        pts = fg.geom_coords(i)
+        hull = geomops.convex_hull(pts)
+        if len(hull) <= 3:
+            return envelope_geom(pts)
+        best = None
+        hv = hull[:-1]
+        for j in range(len(hv)):
+            e = hv[(j + 1) % len(hv)] - hv[j]
+            n = np.hypot(*e)
+            if n == 0:
+                continue
+            ux, uy = e / n
+            R = np.array([[ux, uy], [-uy, ux]])
+            rot = pts @ R.T
+            x0, y0 = rot[:, 0].min(), rot[:, 1].min()
+            x1, y1 = rot[:, 0].max(), rot[:, 1].max()
+            area = (x1 - x0) * (y1 - y0)
+            if best is None or area < best[0]:
+                corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]) @ R
+                best = (area, corners)
+        return _wkb.encode_polygon(best[1])
+
+    def envelope_geom(pts):
+        x0, y0 = pts[:, 0].min(), pts[:, 1].min()
+        x1, y1 = pts[:, 0].max(), pts[:, 1].max()
+        return _wkb.encode_polygon(np.array([[x0, y0], [x1, y0],
+                                             [x1, y1], [x0, y1]]))
+
+    return _map_geoms(batch, geom_col, _mbr)
+
+
+def octagonal_envelope(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """FeatureToOctagonalEnvelope."""
+
+    def _oct(fg, i):
+        pts = fg.geom_coords(i)
+        x, y = pts[:, 0], pts[:, 1]
+        s, d = x + y, x - y
+        minx, maxx, miny, maxy = x.min(), x.max(), y.min(), y.max()
+        mins, maxs, mind, maxd = s.min(), s.max(), d.min(), d.max()
+        # intersections of adjacent constraint lines (x, y, x+y, x−y)
+        ring = np.array([
+            [minx, mins - minx],      # x=minx ∩ s=mins
+            [mins - miny, miny],      # y=miny ∩ s=mins
+            [miny + maxd, miny],      # y=miny ∩ d=maxd
+            [maxx, maxx - maxd],      # x=maxx ∩ d=maxd
+            [maxx, maxs - maxx],      # x=maxx ∩ s=maxs
+            [maxs - maxy, maxy],      # y=maxy ∩ s=maxs
+            [maxy + mind, maxy],      # y=maxy ∩ d=mind
+            [minx, minx - mind],      # x=minx ∩ d=mind
+        ])
+        hull = geomops.convex_hull(ring)
+        return _wkb.encode_polygon(hull)
+
+    return _map_geoms(batch, geom_col, _oct)
+
+
+# ---------------------------------------------------------------------------
+# buffers
+# ---------------------------------------------------------------------------
+
+def make_buffer(distance, *, geom_col="geom", quadrant_segs=8,
+                geodesic=False):
+    """BufferExpression — buffer by constant or per-row column value.
+
+    Points buffer to n-gon circles (JTS default 8 segs/quadrant);
+    lines/polygons to the convex hull of per-vertex circles
+    (a documented approximation — exact offset curves need GEOS).
+    Geodesic mode converts meters to degrees at the row's latitude
+    (GT/util/GeodeticBuilder.java:92-140 equivalent within tolerance).
+    """
+
+    def _buffer(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        if isinstance(distance, str):
+            dist = batch[distance].to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            dist = np.full(len(fg), float(distance))
+        out = []
+        for i in range(len(fg)):
+            pts = fg.geom_coords(i)
+            r = dist[i]
+            if geodesic:
+                lat = float(pts[:, 1].mean())
+                r = r / (EARTH * np.pi / 180.0) / max(np.cos(np.radians(lat)), 1e-6)
+            if fg.types[i] == _wkb.POINT and len(pts) == 1:
+                ring = geomops.circle_ring(float(pts[0, 0]), float(pts[0, 1]),
+                                           r, quadrant_segs)
+                out.append(_wkb.encode_polygon(ring))
+            else:
+                allc = []
+                for px, py in pts:
+                    allc.append(geomops.circle_ring(float(px), float(py), r,
+                                                    quadrant_segs)[:-1])
+                hull = geomops.convex_hull(np.concatenate(allc))
+                out.append(_wkb.encode_polygon(hull))
+        idx = batch.column_names.index(geom_col)
+        return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
+
+    return _buffer
+
+
+def make_multiple_ring_buffer(distances: list[float], *, geom_col="geom",
+                              quadrant_segs=8):
+    """MultipleRingBuffer — N concentric rings per feature (1→N rows,
+    ``ring_dist`` column appended)."""
+
+    def _rings(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        take_idx, geoms, ring_d = [], [], []
+        for i in range(len(fg)):
+            pts = fg.geom_coords(i)
+            cx, cy = float(pts[:, 0].mean()), float(pts[:, 1].mean())
+            for d in distances:
+                take_idx.append(i)
+                ring_d.append(d)
+                geoms.append(_wkb.encode_polygon(
+                    geomops.circle_ring(cx, cy, d, quadrant_segs)))
+        out = batch.take(pa.array(take_idx))
+        gidx = out.column_names.index(geom_col)
+        out = out.set_column(gidx, geom_col, pa.array(geoms, pa.binary()))
+        return out.append_column("ring_dist", pa.array(ring_d))
+
+    return _rings
+
+
+# ---------------------------------------------------------------------------
+# coordinate-level transforms
+# ---------------------------------------------------------------------------
+
+def _coord_transform(batch: pa.Table, geom_col: str, fn) -> pa.Table:
+    """Apply fn(coords (m,2)) -> (m,2) to every geometry, re-encode."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    fg.coords[:] = fn(fg.coords)
+    out = []
+    for i in range(len(fg)):
+        t = fg.types[i]
+        rings = [r for r, _ in fg.rings(i)]
+        if t == _wkb.POINT:
+            pts = fg.geom_coords(i)
+            out.append(_wkb.encode_point(float(pts[0, 0]), float(pts[0, 1])))
+        elif t == _wkb.LINESTRING:
+            if len(rings) == 1:
+                out.append(_wkb.encode_linestring(rings[0]))
+            else:
+                out.append(_wkb.encode_multilinestring(rings))
+        else:
+            shells = []
+            cur = None
+            for r, is_shell in fg.rings(i):
+                if is_shell:
+                    if cur:
+                        shells.append(cur)
+                    cur = (r, [])
+                elif cur:
+                    cur[1].append(r)
+            if cur:
+                shells.append(cur)
+            if len(shells) == 1:
+                out.append(_wkb.encode_polygon(shells[0][0], shells[0][1]))
+            else:
+                out.append(_wkb.encode_multipolygon(shells))
+    idx = batch.column_names.index(geom_col)
+    return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
+
+
+def make_offset(dx: float, dy: float, *, geom_col="geom"):
+    """OffsetFeatures."""
+    return lambda b: _coord_transform(b, geom_col,
+                                      lambda c: c + np.array([dx, dy]))
+
+
+def make_scale(sx: float, sy: float, *, origin=(0.0, 0.0), geom_col="geom"):
+    """ScaleFeatures."""
+    ox, oy = origin
+    return lambda b: _coord_transform(
+        b, geom_col,
+        lambda c: (c - [ox, oy]) * [sx, sy] + [ox, oy])
+
+
+def make_rotate(angle_deg: float, *, origin=(0.0, 0.0), geom_col="geom"):
+    """RotateFeatures (anchor = origin)."""
+    th = np.radians(angle_deg)
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    ox, oy = origin
+    return lambda b: _coord_transform(
+        b, geom_col, lambda c: (c - [ox, oy]) @ R.T + [ox, oy])
+
+
+def make_simplify(tolerance: float, *, geom_col="geom"):
+    """SimplifyFeatureCollection (Douglas-Peucker per ring)."""
+
+    def _simp(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        out = []
+        for i in range(len(fg)):
+            t = fg.types[i]
+            if t == _wkb.POINT:
+                pts = fg.geom_coords(i)
+                out.append(_wkb.encode_point(float(pts[0, 0]), float(pts[0, 1])))
+            elif t == _wkb.LINESTRING:
+                rings = [geomops.douglas_peucker(r, tolerance)
+                         for r, _ in fg.rings(i)]
+                out.append(_wkb.encode_linestring(rings[0]) if len(rings) == 1
+                           else _wkb.encode_multilinestring(rings))
+            else:
+                shells = []
+                cur = None
+                for r, is_shell in fg.rings(i):
+                    rs = geomops.douglas_peucker(r, tolerance)
+                    if len(rs) < 4:
+                        rs = r
+                    if is_shell:
+                        if cur:
+                            shells.append(cur)
+                        cur = (rs, [])
+                    elif cur:
+                        cur[1].append(rs)
+                if cur:
+                    shells.append(cur)
+                out.append(_wkb.encode_polygon(shells[0][0], shells[0][1])
+                           if len(shells) == 1 else _wkb.encode_multipolygon(shells))
+        idx = batch.column_names.index(geom_col)
+        return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
+
+    return _simp
+
+
+def make_densify(max_segment: float, *, geom_col="geom"):
+    """DensifyFeatureCollection."""
+
+    def _dens(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        out = []
+        for i in range(len(fg)):
+            t = fg.types[i]
+            if t == _wkb.POINT:
+                pts = fg.geom_coords(i)
+                out.append(_wkb.encode_point(float(pts[0, 0]), float(pts[0, 1])))
+            else:
+                rings = [geomops.densify(r, max_segment) for r, _ in fg.rings(i)]
+                if t == _wkb.LINESTRING:
+                    out.append(_wkb.encode_linestring(rings[0]) if len(rings) == 1
+                               else _wkb.encode_multilinestring(rings))
+                else:
+                    out.append(_wkb.encode_polygon(rings[0], rings[1:]))
+        idx = batch.column_names.index(geom_col)
+        return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
+
+    return _dens
+
+
+def flip_line(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """FlipLineFeatureCollection — reverse vertex order."""
+
+    def _flip(fg, i):
+        rings = [r[::-1] for r, _ in fg.rings(i)]
+        return (_wkb.encode_linestring(rings[0]) if len(rings) == 1
+                else _wkb.encode_multilinestring(rings))
+
+    return _map_geoms(batch, geom_col, _flip)
+
+
+# ---------------------------------------------------------------------------
+# 1→N explosions
+# ---------------------------------------------------------------------------
+
+def vertices_to_points(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """VerticesToPointsFeatureCollection (1→N, ``vertex_idx`` added)."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    take, geoms, vidx = [], [], []
+    for i in range(len(fg)):
+        pts = fg.geom_coords(i)
+        enc = _wkb.encode_points(pts[:, 0], pts[:, 1])
+        for j in range(len(pts)):
+            take.append(i)
+            vidx.append(j)
+            geoms.append(enc[j])
+    out = batch.take(pa.array(take))
+    gi = out.column_names.index(geom_col)
+    out = out.set_column(gi, geom_col, pa.array(list(geoms), pa.binary()))
+    return out.append_column("vertex_idx", pa.array(vidx, pa.int32()))
+
+
+def multipart_to_singlepart(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """ExplodeFeatureCollection — one row per part (``part_idx``)."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    take, geoms, pidx = [], [], []
+    for i in range(len(fg)):
+        t = fg.types[i]
+        if t == _wkb.POINT:
+            pts = fg.geom_coords(i)
+            for j in range(len(pts)):
+                take.append(i)
+                pidx.append(j)
+                geoms.append(_wkb.encode_point(float(pts[j, 0]), float(pts[j, 1])))
+        elif t == _wkb.LINESTRING:
+            for j, (r, _) in enumerate(fg.rings(i)):
+                take.append(i)
+                pidx.append(j)
+                geoms.append(_wkb.encode_linestring(r))
+        else:
+            j = 0
+            cur = None
+            for r, is_shell in fg.rings(i):
+                if is_shell:
+                    if cur is not None:
+                        take.append(i)
+                        pidx.append(j)
+                        geoms.append(_wkb.encode_polygon(cur[0], cur[1]))
+                        j += 1
+                    cur = (r, [])
+                elif cur is not None:
+                    cur[1].append(r)
+            if cur is not None:
+                take.append(i)
+                pidx.append(j)
+                geoms.append(_wkb.encode_polygon(cur[0], cur[1]))
+    out = batch.take(pa.array(take))
+    gi = out.column_names.index(geom_col)
+    out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+    return out.append_column("part_idx", pa.array(pidx, pa.int32()))
+
+
+def points_along_lines(batch: pa.Table, *, distance: float,
+                       geom_col="geom") -> pa.Table:
+    """PointsAlongLines — emit a point every `distance` along each line."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    take, geoms, offs = [], [], []
+    for i in range(len(fg)):
+        for r, _ in fg.rings(i):
+            if len(r) < 2:
+                continue
+            seg = np.diff(r, axis=0)
+            seglen = np.hypot(seg[:, 0], seg[:, 1])
+            cum = np.concatenate([[0.0], np.cumsum(seglen)])
+            total = cum[-1]
+            d = 0.0
+            while d <= total:
+                j = int(np.searchsorted(cum[1:], d, side="right"))
+                j = min(j, len(seglen) - 1)
+                t = (d - cum[j]) / seglen[j] if seglen[j] > 0 else 0.0
+                p = r[j] + t * seg[j]
+                take.append(i)
+                offs.append(d)
+                geoms.append(_wkb.encode_point(float(p[0]), float(p[1])))
+                d += distance
+    out = batch.take(pa.array(take))
+    gi = out.column_names.index(geom_col)
+    out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+    return out.append_column("line_offset", pa.array(offs))
+
+
+def split_line_at_vertices(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """SplitLineFeatureCollection — one 2-point segment per edge."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    take, geoms, sidx = [], [], []
+    for i in range(len(fg)):
+        for r, _ in fg.rings(i):
+            for j in range(len(r) - 1):
+                take.append(i)
+                sidx.append(j)
+                geoms.append(_wkb.encode_linestring(r[j : j + 2]))
+    out = batch.take(pa.array(take))
+    gi = out.column_names.index(geom_col)
+    out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+    return out.append_column("segment_idx", pa.array(sidx, pa.int32()))
+
+
+# ---------------------------------------------------------------------------
+# cleanup / repair
+# ---------------------------------------------------------------------------
+
+def remove_holes(batch: pa.Table, *, geom_col="geom",
+                 min_area: float = 0.0) -> pa.Table:
+    """RemoveHolesFeatureCollection — drop interior rings (≤ min_area,
+    or all when 0)."""
+
+    def _rh(fg, i):
+        shells = []
+        cur = None
+        for r, is_shell in fg.rings(i):
+            if is_shell:
+                if cur:
+                    shells.append(cur)
+                cur = (r, [])
+            elif cur:
+                if min_area > 0 and abs(geomops.ring_area(r)) > min_area:
+                    cur[1].append(r)
+        if cur:
+            shells.append(cur)
+        return (_wkb.encode_polygon(shells[0][0], shells[0][1])
+                if len(shells) == 1 else _wkb.encode_multipolygon(shells))
+
+    return _map_geoms(batch, geom_col, _rh)
+
+
+def repair_geometry(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """RepairGeometryFeatureCollection — close rings, drop duplicate
+    consecutive vertices, drop degenerate rings."""
+
+    def _rep(fg, i):
+        t = fg.types[i]
+        if t == _wkb.POINT:
+            pts = fg.geom_coords(i)
+            return _wkb.encode_point(float(pts[0, 0]), float(pts[0, 1]))
+        rings = []
+        for r, is_shell in fg.rings(i):
+            keep = np.ones(len(r), dtype=bool)
+            keep[1:] = np.any(np.diff(r, axis=0) != 0, axis=1)
+            rr = r[keep]
+            rings.append((rr, is_shell))
+        if t == _wkb.LINESTRING:
+            ls = [r for r, _ in rings if len(r) >= 2]
+            if not ls:
+                return None
+            return (_wkb.encode_linestring(ls[0]) if len(ls) == 1
+                    else _wkb.encode_multilinestring(ls))
+        shells = []
+        cur = None
+        for r, is_shell in rings:
+            if is_shell:
+                if cur:
+                    shells.append(cur)
+                cur = (r, []) if len(r) >= 3 else None
+            elif cur and len(r) >= 3:
+                cur[1].append(r)
+        if cur:
+            shells.append(cur)
+        if not shells:
+            return None
+        return (_wkb.encode_polygon(shells[0][0], shells[0][1])
+                if len(shells) == 1 else _wkb.encode_multipolygon(shells))
+
+    fgout = _map_geoms(batch, geom_col, _rep)
+    mask = pa.array([v is not None for v in fgout[geom_col].to_pylist()])
+    return fgout.filter(mask)
+
+
+# ---------------------------------------------------------------------------
+# reprojection (EPSG:4326 ↔ EPSG:3857 + force-CRS metadata)
+# ---------------------------------------------------------------------------
+
+def make_reproject(src: str, dst: str, *, geom_col="geom"):
+    """ReprojectFeatureCollection for the web pair 4326↔3857.
+
+    Full PROJ pipelines are out of scope without pyproj; the engine's
+    CRS convention stores the code in schema metadata and supports the
+    spherical-mercator pair analytically.
+    """
+
+    def fwd(c):  # 4326 → 3857
+        x = np.radians(c[:, 0]) * EARTH
+        y = np.log(np.tan(np.pi / 4 + np.radians(c[:, 1]) / 2)) * EARTH
+        return np.column_stack([x, y])
+
+    def inv(c):  # 3857 → 4326
+        lon = np.degrees(c[:, 0] / EARTH)
+        lat = np.degrees(2 * np.arctan(np.exp(c[:, 1] / EARTH)) - np.pi / 2)
+        return np.column_stack([lon, lat])
+
+    key = (src.upper(), dst.upper())
+    if key == ("EPSG:4326", "EPSG:3857"):
+        f = fwd
+    elif key == ("EPSG:3857", "EPSG:4326"):
+        f = inv
+    elif src.upper() == dst.upper():
+        f = lambda c: c
+    else:
+        raise ValueError(f"unsupported CRS pair {src} → {dst}")
+
+    return lambda b: _coord_transform(b, geom_col, f)
