@@ -283,6 +283,24 @@ def _q_global_moran(sf_dir: str):
     })
 
 
+def _q_global_geary_g(sf_dir: str):
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops import hotspot
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey",
+                    columns=["c_custkey", "c_acctbal"])
+    gc = hotspot.global_gearys_c(pts, "c_acctbal", id_col="c_custkey",
+                                 band=20.0)
+    gg = hotspot.global_g(pts, "c_acctbal", id_col="c_custkey", band=20.0)
+    ls = hotspot.global_lees_s(pts, "c_acctbal", id_col="c_custkey",
+                               band=20.0)
+    return pa.table({
+        "geary6": [format_round(gc["observed"], 6)],
+        "gstat8": [format_round(gg["observed"], 8)],
+        "lees_s6": [format_round(ls["observed"], 6)],
+    })
+
+
 def _q_mean_center(sf_dir: str):
     from opengxt_ray.core.ssutils import format_round
     from opengxt_ray.ops.distribution import mean_center, standard_distance
@@ -538,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "gi_star": _q_gi_star,
         "global_moran": _q_global_moran,
+        "global_geary_g": _q_global_geary_g,
         "mean_center": _q_mean_center,
         "attribute_join": _q_attribute_join,
         "events_window": _q_events_window,
@@ -641,8 +660,44 @@ def oracle_sql() -> dict[str, str]:
                      ), 4) AS z6
         FROM gl, zz
     """
+    geary_g_sql = f"""
+        WITH pts AS (
+            SELECT c_custkey, {lon_c} AS x, {lat_c} AS y, c_acctbal AS v
+            FROM customer
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s1,
+                   SUM(v*v) AS s2, SUM(v)/COUNT(*) AS mu
+            FROM pts
+        ),
+        nb AS (
+            SELECT a.c_custkey,
+                   CAST(COUNT(*) AS DOUBLE) AS ws,
+                   SUM((a.v - b.v)*(a.v - b.v)) AS cij,
+                   SUM(a.v * b.v) AS vivj,
+                   SUM(b.v - mom.mu) AS zw
+            FROM pts a JOIN pts b
+              ON a.c_custkey <> b.c_custkey
+             AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 400.0,
+             mom
+            GROUP BY a.c_custkey
+        ),
+        gl AS (
+            SELECT SUM(ws) AS W, SUM(cij) AS cijsum, SUM(vivj) AS npsum,
+                   SUM(ws * ws) AS ws2, SUM(zw * zw) AS zw2
+            FROM nb
+        )
+        SELECT round(cijsum
+                     / (2.0 * ((s2 - 2.0*mu*s1 + n*mu*mu) / (n - 1.0)) * W),
+                     6) AS geary6,
+               round(npsum / (s1 * s1 - s2), 8) AS gstat8,
+               round((n / ws2)
+                     * (zw2 / (s2 - 2.0*mu*s1 + n*mu*mu)), 6) AS lees_s6
+        FROM gl, mom
+    """
     return {
         "pip_join_rows": pip_rows,
+        "global_geary_g": geary_g_sql,
         "copart_pip_join_rows": pip_rows,
         "pip_join_count": f"""
             SELECT n.n_nationkey, n.n_name, n.n_regionkey,

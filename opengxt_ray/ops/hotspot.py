@@ -105,22 +105,32 @@ def _group_neighbor_sums(group: pa.Table, *, concept, band,
     px = group["x"].to_numpy()
     py = group["y"].to_numpy()
     pv = group["val"].to_numpy()
+    bivar = "val2" in group.column_names
+    pw = group["val2"].to_numpy() if bivar else None
     pid = group["id"].to_numpy(zero_copy_only=False)
     pidx = np.nonzero(prim_mask)[0]
     if len(pidx) == 0:
-        return pa.table({
+        cols = {
             "id": pa.array([], type=group.schema.field("id").type),
             "val": pa.array([], pa.float64()),
             "local_sum": pa.array([], pa.float64()),
+            "local_sum2": pa.array([], pa.float64()),
             "wij_sum": pa.array([], pa.float64()),
             "wij2_sum": pa.array([], pa.float64()),
             "nn": pa.array([], pa.int64()),
-        })
+        }
+        if bivar:
+            cols["val2"] = pa.array([], pa.float64())
+            cols["local_sumy"] = pa.array([], pa.float64())
+        return pa.table(cols)
     n_p = len(pidx)
     local_sum = np.zeros(n_p)
+    local_sum2 = np.zeros(n_p)
+    local_sumy = np.zeros(n_p) if bivar else None
     wij_sum = np.zeros(n_p)
     wij2_sum = np.zeros(n_p)
     nn = np.zeros(n_p, dtype=np.int64)
+    pv2 = pv * pv
     CH = 512  # primary chunk — bounds the (CH × group) distance matrix
     for c0 in range(0, n_p, CH):
         sel = pidx[c0 : c0 + CH]
@@ -129,23 +139,32 @@ def _group_neighbor_sums(group: pa.Table, *, concept, band,
         if not self_neighbors:
             w = np.where(pid[sel][:, None] == pid[None, :], 0.0, w)
         local_sum[c0 : c0 + CH] = w @ pv
+        local_sum2[c0 : c0 + CH] = w @ pv2
+        if bivar:
+            local_sumy[c0 : c0 + CH] = w @ pw
         wij_sum[c0 : c0 + CH] = w.sum(axis=1)
         wij2_sum[c0 : c0 + CH] = (w * w).sum(axis=1)
         nn[c0 : c0 + CH] = (w > 0).sum(axis=1)
-    return pa.table({
+    cols = {
         "id": pa.array(pid[pidx]),
         "val": pa.array(pv[pidx]),
         "local_sum": pa.array(local_sum),
+        "local_sum2": pa.array(local_sum2),
         "wij_sum": pa.array(wij_sum),
         "wij2_sum": pa.array(wij2_sum),
         "nn": pa.array(nn),
-    })
+    }
+    if bivar:
+        cols["val2"] = pa.array(pw[pidx])
+        cols["local_sumy"] = pa.array(local_sumy)
+    return pa.table(cols)
 
 
 def neighbor_sums(ds, value_col: str, *, id_col: str, band: float | None,
                   concept: str = FIXED, self_neighbors: bool = True,
                   xcol: str = "lon", ycol: str = "lat",
-                  row_standardize: bool = False):
+                  row_standardize: bool = False,
+                  value_col2: str | None = None):
     """Slim-project → halo replicate → groupby(cell) neighbor sums.
 
     Returns a Dataset (id, val, local_sum, wij_sum, wij2_sum, nn).
@@ -156,29 +175,36 @@ def neighbor_sums(ds, value_col: str, *, id_col: str, band: float | None,
         x = batch[xcol].to_numpy()
         y = batch[ycol].to_numpy()
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v2 = (batch[value_col2].to_numpy(zero_copy_only=False).astype(np.float64)
+              if value_col2 else None)
         ids = batch[id_col]
         if exact:
             # single group: exact O(n²) parity mode
             gcell = np.zeros(len(batch), dtype=np.uint64)
-            return pa.table({
+            cols = {
                 "gcell": pa.array(gcell, pa.uint64()),
                 "id": ids, "x": pa.array(x), "y": pa.array(y),
                 "val": pa.array(v),
                 "__primary": pa.array(np.ones(len(batch), dtype=bool)),
-            })
+            }
+            if v2 is not None:
+                cols["val2"] = pa.array(v2)
+            return pa.table(cols)
         res = hexgrid.res_for_band(band)
         cells = hexgrid.hex_cell(x, y, res)
         disks = hexgrid.disk_per_row(cells, 1)  # (n, 7)
         m = disks.shape[1]
-        nrep = len(batch) * m
         rep = lambda a: np.repeat(a, m)
-        return pa.table({
+        cols = {
             "gcell": pa.array(disks.ravel(), pa.uint64()),
             "id": ids.take(pa.array(np.repeat(np.arange(len(batch)), m))),
             "x": pa.array(rep(x)), "y": pa.array(rep(y)),
             "val": pa.array(rep(v)),
             "__primary": pa.array(disks.ravel() == np.repeat(cells, m)),
-        })
+        }
+        if v2 is not None:
+            cols["val2"] = pa.array(rep(v2))
+        return pa.table(cols)
 
     slim = ds.map_batches(_slim, batch_format="pyarrow")
     sums = slim.groupby("gcell").map_groups(
@@ -194,6 +220,8 @@ def neighbor_sums(ds, value_col: str, *, id_col: str, band: float | None,
                 "id": batch["id"], "val": batch["val"],
                 "local_sum": pa.array(np.where(rs == 0, 0.0,
                                                batch["local_sum"].to_numpy() / safe)),
+                "local_sum2": pa.array(np.where(rs == 0, 0.0,
+                                                batch["local_sum2"].to_numpy() / safe)),
                 "wij_sum": pa.array(np.where(rs == 0, 0.0, 1.0)),
                 "wij2_sum": pa.array(np.where(rs == 0, 0.0,
                                               batch["wij2_sum"].to_numpy() / safe ** 2)),
@@ -310,6 +338,167 @@ def local_morans_i(ds, value_col: str, *, id_col: str,
     return sums.map_batches(_finalize, batch_format="pyarrow")
 
 
+def local_gearys_c(ds, value_col: str, *, id_col: str,
+                   band: float | None, concept: str = FIXED,
+                   row_standardize: bool = False,
+                   xcol: str = "lon", ycol: str = "lat",
+                   round_digits: int | None = 8):
+    """Local Geary's c → (id, LcIndex, LcZScore, LcPValue, nn).
+
+    GT/autocorrelation/LocalGearysCOperation.java:100-142:
+    c_i = Σⱼ wᵢⱼ(xᵢ−xⱼ)² / m2 ; E = 2n·W̄ᵢ/(n−1);
+    Var = (n/(n−1))·(W̄ᵢ²+Σw²)·(3+b2) − E².
+    Σⱼ wᵢⱼ(xᵢ−xⱼ)² decomposes as xᵢ²·W̄ᵢ − 2xᵢ·Σwx + Σwx².
+    """
+    mom = global_moments(ds, value_col)
+    n = float(mom["n"])
+    mean_x = mom["s1"] / n
+    c2 = mom["s2"] - 2 * mean_x * mom["s1"] + n * mean_x ** 2
+    c4 = (mom["s4"] - 4 * mean_x * mom["s3"] + 6 * mean_x ** 2 * mom["s2"]
+          - 4 * mean_x ** 3 * mom["s1"] + n * mean_x ** 4)
+    m2 = c2 / (n - 1.0)
+    m4 = c4 / (n - 1.0)
+    b2 = m4 / (m2 ** 2) if m2 != 0 else 0.0
+    sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
+                         concept=concept, self_neighbors=False,
+                         xcol=xcol, ycol=ycol, row_standardize=row_standardize)
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        val = batch["val"].to_numpy()
+        ls = batch["local_sum"].to_numpy()
+        ls2 = batch["local_sum2"].to_numpy()
+        ws = batch["wij_sum"].to_numpy()
+        w2 = batch["wij2_sum"].to_numpy()
+        dev = val * val * ws - 2.0 * val * ls + ls2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            index = dev / m2
+            expected = (2.0 * n * ws) / (n - 1.0)
+            variance = (n / (n - 1.0)) * (ws ** 2 + w2) * (3.0 + b2) - expected ** 2
+            z = (index - expected) / np.sqrt(variance)
+        bad = ~np.isfinite(z)
+        p = np.where(bad, 1.0, zprob(np.where(bad, 0.0, z), "both"))
+        z = np.where(bad, 0.0, z)
+        index = np.where(np.isfinite(index), index, 0.0)
+        rd = (lambda v: format_round(v, round_digits)) if round_digits else (lambda v: v)
+        return pa.table({
+            "id": batch["id"],
+            "LcIndex": pa.array(rd(index)), "LcZScore": pa.array(rd(z)),
+            "LcPValue": pa.array(rd(p)), "nn": batch["nn"],
+        })
+
+    return sums.map_batches(_finalize, batch_format="pyarrow")
+
+
+def global_gearys_c(ds, value_col: str, *, id_col: str,
+                    band: float | None, concept: str = FIXED,
+                    xcol: str = "lon", ycol: str = "lat") -> dict:
+    """Global Geary's C (GT/autocorrelation/GlobalGearysCOperation.java
+    :95-142): C = Σwᵢⱼ(xᵢ−xⱼ)²/(2·m2·W), E=1, kurtosis-corrected
+    variance; symmetric un-standardized weights decompose per row."""
+    mom = global_moments(ds, value_col)
+    n = float(mom["n"])
+    mean_x = mom["s1"] / n
+    c2 = mom["s2"] - 2 * mean_x * mom["s1"] + n * mean_x ** 2
+    c4 = (mom["s4"] - 4 * mean_x * mom["s3"] + 6 * mean_x ** 2 * mom["s2"]
+          - 4 * mean_x ** 3 * mom["s1"] + n * mean_x ** 4)
+    m2 = c2 / (n - 1.0)
+    m4 = c4 / (n - 1.0)
+    b2 = m4 / (m2 ** 2) if m2 != 0 else 0.0
+    sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
+                         concept=concept, self_neighbors=False,
+                         xcol=xcol, ycol=ycol)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        val = batch["val"].to_numpy()
+        ls = batch["local_sum"].to_numpy()
+        ls2 = batch["local_sum2"].to_numpy()
+        ws = batch["wij_sum"].to_numpy()
+        w2 = batch["wij2_sum"].to_numpy()
+        dev = val * val * ws - 2.0 * val * ls + ls2
+        return pa.table({
+            "cijw": [float(np.sum(dev))],
+            "w": [float(np.sum(ws))],
+            "s1": [float(np.sum(4.0 * w2))],
+            "s2": [float(np.sum((2.0 * ws) ** 2))],
+        })
+
+    import ray
+
+    agg = sums.map_batches(_partial, batch_format="pyarrow").aggregate(
+        *[ray.data.aggregate.Sum(c) for c in ("cijw", "w", "s1", "s2")])
+    W = agg["sum(w)"]
+    if W <= 0:
+        return {"observed": 0.0, "expected": 1.0, "variance": 0.0,
+                "z": 0.0, "p": 1.0}
+    s1 = 0.5 * agg["sum(s1)"]
+    s2 = agg["sum(s2)"]
+    observed = agg["sum(cijw)"] / (2.0 * m2 * W)
+    W2 = W ** 2
+    n2 = n ** 2
+    div = n * (n - 2.0) * (n - 3.0)
+    A = ((n - 1) * s1 * (n2 - 3 * n + 3 - (n - 1) * b2)) / (div * W2)
+    B = ((n - 1) * s2 * (n2 + 3 * n - 6 - (n2 - n + 2) * b2)) / (4.0 * div * W2)
+    C = (n2 - 3.0 - (n - 1) ** 2 * b2) / div
+    variance = A - B + C
+    z = (observed - 1.0) / np.sqrt(variance) if variance > 0 else 0.0
+    return {"observed": observed, "expected": 1.0, "variance": variance,
+            "z": float(z), "p": float(zprob(z, "both"))}
+
+
+def global_g(ds, value_col: str, *, id_col: str,
+             band: float | None, concept: str = FIXED,
+             xcol: str = "lon", ycol: str = "lat") -> dict:
+    """General G (Getis-Ord) — GT/autocorrelation/
+    GlobalGStatisticOperation.java:75-140: G = Σwᵢⱼxᵢxⱼ / Σxᵢxⱼ (i≠j),
+    E = W/(n(n−1)), b0..b4 variance on raw power sums."""
+    mom = global_moments(ds, value_col)
+    n = float(mom["n"])
+    sx, sx2, sx3, sx4 = mom["s1"], mom["s2"], mom["s3"], mom["s4"]
+    sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
+                         concept=concept, self_neighbors=False,
+                         xcol=xcol, ycol=ycol)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        val = batch["val"].to_numpy()
+        ls = batch["local_sum"].to_numpy()
+        ws = batch["wij_sum"].to_numpy()
+        w2 = batch["wij2_sum"].to_numpy()
+        return pa.table({
+            "npsum": [float(np.sum(val * ls))],
+            "w": [float(np.sum(ws))],
+            "s1": [float(np.sum(4.0 * w2))],
+            "s2": [float(np.sum((2.0 * ws) ** 2))],
+        })
+
+    import ray
+
+    agg = sums.map_batches(_partial, batch_format="pyarrow").aggregate(
+        *[ray.data.aggregate.Sum(c) for c in ("npsum", "w", "s1", "s2")])
+    W = agg["sum(w)"]
+    s1 = 0.5 * agg["sum(s1)"]
+    s2 = agg["sum(s2)"]
+    np_sum = agg["sum(npsum)"]
+    tp_sum = sx * sx - sx2  # Σ_{i≠j} xi·xj
+    expected = W / (n * (n - 1.0))
+    W2 = W ** 2
+    b0 = (n ** 2 - 3 * n + 3) * s1 - n * s2 + 3 * W2
+    b1 = -1.0 * ((n ** 2 - n) * s1 - 2 * n * s2 + 6 * W2)
+    b2_ = -1.0 * (2 * n * s1 - (n + 3) * s2 + 6 * W2)
+    b3 = 4 * (n - 1) * s1 - 2 * (n + 1) * s2 + 8 * W2
+    b4 = s1 - s2 + W2
+    variance = ((b0 * sx2 ** 2 + b1 * sx4 + b2_ * sx ** 2 * sx2
+                 + b3 * sx * sx3 + b4 * sx ** 4)
+                / ((sx ** 2 - sx2) ** 2 * (n * (n - 1) * (n - 2) * (n - 3)))
+                ) - expected ** 2
+    if tp_sum <= 0:
+        return {"observed": 0.0, "expected": expected, "variance": variance,
+                "z": 0.0, "p": 1.0}
+    observed = np_sum / tp_sum
+    z = (observed - expected) / np.sqrt(variance) if variance > 0 else 0.0
+    return {"observed": observed, "expected": expected, "variance": variance,
+            "z": float(z), "p": float(zprob(z, "both"))}
+
+
 def global_morans_i(ds, value_col: str, *, id_col: str,
                     band: float | None, concept: str = FIXED,
                     self_neighbors: bool = False,
@@ -365,3 +554,207 @@ def global_morans_i(ds, value_col: str, *, id_col: str,
         "observed": observed, "expected": expected, "variance": variance,
         "z": z, "p": zprob(z, "both") if np.isfinite(z) else 1.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# Lee's S / L, FocalLQ, Rogerson's R
+# ---------------------------------------------------------------------------
+
+def local_lees_s(ds, value_col: str, *, id_col: str, band: float | None,
+                 concept: str = FIXED, self_neighbors: bool = True,
+                 xcol: str = "lon", ycol: str = "lat",
+                 round_digits: int | None = 8):
+    """Local Lee's S (GT/autocorrelation/LocalLeesSOperation.java:58,118-133):
+    S_i = (n²/Σᵢ W̄ᵢ²) · ((Σⱼwᵢⱼ(xⱼ−μ))² / Σ(x−μ)²); z TODO'd 0 in the
+    reference (replicated). Self-neighbors ON."""
+    import ray
+
+    mom = global_moments(ds, value_col)
+    n = float(mom["n"])
+    mean_x = mom["s1"] / n
+    mx2 = mom["s2"] - 2 * mean_x * mom["s1"] + n * mean_x ** 2  # Σ(x−μ)²
+    sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
+                         concept=concept, self_neighbors=self_neighbors,
+                         xcol=xcol, ycol=ycol).materialize()
+    w2agg = sums.map_batches(
+        lambda b: pa.table({"w2": [float(np.sum(b["wij_sum"].to_numpy() ** 2))]}),
+        batch_format="pyarrow").aggregate(ray.data.aggregate.Sum("w2"))
+    wij2_total = w2agg["sum(w2)"]
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        ls = batch["local_sum"].to_numpy()
+        ws = batch["wij_sum"].to_numpy()
+        zxjw = ls - ws * mean_x
+        with np.errstate(divide="ignore", invalid="ignore"):
+            index = (n ** 2 / wij2_total) * (zxjw ** 2 / mx2)
+        index = np.where(np.isfinite(index), index, 0.0)
+        rd = (lambda v: format_round(v, round_digits)) if round_digits else (lambda v: v)
+        return pa.table({
+            "id": batch["id"], "LsIndex": pa.array(rd(index)),
+            "LsZScore": pa.array(np.zeros(len(index))),
+            "nn": batch["nn"],
+        })
+
+    return sums.map_batches(_finalize, batch_format="pyarrow")
+
+
+def global_lees_s(ds, value_col: str, *, id_col: str, band: float | None,
+                  concept: str = FIXED, xcol: str = "lon",
+                  ycol: str = "lat") -> dict:
+    """Global Lee's S (GT/autocorrelation/GlobalLeesSOperation.java:46,105):
+    S = (n/Σ W̄ᵢ²)·(Σ(Σⱼwᵢⱼzⱼ)²/Σzᵢ²); expected/variance are 0 in the
+    reference (TODO'd there; replicated). Self-neighbors OFF."""
+    import ray
+
+    mom = global_moments(ds, value_col)
+    n = float(mom["n"])
+    mean_x = mom["s1"] / n
+    z2 = mom["s2"] - 2 * mean_x * mom["s1"] + n * mean_x ** 2
+    sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
+                         concept=concept, self_neighbors=False,
+                         xcol=xcol, ycol=ycol)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ls = batch["local_sum"].to_numpy()
+        ws = batch["wij_sum"].to_numpy()
+        zw = ls - ws * mean_x
+        return pa.table({
+            "w": [float(np.sum(ws))],
+            "w2": [float(np.sum(ws ** 2))],
+            "zw2": [float(np.sum(zw ** 2))],
+        })
+
+    agg = sums.map_batches(_partial, batch_format="pyarrow").aggregate(
+        *[ray.data.aggregate.Sum(c) for c in ("w", "w2", "zw2")])
+    if agg["sum(w)"] <= 0:
+        return {"observed": 0.0, "expected": 0.0, "variance": 0.0}
+    observed = (n / agg["sum(w2)"]) * (agg["sum(zw2)"] / z2)
+    return {"observed": float(observed), "expected": 0.0, "variance": 0.0}
+
+
+def local_lees_l(ds, x_col: str, y_col: str, *, id_col: str,
+                 band: float | None, concept: str = FIXED,
+                 xcol: str = "lon", ycol: str = "lat",
+                 round_digits: int | None = 8):
+    """Local bivariate Lee's L (GT/autocorrelation/LocalLeesLOperation
+    .java:58,85-140): L_i = (n²/Σ W̄ᵢ²)·(Σwᵢⱼzxⱼ·Σwᵢⱼzyⱼ)/(√Σzx²·√Σzy²).
+    Self-neighbors ON; z TODO'd 0 in the reference."""
+    import ray
+
+    momx = global_moments(ds, x_col)
+    momy = global_moments(ds, y_col)
+    n = float(momx["n"])
+    mux = momx["s1"] / n
+    muy = momy["s1"] / n
+    mx2 = momx["s2"] - 2 * mux * momx["s1"] + n * mux ** 2
+    my2 = momy["s2"] - 2 * muy * momy["s1"] + n * muy ** 2
+    sums = neighbor_sums(ds, x_col, id_col=id_col, band=band, concept=concept,
+                         self_neighbors=True, xcol=xcol, ycol=ycol,
+                         value_col2=y_col).materialize()
+    w2agg = sums.map_batches(
+        lambda b: pa.table({"w2": [float(np.sum(b["wij_sum"].to_numpy() ** 2))]}),
+        batch_format="pyarrow").aggregate(ray.data.aggregate.Sum("w2"))
+    wij2_total = w2agg["sum(w2)"]
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        lsx = batch["local_sum"].to_numpy()
+        lsy = batch["local_sumy"].to_numpy()
+        ws = batch["wij_sum"].to_numpy()
+        zxw = lsx - ws * mux
+        zyw = lsy - ws * muy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            index = (n ** 2 / wij2_total) * ((zxw * zyw)
+                                             / (np.sqrt(mx2) * np.sqrt(my2)))
+        index = np.where(np.isfinite(index), index, 0.0)
+        rd = (lambda v: format_round(v, round_digits)) if round_digits else (lambda v: v)
+        return pa.table({
+            "id": batch["id"], "LlIndex": pa.array(rd(index)),
+            "LlZScore": pa.array(np.zeros(len(index))),
+            "nn": batch["nn"],
+        })
+
+    return sums.map_batches(_finalize, batch_format="pyarrow")
+
+
+def global_lees_l(ds, x_col: str, y_col: str, *, id_col: str,
+                  band: float | None, concept: str = FIXED,
+                  xcol: str = "lon", ycol: str = "lat") -> dict:
+    """Global bivariate Lee's L (GlobalLeesLOperation.java:46,55-115):
+    L = (n/Σ W̄ᵢ²)·(Σ|Σwzxⱼ·Σwzyⱼ|/(√Σzx²·√Σzy²)). Self ON."""
+    import ray
+
+    momx = global_moments(ds, x_col)
+    momy = global_moments(ds, y_col)
+    n = float(momx["n"])
+    mux = momx["s1"] / n
+    muy = momy["s1"] / n
+    mx2 = momx["s2"] - 2 * mux * momx["s1"] + n * mux ** 2
+    my2 = momy["s2"] - 2 * muy * momy["s1"] + n * muy ** 2
+    sums = neighbor_sums(ds, x_col, id_col=id_col, band=band, concept=concept,
+                         self_neighbors=True, xcol=xcol, ycol=ycol,
+                         value_col2=y_col)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lsx = batch["local_sum"].to_numpy()
+        lsy = batch["local_sumy"].to_numpy()
+        ws = batch["wij_sum"].to_numpy()
+        zxw = lsx - ws * mux
+        zyw = lsy - ws * muy
+        return pa.table({
+            "w": [float(np.sum(ws))],
+            "w2": [float(np.sum(ws ** 2))],
+            "xyw": [float(np.sum(np.abs(zxw * zyw)))],
+        })
+
+    agg = sums.map_batches(_partial, batch_format="pyarrow").aggregate(
+        *[ray.data.aggregate.Sum(c) for c in ("w", "w2", "xyw")])
+    if agg["sum(w)"] == 0:
+        return {"observed": 0.0, "expected": 0.0, "variance": 0.0}
+    observed = (n / agg["sum(w2)"]) * (agg["sum(xyw)"]
+                                       / (np.sqrt(mx2) * np.sqrt(my2)))
+    return {"observed": float(observed), "expected": 0.0, "variance": 0.0}
+
+
+def focal_lq(ds, x_col: str, y_col: str, *, id_col: str,
+             band: float | None, concept: str = FIXED,
+             xcol: str = "lon", ycol: str = "lat",
+             round_digits: int | None = 8):
+    """Focal Location Quotient (GT/autocorrelation/FocalLQOperation.java
+    :67-150): per-row flq = (yᵢ/xᵢ)/(ΣX/ΣY), flqd = (Σnbr x/Σnbr y)/
+    (ΣX/ΣY), fz = (Σnbr y − Σnbr x·(ΣX/ΣY))/√(Σnbr x·(ΣX/ΣY));
+    neighbors INCLUDE self (no self-skip in the reference loop).
+    Returns (Dataset, global_lq)."""
+    import ray
+
+    momx = global_moments(ds, x_col)
+    momy = global_moments(ds, y_col)
+    dxy = momx["s1"] / momy["s1"]  # named Y/X in reference, computed ΣX/ΣY
+    sums = neighbor_sums(ds, x_col, id_col=id_col, band=band, concept=concept,
+                         self_neighbors=True, xcol=xcol, ycol=ycol,
+                         value_col2=y_col).materialize()
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        xv = batch["val"].to_numpy()
+        yv = batch["val2"].to_numpy()
+        sumx = batch["local_sum"].to_numpy()
+        sumy = batch["local_sumy"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dxy_local = np.where(sumy == 0, 0.0,
+                                 sumx / np.where(sumy == 0, 1.0, sumy))
+            tmp2 = sumx * dxy
+            tmp4 = np.where(xv != 0, yv / np.where(xv == 0, 1.0, xv), 0.0)
+            flq = tmp4 / dxy
+            flqd = dxy_local / dxy
+            fz = (sumy - tmp2) / np.sqrt(tmp2)
+        fix = lambda a: np.where(np.isfinite(a), a, 0.0)
+        rd = (lambda v: format_round(v, round_digits)) if round_digits else (lambda v: v)
+        return pa.table({
+            "id": batch["id"], "flq": pa.array(rd(fix(flq))),
+            "flqd": pa.array(rd(fix(flqd))), "fz": pa.array(rd(fix(fz))),
+        })
+
+    out = sums.map_batches(_finalize, batch_format="pyarrow").materialize()
+    glq = out.map_batches(
+        lambda b: pa.table({"g": [float(np.sum(np.abs(b["flqd"].to_numpy())))]}),
+        batch_format="pyarrow").aggregate(ray.data.aggregate.Sum("g"))
+    return out, float(glq["sum(g)"])

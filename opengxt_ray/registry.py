@@ -122,6 +122,22 @@ def _populate() -> None:
       "GT/autocorrelation/LocalMoranIStatisticOperation.java:76-251")
     E("GlobalMoransI", "hotspot", HS.global_morans_i,
       "GT/autocorrelation/GlobalMoranIStatisticOperation.java:49-135")
+    E("LocalGearysC", "hotspot", HS.local_gearys_c,
+      "GT/autocorrelation/LocalGearysCOperation.java:100-142")
+    E("GlobalGearysC", "hotspot", HS.global_gearys_c,
+      "GT/autocorrelation/GlobalGearysCOperation.java:95-142")
+    E("GlobalGStatistics", "hotspot", HS.global_g,
+      "GT/autocorrelation/GlobalGStatisticOperation.java:75-140")
+    E("LocalLeesS", "hotspot", HS.local_lees_s,
+      "GT/autocorrelation/LocalLeesSOperation.java:118-133")
+    E("GlobalLeesS", "hotspot", HS.global_lees_s,
+      "GT/autocorrelation/GlobalLeesSOperation.java:105")
+    E("LocalLeesL", "hotspot", HS.local_lees_l,
+      "GT/autocorrelation/LocalLeesLOperation.java:85-140")
+    E("GlobalLeesL", "hotspot", HS.global_lees_l,
+      "GT/autocorrelation/GlobalLeesLOperation.java:55-115")
+    E("FocalLQ", "hotspot", HS.focal_lq,
+      "GT/autocorrelation/FocalLQOperation.java:67-150")
     E("NearestNeighborIndex", "hotspot", NE.nearest_neighbor_index,
       "GT/pattern/NNIOperation.java:83-156")
 
