@@ -237,18 +237,20 @@ def neighbor_sums(ds, value_col: str, *, id_col: str, band: float | None,
 # ---------------------------------------------------------------------------
 
 def local_gi_star(ds, value_col: str, *, id_col: str,
-                  band: float | None, concept: str = FIXED,
+                  band: float | None = None, concept: str = FIXED,
                   self_neighbors: bool = True, row_standardize: bool = False,
                   xcol: str = "lon", ycol: str = "lat",
-                  round_digits: int | None = 8):
+                  round_digits: int | None = 8, sums=None):
     """Getis-Ord Gi* → Dataset (id, GiZScore, GiPValue, GiMean, GiVar, nn)."""
     mom = global_moments(ds, value_col)
     n = float(mom["n"])
     mean_x = mom["s1"] / n
     var_x = float(np.sqrt(max(mom["s2"] / n - mean_x ** 2, 0.0)))
-    sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
-                         concept=concept, self_neighbors=self_neighbors,
-                         xcol=xcol, ycol=ycol, row_standardize=row_standardize)
+    if sums is None:
+        sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
+                             concept=concept, self_neighbors=self_neighbors,
+                             xcol=xcol, ycol=ycol,
+                             row_standardize=row_standardize)
 
     def _finalize(batch: pa.Table) -> pa.Table:
         ls = batch["local_sum"].to_numpy()
@@ -274,10 +276,10 @@ def local_gi_star(ds, value_col: str, *, id_col: str,
 
 
 def local_morans_i(ds, value_col: str, *, id_col: str,
-                   band: float | None, concept: str = FIXED,
+                   band: float | None = None, concept: str = FIXED,
                    row_standardize: bool = False,
                    xcol: str = "lon", ycol: str = "lat",
-                   round_digits: int | None = 8):
+                   round_digits: int | None = 8, sums=None):
     """Anselin LISA → (id, LMiIndex, LMiZScore, LMiPValue, COType, nn).
 
     self-neighbors OFF (reference LISA excludes i=j).
@@ -292,9 +294,11 @@ def local_morans_i(ds, value_col: str, *, id_col: str,
     m2 = c2 / (n - 1.0)
     m4 = c4 / (n - 1.0)
     b2 = m4 / (m2 ** 2) if m2 != 0 else 0.0
-    sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
-                         concept=concept, self_neighbors=False,
-                         xcol=xcol, ycol=ycol, row_standardize=row_standardize)
+    if sums is None:
+        sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
+                             concept=concept, self_neighbors=False,
+                             xcol=xcol, ycol=ycol,
+                             row_standardize=row_standardize)
 
     def _finalize(batch: pa.Table) -> pa.Table:
         val = batch["val"].to_numpy()
@@ -339,10 +343,10 @@ def local_morans_i(ds, value_col: str, *, id_col: str,
 
 
 def local_gearys_c(ds, value_col: str, *, id_col: str,
-                   band: float | None, concept: str = FIXED,
+                   band: float | None = None, concept: str = FIXED,
                    row_standardize: bool = False,
                    xcol: str = "lon", ycol: str = "lat",
-                   round_digits: int | None = 8):
+                   round_digits: int | None = 8, sums=None):
     """Local Geary's c → (id, LcIndex, LcZScore, LcPValue, nn).
 
     GT/autocorrelation/LocalGearysCOperation.java:100-142:
@@ -359,9 +363,11 @@ def local_gearys_c(ds, value_col: str, *, id_col: str,
     m2 = c2 / (n - 1.0)
     m4 = c4 / (n - 1.0)
     b2 = m4 / (m2 ** 2) if m2 != 0 else 0.0
-    sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
-                         concept=concept, self_neighbors=False,
-                         xcol=xcol, ycol=ycol, row_standardize=row_standardize)
+    if sums is None:
+        sums = neighbor_sums(ds, value_col, id_col=id_col, band=band,
+                             concept=concept, self_neighbors=False,
+                             xcol=xcol, ycol=ycol,
+                             row_standardize=row_standardize)
 
     def _finalize(batch: pa.Table) -> pa.Table:
         val = batch["val"].to_numpy()

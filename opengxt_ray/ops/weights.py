@@ -1,0 +1,254 @@
+"""Explicit spatial-weight structures: polygon contiguity (Queen/Rook/
+Bishops), k-nearest-neighbor weights, and pair-based neighbor sums.
+
+Reference:
+- contiguity: GT/core/WeightMatrixContiguity.java (Queen = any shared
+  boundary point, Rook = shared edge, Bishops = vertex-only).
+- KNN weights: GT/core/WeightMatrixKNearestNeighbors.java:46-65
+  (k default 8, capped 24).
+- JoinCount: GT/autocorrelation/JoinCountStatisticsOperation.java
+  :60-190 (directed BB/WW/BW visits, free-sampling expectations).
+
+Distributed construction (no O(n²)):
+- Queen/Bishops: every polygon emits (quantized-vertex-key, fid);
+  ``groupby(vertex)`` buckets → pairwise within bucket.
+- Rook: same with undirected quantized edge keys.
+- KNN: self k-NN via the broadcast GridPointIndex linker.
+
+The pair list then drives any hotspot statistic through
+:func:`sums_from_pairs`, which produces the same schema as
+``hotspot.neighbor_sums`` (pass via ``sums=``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..core import wkb as _wkb
+from ..core.fid import hash_ints
+
+
+def _quant_key(x: np.ndarray, y: np.ndarray, quant: float) -> np.ndarray:
+    qx = np.round(x / quant).astype(np.int64)
+    qy = np.round(y / quant).astype(np.int64)
+    with np.errstate(over="ignore"):
+        return hash_ints(qx.astype(np.uint64)) ^ hash_ints(
+            (qy + np.int64(3)).astype(np.uint64))
+
+
+def contiguity_pairs(polys_ds, *, fid_col: str, mode: str = "queen",
+                     geom_col: str = "geom", quant: float = 1e-9):
+    """Polygon adjacency pairs (src, dst) — directed (both orders).
+
+    Touching along an edge interior without a shared vertex is not
+    detected (vertex-hash approximation; exact for tessellations).
+    """
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        fids = batch[fid_col]
+        keys_out, fid_idx = [], []
+        for i in range(len(fg)):
+            if mode in ("queen", "bishops"):
+                pts = fg.geom_coords(i)
+                k = np.unique(_quant_key(pts[:, 0], pts[:, 1], quant))
+            else:  # rook: undirected edge keys
+                eks = []
+                for r, _ in fg.rings(i):
+                    if len(r) < 2:
+                        continue
+                    k0 = _quant_key(r[:-1, 0], r[:-1, 1], quant)
+                    k1 = _quant_key(r[1:, 0], r[1:, 1], quant)
+                    with np.errstate(over="ignore"):
+                        eks.append(np.minimum(k0, k1) * np.uint64(0x9E3779B9)
+                                   + np.maximum(k0, k1))
+                k = np.unique(np.concatenate(eks)) if eks else np.empty(0, np.uint64)
+            keys_out.append(k)
+            fid_idx.append(np.full(len(k), i, dtype=np.int64))
+        allk = np.concatenate(keys_out) if keys_out else np.empty(0, np.uint64)
+        alli = np.concatenate(fid_idx) if fid_idx else np.empty(0, np.int64)
+        return pa.table({
+            "vkey": pa.array(allk, pa.uint64()),
+            "fid": fids.take(pa.array(alli)),
+        })
+
+    emitted = polys_ds.map_batches(_emit, batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        fids = group["fid"].to_numpy(zero_copy_only=False)
+        u = np.unique(fids)
+        if len(u) < 2:
+            return pa.table({"src": pa.array([], type=group.schema.field("fid").type),
+                             "dst": pa.array([], type=group.schema.field("fid").type)})
+        iu, ju = np.meshgrid(np.arange(len(u)), np.arange(len(u)))
+        m = iu != ju
+        return pa.table({"src": pa.array(u[iu[m]]), "dst": pa.array(u[ju[m]])})
+
+    pairs = emitted.groupby("vkey").map_groups(_pairs, batch_format="pyarrow")
+    pairs = pairs.groupby(["src", "dst"]).count().map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+        batch_format="pyarrow")
+    if mode == "bishops":
+        rook = contiguity_pairs(polys_ds, fid_col=fid_col, mode="rook",
+                                geom_col=geom_col, quant=quant)
+        rook_set = rook.map_batches(
+            lambda b: pa.table({"src": b["src"], "dst": b["dst"],
+                                "__rook": pa.array([True] * len(b))}),
+            batch_format="pyarrow")
+        j = pairs.join(rook_set, join_type="left_outer", num_partitions=8,
+                       on=("src", "dst"))
+        return j.filter(lambda r: r["__rook"] is None).map_batches(
+            lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+            batch_format="pyarrow")
+    return pairs
+
+
+def knn_pairs(ds, *, id_col: str, k: int = 8, xcol: str = "lon",
+              ycol: str = "lat"):
+    """Self k-NN weight pairs (k default 8, capped 24 per reference)."""
+    from .near import knn_links
+
+    k = min(k, 24)
+    pdf = ds.select_columns([id_col, xcol, ycol]).to_pandas()
+    links = knn_links(ds, pdf[id_col].to_numpy(), pdf[xcol].to_numpy(),
+                      pdf[ycol].to_numpy(), k=k, id_col=id_col,
+                      nbr_id_col="dst", xcol=xcol, ycol=ycol,
+                      exclude_self=True)
+    return links.map_batches(
+        lambda b: pa.table({"src": b[id_col], "dst": b["dst"]}),
+        batch_format="pyarrow")
+
+
+def sums_from_pairs(pairs_ds, ds, value_col: str, *, id_col: str,
+                    row_standardize: bool = False, num_partitions: int = 8):
+    """(src, dst) pairs + values → neighbor-sum rows with the same
+    schema as hotspot.neighbor_sums (binary weights)."""
+    vals = ds.map_batches(
+        lambda b: pa.table({"dst": b[id_col], "__vj": b[value_col]}),
+        batch_format="pyarrow")
+    joined = pairs_ds.join(vals, join_type="inner",
+                           num_partitions=num_partitions, on=("dst",))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        vj = batch["__vj"].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(src)
+        ls = np.bincount(codes, weights=vj, minlength=len(uniq))
+        ls2 = np.bincount(codes, weights=vj * vj, minlength=len(uniq))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({
+            "id": pa.array(uniq),
+            "p_ls": pa.array(ls), "p_ls2": pa.array(ls2),
+            "p_n": pa.array(cnt.astype(np.float64)),
+        })
+
+    partial = joined.map_batches(_partial, batch_format="pyarrow")
+    agg = partial.groupby("id").aggregate(
+        ray.data.aggregate.Sum("p_ls"), ray.data.aggregate.Sum("p_ls2"),
+        ray.data.aggregate.Sum("p_n"))
+    own = ds.map_batches(
+        lambda b: pa.table({"id": b[id_col], "val": b[value_col]}),
+        batch_format="pyarrow")
+    out = own.join(agg, join_type="left_outer",
+                   num_partitions=num_partitions, on=("id",))
+
+    def _final(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ls = pc.coalesce(batch["sum(p_ls)"], pa.scalar(0.0)).to_numpy(
+            zero_copy_only=False)
+        ls2 = pc.coalesce(batch["sum(p_ls2)"], pa.scalar(0.0)).to_numpy(
+            zero_copy_only=False)
+        ws = pc.coalesce(batch["sum(p_n)"], pa.scalar(0.0)).to_numpy(
+            zero_copy_only=False)
+        if row_standardize:
+            safe = np.where(ws == 0, 1.0, ws)
+            ls = np.where(ws == 0, 0.0, ls / safe)
+            ls2 = np.where(ws == 0, 0.0, ls2 / safe)
+            w2 = np.where(ws == 0, 0.0, 1.0 / safe)  # Σ(1/r)² ·r = 1/r
+            wsn = np.where(ws == 0, 0.0, 1.0)
+        else:
+            w2 = ws  # binary weights: Σw² = Σw
+            wsn = ws
+        return pa.table({
+            "id": batch["id"],
+            "val": pa.array(batch["val"].to_numpy(zero_copy_only=False)
+                            .astype(np.float64)),
+            "local_sum": pa.array(ls), "local_sum2": pa.array(ls2),
+            "wij_sum": pa.array(wsn), "wij2_sum": pa.array(w2),
+            "nn": pa.array(ws.astype(np.int64)),
+        })
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+def join_count_statistics(pairs_ds, ds, *, id_col: str, black_col: str,
+                          num_partitions: int = 8) -> dict:
+    """Join-count BB/WW/BW over a binary column and adjacency pairs
+    (JoinCountStatisticsOperation semantics — DIRECTED counts, free-
+    sampling expectations, z-scores)."""
+    vals = ds.map_batches(
+        lambda b: pa.table({
+            "dst": b[id_col],
+            "__black_j": b[black_col].cast(pa.bool_()),
+        }),
+        batch_format="pyarrow")
+    j1 = pairs_ds.join(vals, join_type="inner", num_partitions=num_partitions,
+                       on=("dst",))
+    vals_src = ds.map_batches(
+        lambda b: pa.table({
+            "src": b[id_col],
+            "__black_i": b[black_col].cast(pa.bool_()),
+        }),
+        batch_format="pyarrow")
+    j2 = j1.join(vals_src, join_type="inner", num_partitions=num_partitions,
+                 on=("src",))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bi = batch["__black_i"].to_numpy(zero_copy_only=False)
+        bj = batch["__black_j"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        nbr = np.bincount(codes, minlength=len(uniq)).astype(np.float64)
+        return pa.table({
+            "bb": [int(np.sum(bi & bj))], "ww": [int(np.sum(~bi & ~bj))],
+            "bw": [int(np.sum(bi != bj))],
+            "m": [float(np.sum(nbr * (nbr - 1)))],
+        })
+
+    agg = j2.map_batches(_partial, batch_format="pyarrow").aggregate(
+        *[ray.data.aggregate.Sum(c) for c in ("bb", "ww", "bw", "m")])
+    counts = ds.map_batches(
+        lambda b: pa.table({
+            "blk": [int(np.sum(b[black_col].to_numpy(zero_copy_only=False)
+                               .astype(bool)))],
+            "tot": [len(b)],
+        }),
+        batch_format="pyarrow").aggregate(
+        ray.data.aggregate.Sum("blk"), ray.data.aggregate.Sum("tot"))
+    bb, ww, bw = agg["sum(bb)"], agg["sum(ww)"], agg["sum(bw)"]
+    m = agg["sum(m)"] / 2.0
+    black = counts["sum(blk)"]
+    total = counts["sum(tot)"]
+    pb = black / total
+    pw = 1.0 - pb
+    k = bb + ww + bw
+    ebb, eww, ebw = k * pb * pb, k * pw * pw, 2.0 * k * pb * pw
+    sbb = np.sqrt(k * pb ** 2 + 2 * m * pb ** 3 - (k + 2 * m) * pb ** 4)
+    sww = np.sqrt(k * pw ** 2 + 2 * m * pw ** 3 - (k + 2 * m) * pw ** 4)
+    sbw = np.sqrt(2 * (k + m) * pb * pw - 4 * (k + 2 * m) * pb ** 2 * pw ** 2)
+    return {
+        "observed_bb": int(bb), "observed_ww": int(ww), "observed_bw": int(bw),
+        "expected_bb": ebb, "expected_ww": eww, "expected_bw": ebw,
+        "z_bb": (bb - ebb) / sbb if sbb > 0 else 0.0,
+        "z_ww": (ww - eww) / sww if sww > 0 else 0.0,
+        "z_bw": (bw - ebw) / sbw if sbw > 0 else 0.0,
+        "black": int(black), "white": int(total - black), "joins": int(k),
+    }

@@ -67,6 +67,7 @@ def _populate() -> None:
     from .ops import near as NE
     from .ops import pip as PIP
     from .ops import regression as RG
+    from .ops import weights as WT
     from .raster import density as RD
     from .raster import tiles as RT
     from .raster import zonal as RZ
@@ -75,6 +76,7 @@ def _populate() -> None:
     from .stages import transforms as T
     from .textops import dedup as TD
     from .textops import quality as TQ
+    from .textops import multimodal as MM
     from .vector import ann as ANN
 
     def E(name, category, build, reference="", params=()):
@@ -140,6 +142,12 @@ def _populate() -> None:
       "GT/autocorrelation/FocalLQOperation.java:67-150")
     E("NearestNeighborIndex", "hotspot", NE.nearest_neighbor_index,
       "GT/pattern/NNIOperation.java:83-156")
+    E("ContiguityWeights", "hotspot", WT.contiguity_pairs,
+      "GT/core/WeightMatrixContiguity.java")
+    E("KNNWeights", "hotspot", WT.knn_pairs,
+      "GT/core/WeightMatrixKNearestNeighbors.java:46-65")
+    E("JoinCountStatistics", "hotspot", WT.join_count_statistics,
+      "GT/autocorrelation/JoinCountStatisticsOperation.java:60-190")
 
     # distribution (§2.5)
     E("MeanCenter", "distribution", DI.mean_center,
@@ -279,6 +287,9 @@ def _populate() -> None:
     E("Fingerprint", "trainingdata", TQ.fingerprint_batch)
     E("AnnBruteTopK", "trainingdata", ANN.brute_topk)
     E("AnnIvfTopK", "trainingdata", ANN.ivf_topk)
+    E("ImageEmbeddings", "multimodal", MM.image_embeddings)
+    E("AudioFrameSample", "multimodal", MM.audio_frames)
+    E("SynthMedia", "multimodal", MM.synth_media_batch)
 
 
 _populate()

@@ -1,0 +1,157 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels are STUBBED (no image/audio libraries in this
+container): ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (seeded from the payload hash) produces
+arrays of the declared shape. Everything around the decode — schema
+convention, batch sizing for large payloads, actor-pool signature,
+broadcast model ref, output layout — is real and tested.
+
+Schema convention:
+- payload: ``binary``
+- metadata struct columns: ``media_type:string``, ``width/height:int32``
+  (images) or ``sample_rate/num_samples:int32`` (audio)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..core.fid import hash_strings
+from ..core.util import default_concurrency
+
+
+def synth_media_batch(batch: pa.Table, *, kind: str = "image") -> pa.Table:
+    """Deterministic fake media payloads from an ``id`` column (for
+    tests/benches; payload bytes are a seeded byte pattern)."""
+    ids = batch["id"].to_numpy()
+    payloads = []
+    w = np.full(len(ids), 64, dtype=np.int32)
+    h = np.full(len(ids), 48, dtype=np.int32)
+    for i in ids:
+        rs = np.random.RandomState(int(i) % (2 ** 31))
+        payloads.append(rs.bytes(256))
+    return pa.table({
+        "media_id": pa.array(ids),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array([kind] * len(ids), pa.string()),
+        "width": pa.array(w), "height": pa.array(h),
+    })
+
+
+def _fake_decode(payload: bytes, shape: tuple[int, ...]) -> np.ndarray:
+    seed = int(hash_strings([payload])[0] % np.uint64(2 ** 31))
+    rs = np.random.RandomState(seed)
+    return rs.randint(0, 256, size=shape).astype(np.uint8)
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: decode → resize → feature-extract.
+
+    Real pipeline shape: the "model" (a deterministic projection
+    matrix standing in for a CNN embedding head) is built ONCE per
+    actor in ``__init__`` from a broadcast ref; per batch the work is
+    vectorized over decoded frames. Set ``fake=False`` once a real
+    decoder (PIL/cv2) is installed — only ``_decode`` changes.
+    """
+
+    def __init__(self, *, out_dim: int = 32, resize: tuple[int, int] = (16, 16),
+                 fake: bool = True, payload_col: str = "payload"):
+        self.resize = resize
+        self.fake = fake
+        self.payload_col = payload_col
+        rs = np.random.RandomState(1234)  # deterministic "model load"
+        self.proj = rs.standard_normal((resize[0] * resize[1], out_dim))
+
+    def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "real image decode requires PIL/cv2 (not in this container); "
+                "run with fake=True for the deterministic stub")
+        return _fake_decode(payload, (h, w))
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        th, tw = self.resize
+        ys = (np.arange(th) * img.shape[0] // th)
+        xs = (np.arange(tw) * img.shape[1] // tw)
+        return img[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        ws = batch["width"].to_numpy()
+        hs = batch["height"].to_numpy()
+        frames = np.stack([
+            self._resize(self._decode(p, int(w), int(h)))
+            for p, w, h in zip(payloads, ws, hs)
+        ]).astype(np.float64)
+        flat = frames.reshape(len(payloads), -1) / 255.0
+        emb = flat @ self.proj  # batched "inference"
+        out = batch.drop_columns([self.payload_col])  # payload stays out of downstream shuffles
+        return out.append_column(
+            "embedding", pa.array(list(emb), pa.list_(pa.float64(),
+                                                      emb.shape[1])))
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: decode audio → frame-sample → per-frame RMS.
+
+    Same stub pattern: structure real, decode fake-deterministic.
+    """
+
+    def __init__(self, *, frame_len: int = 400, hop: int = 200,
+                 fake: bool = True, payload_col: str = "payload"):
+        self.frame_len = frame_len
+        self.hop = hop
+        self.fake = fake
+        self.payload_col = payload_col
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "real audio decode requires soundfile/ffmpeg; "
+                "run with fake=True for the deterministic stub")
+        return (_fake_decode(payload, (4000,)).astype(np.float64) - 128) / 128
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, frame_idx, rms = [], [], []
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        for i, p in zip(ids, batch[self.payload_col].to_pylist()):
+            sig = self._decode(p)
+            n_frames = max(0, (len(sig) - self.frame_len) // self.hop + 1)
+            idx = (np.arange(n_frames)[:, None] * self.hop
+                   + np.arange(self.frame_len)[None, :])
+            frames = sig[idx]
+            r = np.sqrt((frames ** 2).mean(axis=1))
+            ids_out.append(np.full(n_frames, i))
+            frame_idx.append(np.arange(n_frames, dtype=np.int32))
+            rms.append(r)
+        return pa.table({
+            "media_id": pa.array(np.concatenate(ids_out)),
+            "frame": pa.array(np.concatenate(frame_idx)),
+            "rms": pa.array(np.concatenate(rms)),
+        })
+
+
+def image_embeddings(ds, *, out_dim=32, batch_size: int = 64,
+                     concurrency=None):
+    """Image pipeline: small batches (large binary payloads — SURVEY
+    'Memory-aware'), actor pool, payload dropped after decode."""
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs=dict(out_dim=out_dim),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def audio_frames(ds, *, batch_size: int = 64, concurrency=None):
+    return ds.map_batches(
+        AudioFrameSampler,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
