@@ -1,0 +1,314 @@
+"""Tessellation operators — Delaunay, Thiessen/Voronoi, concave hull,
+point generators (random/regular), triangular/circular grids.
+
+Reference (SURVEY.md §2.6):
+- ThiessenPolygon: GT/operations/ThiessenPolygonOperation.java
+- DelaunayTriangulation: GT/operations/DelaunayTrangulationOperation.java
+- ConcaveHull: GT/operations/ConcaveHullOperation.java
+- RandomPoints: GT/operations/RandomPointsOperation.java:52-120 — the
+  reference has NO seed control (JTS RandomPointsBuilder); we improve
+  with explicit per-partition seeds (deterministic, SURVEY §2.6 note).
+- RegularPoints / TriangularGrid / CircularGrid generators.
+
+Execution: triangulation is driver/actor-side on the gathered point set
+(the reference is likewise whole-collection in memory); at scale the
+documented pattern is per-cell triangulation with halo via
+``groupby(cell).map_groups`` over hex cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..core import geomops, wkb as _wkb
+from ..core.fid import hash_ints
+
+
+# ---------------------------------------------------------------------------
+# Delaunay (Bowyer–Watson, numpy)
+# ---------------------------------------------------------------------------
+
+def delaunay_triangles(points: np.ndarray) -> np.ndarray:
+    """Bowyer–Watson triangulation → (m, 3) vertex-index triangles."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int64)
+    # super-triangle
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1e-9) * 10
+    sup = np.array([[cx - 2 * span, cy - span], [cx + 2 * span, cy - span],
+                    [cx, cy + 2 * span]])
+    allp = np.vstack([pts, sup])
+    tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
+
+    def circum(tri):
+        a, b, c = allp[tri[0]], allp[tri[1]], allp[tri[2]]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        if abs(d) < 1e-20:
+            return np.array([np.inf, np.inf]), np.inf
+        ux = ((a[0] ** 2 + a[1] ** 2) * (b[1] - c[1])
+              + (b[0] ** 2 + b[1] ** 2) * (c[1] - a[1])
+              + (c[0] ** 2 + c[1] ** 2) * (a[1] - b[1])) / d
+        uy = ((a[0] ** 2 + a[1] ** 2) * (c[0] - b[0])
+              + (b[0] ** 2 + b[1] ** 2) * (a[0] - c[0])
+              + (c[0] ** 2 + c[1] ** 2) * (b[0] - a[0])) / d
+        cc = np.array([ux, uy])
+        r2 = ((a - cc) ** 2).sum()
+        return cc, r2
+
+    centers = {0: circum(tris[0])}
+    for pi in range(n):
+        p = allp[pi]
+        bad = []
+        for ti, tri in enumerate(tris):
+            cc, r2 = centers[ti]
+            if ((p - cc) ** 2).sum() <= r2:
+                bad.append(ti)
+        # boundary of the bad-triangle cavity
+        edge_count: dict = {}
+        for ti in bad:
+            a, b, c = tris[ti]
+            for e in ((a, b), (b, c), (c, a)):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        boundary = [e for e, cnt in edge_count.items() if cnt == 1]
+        for ti in sorted(bad, reverse=True):
+            tris.pop(ti)
+        centers = {}
+        for e in boundary:
+            tris.append((e[0], e[1], pi))
+        for ti, tri in enumerate(tris):
+            centers[ti] = circum(tri)
+    out = [t for t in tris if max(t) < n]
+    return np.asarray(out, dtype=np.int64) if out else np.empty((0, 3), np.int64)
+
+
+def delaunay(ds, *, id_col: str, xcol: str = "lon", ycol: str = "lat",
+             max_points: int = 50_000):
+    """DelaunayTriangulation → Dataset of triangle polygons
+    (tri_id, a, b, c, geom)."""
+    pdf = ds.select_columns([id_col, xcol, ycol]).limit(max_points).to_pandas()
+    pts = pdf[[xcol, ycol]].to_numpy()
+    ids = pdf[id_col].to_numpy()
+    tris = delaunay_triangles(pts)
+    geoms = [
+        _wkb.encode_polygon(pts[list(t)]) for t in tris
+    ]
+    table = pa.table({
+        "tri_id": pa.array(np.arange(len(tris))),
+        "a": pa.array(ids[tris[:, 0]] if len(tris) else []),
+        "b": pa.array(ids[tris[:, 1]] if len(tris) else []),
+        "c": pa.array(ids[tris[:, 2]] if len(tris) else []),
+        "geom": pa.array(geoms, pa.binary()),
+    })
+    return ray.data.from_arrow(table)
+
+
+def thiessen(ds, *, id_col: str, xcol: str = "lon", ycol: str = "lat",
+             extent=None, max_points: int = 20_000):
+    """ThiessenPolygon (Voronoi) via Delaunay dual, clipped to extent.
+
+    Each cell = intersection of half-planes vs every Delaunay neighbor
+    (convex clip, exact for Voronoi cells).
+    """
+    pdf = ds.select_columns([id_col, xcol, ycol]).limit(max_points).to_pandas()
+    pts = pdf[[xcol, ycol]].to_numpy()
+    ids = pdf[id_col].to_numpy()
+    n = len(pts)
+    if extent is None:
+        pad_x = pts[:, 0].ptp() * 0.1 + 1e-9
+        pad_y = pts[:, 1].ptp() * 0.1 + 1e-9
+        extent = (pts[:, 0].min() - pad_x, pts[:, 1].min() - pad_y,
+                  pts[:, 0].max() + pad_x, pts[:, 1].max() + pad_y)
+    minx, miny, maxx, maxy = extent
+    tris = delaunay_triangles(pts)
+    nbrs: list[set] = [set() for _ in range(n)]
+    for a, b, c in tris:
+        nbrs[a].update((b, c))
+        nbrs[b].update((a, c))
+        nbrs[c].update((a, b))
+    geoms = []
+    for i in range(n):
+        cell = np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])
+        p = pts[i]
+        for j in nbrs[i]:
+            q = pts[j]
+            mid = (p + q) / 2
+            d = q - p  # keep side where (x-mid)·d <= 0
+            new = []
+            m = len(cell)
+            side = (cell - mid) @ d
+            for k in range(m):
+                k2 = (k + 1) % m
+                if side[k] <= 0:
+                    new.append(cell[k])
+                if (side[k] <= 0) != (side[k2] <= 0):
+                    t = side[k] / (side[k] - side[k2])
+                    new.append(cell[k] + t * (cell[k2] - cell[k]))
+            cell = np.asarray(new) if new else np.empty((0, 2))
+            if len(cell) == 0:
+                break
+        geoms.append(_wkb.encode_polygon(cell) if len(cell) >= 3 else None)
+    mask = [g is not None for g in geoms]
+    table = pa.table({
+        id_col: pa.array(ids[mask]),
+        "geom": pa.array([g for g in geoms if g is not None], pa.binary()),
+    })
+    return ray.data.from_arrow(table)
+
+
+def concave_hull(ds, *, alpha: float, xcol: str = "lon", ycol: str = "lat",
+                 max_points: int = 50_000):
+    """ConcaveHull (alpha shape): Delaunay minus triangles with
+    circumradius > 1/alpha; returns boundary polygon(s) WKB list."""
+    pdf = ds.select_columns([xcol, ycol]).limit(max_points).to_pandas()
+    pts = pdf[[xcol, ycol]].to_numpy()
+    tris = delaunay_triangles(pts)
+    keep = []
+    for t in tris:
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        la, lb, lc = np.linalg.norm(b - c), np.linalg.norm(a - c), np.linalg.norm(a - b)
+        s = (la + lb + lc) / 2
+        area = max(s * (s - la) * (s - lb) * (s - lc), 1e-30) ** 0.5
+        r = la * lb * lc / (4 * area)
+        if r <= 1.0 / alpha:
+            keep.append(t)
+    # boundary edges (appear once)
+    edge_count: dict = {}
+    for t in keep:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            k = (min(e), max(e))
+            edge_count[k] = edge_count.get(k, 0) + 1
+    boundary = [e for e, cnt in edge_count.items() if cnt == 1]
+    # chain boundary edges into rings
+    adj: dict = {}
+    for a, b in boundary:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    rings = []
+    visited = set()
+    for start in adj:
+        if start in visited:
+            continue
+        ring = [start]
+        visited.add(start)
+        cur = start
+        while True:
+            nxts = [v for v in adj.get(cur, []) if v not in visited]
+            if not nxts:
+                break
+            cur = nxts[0]
+            visited.add(cur)
+            ring.append(cur)
+        if len(ring) >= 3:
+            rings.append(pts[ring])
+    return [
+        _wkb.encode_polygon(r) for r in rings
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Point generators (deterministic — improvement over the reference)
+# ---------------------------------------------------------------------------
+
+def random_points(extent, n: int, *, seed: int = 42, parallelism: int = 8):
+    """RandomPoints with explicit determinism: coordinates are pure hash
+    functions of (seed, index) → identical on any cluster layout."""
+    minx, miny, maxx, maxy = extent
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.uint64)
+        hx = hash_ints(ids + np.uint64(seed))
+        hy = hash_ints(ids + np.uint64(seed + 7919))
+        x = minx + (hx % np.uint64(1 << 53)).astype(np.float64) / float(1 << 53) * (maxx - minx)
+        y = miny + (hy % np.uint64(1 << 53)).astype(np.float64) / float(1 << 53) * (maxy - miny)
+        return pa.table({
+            "pid": pa.array(ids.astype(np.int64)),
+            "lon": pa.array(x), "lat": pa.array(y),
+            "geom": pa.array(list(_wkb.encode_points(x, y)), pa.binary()),
+        })
+
+    return ray.data.range(n, override_num_blocks=parallelism).map_batches(
+        _gen, batch_format="pyarrow")
+
+
+def regular_points(extent, *, columns: int, rows: int, parallelism: int = 8):
+    """RegularPoints — grid-centered points."""
+    minx, miny, maxx, maxy = extent
+    w = (maxx - minx) / columns
+    h = (maxy - miny) / rows
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        col = ids % columns
+        row = ids // columns
+        x = minx + (col + 0.5) * w
+        y = miny + (row + 0.5) * h
+        return pa.table({
+            "pid": pa.array(ids), "lon": pa.array(x), "lat": pa.array(y),
+            "geom": pa.array(list(_wkb.encode_points(x, y)), pa.binary()),
+        })
+
+    return ray.data.range(columns * rows,
+                          override_num_blocks=parallelism).map_batches(
+        _gen, batch_format="pyarrow")
+
+
+def triangular_grid(extent, *, size: float, parallelism: int = 8):
+    """TriangularGrid — alternating up/down triangles."""
+    minx, miny, maxx, maxy = extent
+    cols = int(np.ceil((maxx - minx) / size)) * 2
+    rows = int(np.ceil((maxy - miny) / (size * np.sqrt(3) / 2)))
+    hgt = size * np.sqrt(3) / 2
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        c = ids % cols
+        r = ids // cols
+        geoms = []
+        for ci, ri in zip(c, r):
+            x0 = minx + (ci // 2) * size + (ri % 2) * (size / 2)
+            y0 = miny + ri * hgt
+            up = (ci % 2) == 0
+            if up:
+                tri = np.array([[x0, y0], [x0 + size, y0],
+                                [x0 + size / 2, y0 + hgt]])
+            else:
+                tri = np.array([[x0 + size / 2, y0 + hgt],
+                                [x0 + size * 1.5, y0 + hgt], [x0 + size, y0]])
+            geoms.append(_wkb.encode_polygon(tri))
+        return pa.table({"cell_id": pa.array(ids),
+                         "geom": pa.array(geoms, pa.binary())})
+
+    return ray.data.range(cols * rows,
+                          override_num_blocks=parallelism).map_batches(
+        _gen, batch_format="pyarrow")
+
+
+def circular_grid(extent, *, radius: float, parallelism: int = 8,
+                  quadrant_segs: int = 8):
+    """CircularGrid — circles centered on a square grid."""
+    minx, miny, maxx, maxy = extent
+    cols = int(np.ceil((maxx - minx) / (2 * radius)))
+    rows = int(np.ceil((maxy - miny) / (2 * radius)))
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        c = ids % cols
+        r = ids // cols
+        cx = minx + (c + 0.5) * 2 * radius
+        cy = miny + (r + 0.5) * 2 * radius
+        geoms = [_wkb.encode_polygon(
+            geomops.circle_ring(float(x), float(y), radius, quadrant_segs))
+            for x, y in zip(cx, cy)]
+        return pa.table({"cell_id": pa.array(ids),
+                         "cx": pa.array(cx), "cy": pa.array(cy),
+                         "geom": pa.array(geoms, pa.binary())})
+
+    return ray.data.range(cols * rows,
+                          override_num_blocks=parallelism).map_batches(
+        _gen, batch_format="pyarrow")

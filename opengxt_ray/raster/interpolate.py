@@ -1,0 +1,186 @@
+"""Point-to-surface interpolation: IDW, TPS (thin-plate spline),
+Euclidean distance raster.
+
+Reference:
+- IDW: GT/gridcoverage/RasterInterpolationIDWOperation.java +
+  IDWInterpolator — value = Σ(vᵢ/dᵢᵖ)/Σ(1/dᵢᵖ) over sample points.
+- TPS: GT/gridcoverage/ThinPlateSplineInterpolator.java — solve the
+  r²·log r radial-basis system on the (small) sample set (driver),
+  evaluate per tile.
+- EuclideanDistance: GT/gridcoverage/RasterEuclideanDistanceOperation
+  .java — distance-to-nearest-source per cell.
+
+Execution: sample points are broadcast (ray.put); every tile is a
+stateless vectorized evaluation — MB-actor per SURVEY §2.7.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..core.util import default_concurrency
+from .tiles import RasterMeta, _tile_key
+
+
+def _tile_grid(meta: RasterMeta, tx: int, ty: int):
+    h, w = meta.tile_shape(tx, ty)
+    cols = np.arange(tx * meta.tile_size, tx * meta.tile_size + w)
+    rows = np.arange(ty * meta.tile_size, ty * meta.tile_size + h)
+    cx, cy = np.meshgrid(cols, rows)
+    x, y = meta.cell_center(cx, cy)
+    return x.ravel(), y.ravel(), (h, w)
+
+
+def _all_tiles_ds(meta: RasterMeta, parallelism: int = 8):
+    n = meta.tiles_x * meta.tiles_y
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        return pa.table({
+            "tx": pa.array((ids % meta.tiles_x).astype(np.int32)),
+            "ty": pa.array((ids // meta.tiles_x).astype(np.int32)),
+        })
+
+    return ray.data.range(n, override_num_blocks=parallelism).map_batches(
+        _gen, batch_format="pyarrow")
+
+
+class _TileEvaluator:
+    def __init__(self, ref, meta, fn):
+        if isinstance(ref, list):
+            ref = ref[0]
+        self.state = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.meta = meta
+        self.fn = fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for tx, ty in zip(batch["tx"].to_numpy(), batch["ty"].to_numpy()):
+            x, y, (h, w) = _tile_grid(self.meta, int(tx), int(ty))
+            vals = self.fn(self.state, x, y)
+            out.append(vals.reshape(h, w).tobytes())
+        return pa.table({"tx": batch["tx"], "ty": batch["ty"],
+                         "data": pa.array(out, pa.binary())})
+
+
+def idw(points_ds, meta: RasterMeta, *, value_col: str, power: float = 2.0,
+        xcol: str = "lon", ycol: str = "lat", concurrency=None,
+        parallelism: int = 8):
+    """IDW surface — full-sample weighting per cell (reference
+    semantics; at scale restrict samples per tile via cell bucketing)."""
+    pdf = points_ds.select_columns([xcol, ycol, value_col]).to_pandas()
+    ref = ray.put((pdf[xcol].to_numpy(), pdf[ycol].to_numpy(),
+                   pdf[value_col].to_numpy().astype(np.float64), power))
+
+    def _eval(state, x, y):
+        sx, sy, sv, p = state
+        out = np.empty(len(x))
+        CH = 4096
+        for c0 in range(0, len(x), CH):
+            d = np.hypot(x[c0 : c0 + CH, None] - sx[None, :],
+                         y[c0 : c0 + CH, None] - sy[None, :])
+            exact = d < 1e-12
+            with np.errstate(divide="ignore"):
+                w = 1.0 / d ** p
+            w[exact] = 0.0
+            num = w @ sv
+            den = w.sum(axis=1)
+            val = num / np.where(den == 0, 1.0, den)
+            hit = exact.any(axis=1)
+            if hit.any():
+                idx = np.argmax(exact, axis=1)
+                val = np.where(hit, sv[idx], val)
+            out[c0 : c0 + CH] = val
+        return out
+
+    tiles = _all_tiles_ds(meta, parallelism)
+    return tiles.map_batches(
+        _TileEvaluator, fn_constructor_args=([ref], meta, _eval),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency())
+
+
+def tps(points_ds, meta: RasterMeta, *, value_col: str,
+        xcol: str = "lon", ycol: str = "lat", smooth: float = 0.0,
+        concurrency=None, parallelism: int = 8, max_samples: int = 2000):
+    """Thin-plate spline surface: r²·log r RBF solved on the driver
+    (small sample side), evaluated per tile."""
+    pdf = points_ds.select_columns([xcol, ycol, value_col]).limit(
+        max_samples).to_pandas()
+    sx = pdf[xcol].to_numpy()
+    sy = pdf[ycol].to_numpy()
+    sv = pdf[value_col].to_numpy().astype(np.float64)
+    n = len(sx)
+    d = np.hypot(sx[:, None] - sx[None, :], sy[:, None] - sy[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        K = np.where(d > 0, d * d * np.log(d), 0.0)
+    K[np.diag_indices(n)] += smooth
+    P = np.column_stack([np.ones(n), sx, sy])
+    A = np.zeros((n + 3, n + 3))
+    A[:n, :n] = K
+    A[:n, n:] = P
+    A[n:, :n] = P.T
+    rhs = np.concatenate([sv, np.zeros(3)])
+    if n < 3:
+        raise ValueError("TPS needs >= 3 non-collinear sample points")
+    try:
+        coef = np.linalg.solve(A, rhs)
+    except np.linalg.LinAlgError:
+        coef, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+    ref = ray.put((sx, sy, coef))
+
+    def _eval(state, x, y):
+        sx_, sy_, c = state
+        nn = len(sx_)
+        out = np.empty(len(x))
+        CH = 4096
+        for c0 in range(0, len(x), CH):
+            d = np.hypot(x[c0 : c0 + CH, None] - sx_[None, :],
+                         y[c0 : c0 + CH, None] - sy_[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                K_ = np.where(d > 0, d * d * np.log(d), 0.0)
+            out[c0 : c0 + CH] = (K_ @ c[:nn] + c[nn] + c[nn + 1] * x[c0 : c0 + CH]
+                                 + c[nn + 2] * y[c0 : c0 + CH])
+        return out
+
+    tiles = _all_tiles_ds(meta, parallelism)
+    return tiles.map_batches(
+        _TileEvaluator, fn_constructor_args=([ref], meta, _eval),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency())
+
+
+def euclidean_distance(points_ds, meta: RasterMeta, *,
+                       xcol: str = "lon", ycol: str = "lat",
+                       concurrency=None, parallelism: int = 8):
+    """Distance-to-nearest-source raster (broadcast GridPointIndex)."""
+    from ..core.gridindex import GridPointIndex
+
+    pdf = points_ds.select_columns([xcol, ycol]).to_pandas()
+    ref = ray.put((pdf[xcol].to_numpy(), pdf[ycol].to_numpy()))
+
+    def _eval(state, x, y):
+        sx, sy = state
+        if len(sx) <= 8192:
+            d2 = np.full(len(x), np.inf)
+            CH = 4096
+            for c0 in range(0, len(x), CH):
+                dd = ((x[c0 : c0 + CH, None] - sx[None, :]) ** 2
+                      + (y[c0 : c0 + CH, None] - sy[None, :]) ** 2)
+                d2[c0 : c0 + CH] = dd.min(axis=1)
+            return np.sqrt(d2)
+        idx = GridPointIndex(sx, sy)
+        out = np.empty(len(x))
+        for i in range(len(x)):
+            _, dd = idx.query_knn(float(x[i]), float(y[i]), 1)
+            out[i] = dd[0] if len(dd) else np.inf
+        return out
+
+    tiles = _all_tiles_ds(meta, parallelism)
+    return tiles.map_batches(
+        _TileEvaluator, fn_constructor_args=([ref], meta, _eval),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency())

@@ -68,11 +68,15 @@ def _populate() -> None:
     from .ops import pip as PIP
     from .ops import regression as RG
     from .ops import weights as WT
+    from .ops import lineops as LO
+    from .ops import tessellation as TE
     from .raster import density as RD
     from .raster import tiles as RT
     from .raster import zonal as RZ
     from .raster import algebra as RA
     from .raster import surface as RS
+    from .raster import interpolate as RI
+    from .sources import textfile as TF
     from .stages import transforms as T
     from .textops import dedup as TD
     from .textops import quality as TQ
@@ -101,6 +105,14 @@ def _populate() -> None:
       "GT/operations/NearestNeighborCountOperation.java")
     E("AttributeJoin", "join", J.slim_join_reattach,
       "GT/transformation/JoinAttributeFeatureCollection.java:62-69")
+    E("HubLines", "join", LO.hub_lines,
+      "GT/operations/HubLinesByDistanceOperation.java")
+    E("SnapPointsToLines", "join", LO.snap_points_to_lines,
+      "GT/operations/SnapPointsToLinesOperation.java")
+    E("IntersectionPoints", "join", LO.intersection_points,
+      "GT/operations/IntersectionPointsOperation.java")
+    E("SumLineLength", "join", LO.sum_line_length,
+      "GT/operations/CalculateSumLineLengthOperation.java")
 
     # aggregation (§2.4)
     E("Dissolve", "aggregate", AG.dissolve,
@@ -175,6 +187,20 @@ def _populate() -> None:
       "GT/pattern/QuadratOperation.java:44-")
     E("KMeansClustering", "binning", CU.kmeans_assign,
       "GT/pattern/KMeansClusterOperation.java")
+    E("ThiessenPolygon", "binning", TE.thiessen,
+      "GT/operations/ThiessenPolygonOperation.java")
+    E("DelaunayTriangulation", "binning", TE.delaunay,
+      "GT/operations/DelaunayTrangulationOperation.java")
+    E("ConcaveHull", "binning", TE.concave_hull,
+      "GT/operations/ConcaveHullOperation.java")
+    E("RandomPoints", "binning", TE.random_points,
+      "GT/operations/RandomPointsOperation.java:52-120 (seeded improvement)")
+    E("RegularPoints", "binning", TE.regular_points,
+      "GT/operations/RegularPointsOperation")
+    E("TriangularGrid", "binning", TE.triangular_grid,
+      "GT/operations/TriangularGridOperation")
+    E("CircularGrid", "binning", TE.circular_grid,
+      "GT/operations/CircularGridOperation")
 
     # classification (§2.4)
     E("EqualInterval", "classify", CL.equal_interval, "GT/clsssifier/")
@@ -229,6 +255,12 @@ def _populate() -> None:
       "GT/transformation/PointsAlongLines")
     E("SplitLineAtVertices", "transform", T.split_line_at_vertices,
       "GT/transformation/SplitLineFeatureCollection.java")
+    E("SplitLineByDistance", "transform", LO.split_line_by_distance,
+      "GT/transformation/SplitByDistanceFeatureCollection.java")
+    E("ExtendLine", "transform", LO.extend_line,
+      "GT/operations/ExtendLineOperation.java")
+    E("TrimLine", "transform", LO.trim_line,
+      "GT/operations/TrimLineOperation.java")
     E("RemoveHoles", "transform", T.remove_holes,
       "GT/transformation/RemoveHolesFeatureCollection")
     E("RepairGeometry", "transform", T.repair_geometry,
@@ -275,6 +307,14 @@ def _populate() -> None:
     E("RasterTRI", "raster", RS.tri, "GT/gridcoverage/RasterTRIOperation")
     E("RasterRoughness", "raster", RS.roughness,
       "GT/gridcoverage/RasterRoughnessOperation")
+    E("IDWInterpolation", "raster", RI.idw,
+      "GT/gridcoverage/RasterInterpolationIDWOperation.java")
+    E("TPSInterpolation", "raster", RI.tps,
+      "GT/gridcoverage/ThinPlateSplineInterpolator.java")
+    E("EuclideanDistance", "raster", RI.euclidean_distance,
+      "GT/gridcoverage/RasterEuclideanDistanceOperation.java")
+    E("TextfileToPoint", "transform", TF.textfile_to_points,
+      "GT/operations/TextfileToPointOperation.java:111-175")
 
     # training-data ops (engine extensions)
     E("ExactDedup", "trainingdata", TD.exact_dedup)

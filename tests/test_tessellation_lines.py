@@ -1,0 +1,172 @@
+"""Tessellation, line ops, interpolation, CSV source."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from opengxt_ray.core import geomops, wkb as _wkb
+from opengxt_ray.ops import lineops, tessellation as TS
+from opengxt_ray.raster import RasterMeta
+from opengxt_ray.raster.interpolate import euclidean_distance, idw, tps
+
+
+def test_delaunay_empty_circumcircle():
+    rs = np.random.RandomState(4)
+    pts = rs.uniform(0, 10, (40, 2))
+    tris = TS.delaunay_triangles(pts)
+    assert len(tris) > 0
+    # Delaunay property: no point inside any circumcircle
+    for t in tris:
+        a, b, c = pts[t]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1])
+              + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0])
+              + (c @ c) * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        d2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+        inside = d2 < r2 - 1e-9
+        inside[list(t)] = False
+        assert not inside.any()
+
+
+def test_thiessen_nearest_property():
+    rs = np.random.RandomState(6)
+    n = 30
+    pts = rs.uniform(0, 10, (n, 2))
+    t = pa.table({"pid": pa.array(np.arange(n)),
+                  "lon": pa.array(pts[:, 0]), "lat": pa.array(pts[:, 1])})
+    ds = ray.data.from_arrow(t)
+    vor = TS.thiessen(ds, id_col="pid", extent=(0, 0, 10, 10)).to_pandas()
+    assert len(vor) == n
+    # any random point inside cell i must be nearest to site i
+    fg = _wkb.decode(vor["geom"].tolist())
+    ids = vor["pid"].to_numpy()
+    probe = rs.uniform(0.5, 9.5, (200, 2))
+    d2 = ((probe[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    nearest = np.argmin(d2, axis=1)
+    for gi in range(len(fg)):
+        inside = geomops.points_in_geom(probe[:, 0], probe[:, 1], fg, gi)
+        # strictly-interior probes of cell gi should map to site ids[gi]
+        strict = inside & (np.abs(d2[np.arange(200), nearest]
+                                  - d2[:, ids[gi]]) > 1e-9)
+        bad = strict & (nearest != ids[gi])
+        assert not bad.any()
+
+
+def test_random_regular_points():
+    rp = TS.random_points((0, 0, 10, 5), 500, seed=1).to_pandas()
+    assert len(rp) == 500
+    assert rp.lon.between(0, 10).all() and rp.lat.between(0, 5).all()
+    rp2 = TS.random_points((0, 0, 10, 5), 500, seed=1).to_pandas()
+    # deterministic per pid regardless of block arrival order
+    np.testing.assert_array_equal(
+        rp.sort_values("pid").lon.to_numpy(),
+        rp2.sort_values("pid").lon.to_numpy())
+    gp = TS.regular_points((0, 0, 10, 10), columns=5, rows=4).to_pandas()
+    assert len(gp) == 20
+    assert gp.lon.iloc[0] == 1.0 and gp.lat.iloc[0] == 1.25
+
+
+def test_triangular_circular_grids():
+    tg = TS.triangular_grid((0, 0, 4, 4), size=1.0).to_pandas()
+    fg = _wkb.decode(tg["geom"].tolist())
+    areas = geomops.areas(fg)
+    np.testing.assert_allclose(areas, np.sqrt(3) / 4, rtol=1e-9)
+    cg = TS.circular_grid((0, 0, 4, 4), radius=0.5).to_pandas()
+    assert len(cg) == 16
+
+
+def test_hub_lines_and_snap():
+    pts = pa.table({"pid": pa.array([0, 1]),
+                    "lon": pa.array([0.0, 10.0]), "lat": pa.array([0.0, 0.0])})
+    hubs = pa.table({"hub": pa.array([100, 200]),
+                     "lon": pa.array([1.0, 9.0]), "lat": pa.array([1.0, 1.0])})
+    ds = ray.data.from_arrow(pts)
+    out = lineops.hub_lines(ds, hubs, hub_id_col="hub").to_pandas()
+    assert out.sort_values("pid").hub_id.tolist() == [100, 200]
+    lines = pa.table({"lid": pa.array([7]), "geom": pa.array(
+        [_wkb.encode_linestring(np.array([[0, 5], [10, 5]]))], pa.binary())})
+    snapped = lineops.snap_points_to_lines(ds, lines, line_id_col="lid"
+                                           ).to_pandas()
+    np.testing.assert_allclose(snapped.snap_y.to_numpy(), [5.0, 5.0])
+    np.testing.assert_allclose(snapped.snap_dist.to_numpy(), [5.0, 5.0])
+    assert (snapped.line_id == 7).all()
+
+
+def test_intersection_points():
+    a = pa.table({"geom": pa.array(
+        [_wkb.encode_linestring(np.array([[0, 0], [10, 10]]))], pa.binary())})
+    b_tab = pa.table({"geom": pa.array(
+        [_wkb.encode_linestring(np.array([[0, 10], [10, 0]])),
+         _wkb.encode_linestring(np.array([[0, 2], [10, 2]]))], pa.binary())})
+    b = ray.data.from_arrow(b_tab)
+    out = lineops.intersection_points(a, b).to_pandas()
+    got = set(zip(out.x.round(9), out.y.round(9)))
+    assert got == {(5.0, 5.0), (2.0, 2.0)}
+
+
+def test_sum_line_length():
+    # line crosses a unit square from (-1,.5) to (2,.5): 1.0 inside
+    lines = pa.table({"lid": pa.array([1]), "geom": pa.array(
+        [_wkb.encode_linestring(np.array([[-1, 0.5], [2, 0.5]]))], pa.binary())})
+    polys = pa.table({"zid": pa.array([5], pa.int64()), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[0, 0], [1, 0], [1, 1], [0, 1]]))],
+        pa.binary())})
+    ds = ray.data.from_arrow(lines)
+    out = lineops.sum_line_length(ds, polys, poly_key="zid").to_pandas()
+    assert out.sum_length.iloc[0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_split_extend_trim():
+    line = pa.table({"geom": pa.array(
+        [_wkb.encode_linestring(np.array([[0, 0], [10, 0]]))], pa.binary())})
+    sp = lineops.split_line_by_distance(line, distance=3.0)
+    fg = _wkb.decode(sp["geom"].to_pylist())
+    lens = geomops.lengths(fg)
+    assert len(lens) == 4 and lens.sum() == pytest.approx(10.0, abs=1e-6)
+    ex = lineops.extend_line(line, length=2.0)
+    fg = _wkb.decode(ex["geom"].to_pylist())
+    assert geomops.lengths(fg)[0] == pytest.approx(14.0)
+    tr = lineops.trim_line(line, length=2.0)
+    fg = _wkb.decode(tr["geom"].to_pylist())
+    assert geomops.lengths(fg)[0] == pytest.approx(6.0, abs=0.5)
+
+
+def test_idw_tps_distance():
+    meta = RasterMeta(0.0, 10.0, 1.0, 10, 10, tile_size=4)
+    pts = pa.table({"lon": pa.array([2.0, 8.0, 2.0, 8.0]),
+                    "lat": pa.array([2.0, 8.0, 8.0, 2.0]),
+                    "v": pa.array([0.0, 100.0, 50.0, 50.0])})
+    ds = ray.data.from_arrow(pts)
+    surf = idw(ds, meta, value_col="v").to_pandas()
+    assert len(surf) == 9  # 3×3 tiles
+    vals = np.concatenate([np.frombuffer(b, dtype=np.float64)
+                           for b in surf["data"]])
+    assert 0 <= vals.min() and vals.max() <= 100
+    t = tps(ds, meta, value_col="v").to_pandas()
+    assert len(t) == 9
+    ed = euclidean_distance(ds, meta).to_pandas()
+    dense = {}
+    for _, row in ed.iterrows():
+        h, w = meta.tile_shape(row.tx, row.ty)
+        dense[(row.tx, row.ty)] = np.frombuffer(row.data, np.float64).reshape(h, w)
+    # cell containing (2,2) → its center (2.5, 7.5 world) etc: check min dist > 0
+    allv = np.concatenate([v.ravel() for v in dense.values()])
+    assert allv.min() >= 0 and np.isfinite(allv).all()
+
+
+def test_textfile_to_points(tmp_path):
+    p = tmp_path / "pts.csv"
+    p.write_text("name;px;py;val\na;1.5;2.5;10\nb;3.0;4.0;20\n")
+    from opengxt_ray.sources.textfile import textfile_to_points
+
+    ds = textfile_to_points(str(p), [("name", "String"), ("px", "X"),
+                                     ("py", "Y"), ("val", "Integer")],
+                            delimiter=";")
+    df = ds.to_pandas()
+    assert df.lon.tolist() == [1.5, 3.0]
+    assert df.val.tolist() == [10, 20]
+    x, y = _wkb.decode_points(df.geom.tolist())
+    np.testing.assert_allclose(y, [2.5, 4.0])
