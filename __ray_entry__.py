@@ -529,6 +529,35 @@ def _q_zonal_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_histogram(sf_dir: str):
+    import ray
+
+    from opengxt_ray.ops.histogram import histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_quantity"])
+    t = histogram(ds, "l_quantity", [0.0, 10.0, 20.0, 30.0, 40.0, 50.0])
+    return t.select(["bin", "lower", "upper", "count"])
+
+
+def _q_sessionize(sf_dir: str):
+    import ray
+
+    from opengxt_ray.ops.histogram import session_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    out = session_stats(ds, gap_minutes=30.0)
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "session_idx": b["session_idx"].cast(pa.int64()),
+            "n_events": b["n_events"],
+            "duration_sec": b["duration_sec"],
+        }),
+        batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -560,6 +589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_center": _q_mean_center,
         "attribute_join": _q_attribute_join,
         "events_window": _q_events_window,
+        "histogram": _q_histogram,
+        "sessionize": _q_sessionize,
         "ann_topk": _q_ann_topk,
         "standardized_scores": _q_standardized_scores,
         "ols": _q_ols,
@@ -848,6 +879,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS cnt, round(SUM(value), 6) AS sval6
             FROM events GROUP BY 1, 2
+        """,
+        "histogram": """
+            WITH bins AS (SELECT unnest(range(0, 5)) AS bin),
+            cnt AS (
+                SELECT CASE WHEN l_quantity = 50.0 THEN 4
+                            ELSE CAST(floor(l_quantity / 10.0) AS INTEGER)
+                       END AS bin, COUNT(*) AS c
+                FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(b.bin AS INTEGER) AS bin,
+                   CAST(b.bin AS DOUBLE) * 10.0 AS lower,
+                   (CAST(b.bin AS DOUBLE) + 1.0) * 10.0 AS upper,
+                   COALESCE(c.c, 0) AS count
+            FROM bins b LEFT JOIN cnt c ON b.bin = c.bin
+        """,
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800000000 THEN 1
+                            ELSE 0 END AS newsess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING)
+                       AS session_idx
+                FROM marked
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events,
+                   (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0
+                   AS duration_sec
+            FROM sess GROUP BY user_id, session_idx
         """,
         "ann_topk": """
             WITH q AS (

@@ -1,0 +1,120 @@
+"""Histogram operators + event sessionization.
+
+Reference:
+- HistogramFeatures / HistogramGridCoverage: GT/core/HistogramFeatures
+  .java — value counts per bin.
+- Sessionization is an engine extension for the events table (gap-based
+  sessions) — the kind of windowed event op a training-data pipeline
+  needs; expressible in SQL with lag+cumsum windows (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def histogram(ds, col: str, breaks: list[float]):
+    """Counts per [b_i, b_{i+1}) bin (last bin closed). Partial per
+    block → single combine."""
+    edges = np.asarray(breaks, dtype=np.float64)
+    k = len(edges) - 1
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.searchsorted(edges, v, side="right") - 1
+        idx = np.where(v == edges[-1], k - 1, idx)
+        ok = (idx >= 0) & (idx < k)
+        cnt = np.bincount(idx[ok], minlength=k)
+        return pa.table({f"b{i}": [int(cnt[i])] for i in range(k)})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = parts.aggregate(*[ray.data.aggregate.Sum(f"b{i}") for i in range(k)])
+    return pa.table({
+        "bin": pa.array(np.arange(k, dtype=np.int32)),
+        "lower": pa.array(edges[:-1]),
+        "upper": pa.array(edges[1:]),
+        "count": pa.array([int(agg[f"sum(b{i})"]) for i in range(k)],
+                          pa.int64()),
+    })
+
+
+def raster_histogram(tiles, breaks: list[float]):
+    """HistogramGridCoverage over a tile Dataset."""
+    edges = np.asarray(breaks, dtype=np.float64)
+    k = len(edges) - 1
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cnt = np.zeros(k, dtype=np.int64)
+        for blob in batch["data"]:
+            v = np.frombuffer(blob.as_py(), dtype=np.float64)
+            v = v[~np.isnan(v)]
+            idx = np.searchsorted(edges, v, side="right") - 1
+            idx = np.where(v == edges[-1], k - 1, idx)
+            ok = (idx >= 0) & (idx < k)
+            cnt += np.bincount(idx[ok], minlength=k)
+        return pa.table({f"b{i}": [int(cnt[i])] for i in range(k)})
+
+    parts = tiles.map_batches(_partial, batch_format="pyarrow")
+    agg = parts.aggregate(*[ray.data.aggregate.Sum(f"b{i}") for i in range(k)])
+    return pa.table({
+        "bin": pa.array(np.arange(k, dtype=np.int32)),
+        "lower": pa.array(edges[:-1]),
+        "upper": pa.array(edges[1:]),
+        "count": pa.array([int(agg[f"sum(b{i})"]) for i in range(k)],
+                          pa.int64()),
+    })
+
+
+def sessionize(events_ds, *, user_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: float = 30.0):
+    """Gap-based sessions per user: a new session starts when the gap
+    to the previous event exceeds ``gap_minutes``.
+
+    groupby(user).map_groups with an in-group sort — each user's events
+    fit one group (the standard event-log pattern). Emits
+    (user, event ts, session_idx (0-based per user), session_len).
+    """
+    gap_us = int(gap_minutes * 60 * 1e6)
+
+    def _sess(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(group[ts_col])
+        g = group.take(order)
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tsi = ts.astype(np.int64)
+        new = np.zeros(len(tsi), dtype=np.int64)
+        if len(tsi) > 1:
+            new[1:] = (np.diff(tsi) > gap_us).astype(np.int64)
+        sess = np.cumsum(new)
+        return pa.table({
+            user_col: g[user_col],
+            ts_col: g[ts_col],
+            "session_idx": pa.array(sess),
+        })
+
+    return events_ds.groupby(user_col).map_groups(_sess,
+                                                  batch_format="pyarrow")
+
+
+def session_stats(events_ds, *, user_col="user_id", ts_col="ts",
+                  gap_minutes: float = 30.0):
+    """Per-session aggregate: (user, session_idx, n_events,
+    duration_sec)."""
+    sess = sessionize(events_ds, user_col=user_col, ts_col=ts_col,
+                      gap_minutes=gap_minutes)
+
+    def _agg(group: pa.Table) -> pa.Table:
+        ts = group[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            user_col: [group[user_col][0].as_py()],
+            "session_idx": [group["session_idx"][0].as_py()],
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "duration_sec": pa.array([(ts.max() - ts.min()) / 1e6]),
+        })
+
+    return sess.groupby([user_col, "session_idx"]).map_groups(
+        _agg, batch_format="pyarrow")

@@ -1,0 +1,238 @@
+"""Overlay operators: clip, erase/difference, intersect with geometry
+output, merge.
+
+Reference (SURVEY.md §2.3):
+- ClipWithGeometry/ClipWithFeatures: GT/transformation/
+  ClipWithGeometryFeatureCollection.java, GT/operations/
+  ClipWithFeaturesOperation.java
+- Difference: GT/transformation/DifferenceFeatureCollection.java
+- Intersect: GT/transformation/IntersectFeatureCollection.java:294-350
+  (1-to-many; intersection geometry mapped to input dimension)
+- MergeFeatures: GT/transformation/MergeFeatureCollection.java
+
+Geometry-output limits without GEOS (documented):
+- point inputs: exact (PIP)
+- line inputs: exact (segment-crossing parameter clipping)
+- polygon inputs: exact when the overlay polygon is CONVEX
+  (Sutherland–Hodgman); non-convex overlays raise unless
+  ``predicate_only=True`` (keep whole geometry on intersects).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..core import geomops, wkb as _wkb
+from ..core.util import default_concurrency
+from .join import PolygonBundle, _resolve_bundle, put_bundle
+
+
+def _is_convex(ring: np.ndarray) -> bool:
+    r = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    if len(r) < 3:
+        return False
+    d = np.diff(np.vstack([r, r[:2]]), axis=0)
+    cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    return bool((cross >= -1e-12).all() or (cross <= 1e-12).all())
+
+
+def _clip_line_to_poly(ring_line: np.ndarray, bundle: PolygonBundle,
+                       gi: int, keep_inside: bool) -> list[np.ndarray]:
+    """Clip one polyline against polygon gi → list of kept pieces."""
+    pieces: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+    a = ring_line[:-1]
+    b = ring_line[1:]
+    for k in range(len(a)):
+        p, q = a[k], b[k]
+        seglen = float(np.hypot(*(q - p)))
+        if seglen == 0:
+            continue
+        ts = [0.0, 1.0]
+        for ring, _ in bundle.fg.rings(gi):
+            if len(ring) < 2:
+                continue
+            xs, ys, _, _ = geomops.segment_intersections(
+                p[None, :], q[None, :], ring[:-1], ring[1:])
+            if len(xs):
+                t = ((xs - p[0]) * (q[0] - p[0]) + (ys - p[1]) * (q[1] - p[1])) \
+                    / (seglen * seglen)
+                ts.extend(np.atleast_1d(t).tolist())
+        ts = np.clip(np.unique(ts), 0, 1)
+        mids = (ts[:-1] + ts[1:]) / 2
+        mx = p[0] + mids * (q[0] - p[0])
+        my = p[1] + mids * (q[1] - p[1])
+        inside = geomops.points_in_geom(mx, my, bundle.fg, gi)
+        keep = inside if keep_inside else ~inside
+        for j in range(len(mids)):
+            if keep[j]:
+                p0 = p + ts[j] * (q - p)
+                p1 = p + ts[j + 1] * (q - p)
+                if cur and np.allclose(cur[-1], p0):
+                    cur.append(p1)
+                else:
+                    if len(cur) >= 2:
+                        pieces.append(np.asarray(cur))
+                    cur = [p0, p1]
+            else:
+                if len(cur) >= 2:
+                    pieces.append(np.asarray(cur))
+                cur = []
+    if len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+class OverlayClipper:
+    """Actor stage for clip/erase against broadcast overlay polygons."""
+
+    def __init__(self, bundle_ref, *, mode: str = "clip",
+                 geom_col: str = "geom", predicate_only: bool = False):
+        self.bundle = _resolve_bundle(bundle_ref)
+        self.index = self.bundle.build_index()
+        self.mode = mode  # "clip" (keep inside) | "erase" (keep outside)
+        self.geom_col = geom_col
+        self.predicate_only = predicate_only
+        self._convex = [
+            all(_is_convex(r) for r, s in self.bundle.fg.rings(g) if s)
+            for g in range(len(self.bundle.fg))
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[self.geom_col].to_pylist())
+        keep_inside = self.mode == "clip"
+        take, geoms = [], []
+        bboxes = fg.bboxes()
+        for i in range(len(fg)):
+            cands = self.index.query_bbox(bboxes[i])
+            t = fg.types[i]
+            if t == _wkb.POINT:
+                pts = fg.geom_coords(i)
+                inside = np.zeros(len(pts), dtype=bool)
+                for g in cands:
+                    inside |= geomops.points_in_geom(pts[:, 0], pts[:, 1],
+                                                     self.bundle.fg, int(g))
+                kp = pts[inside] if keep_inside else pts[~inside]
+                if len(kp):
+                    take.append(i)
+                    geoms.append(_wkb.encode_point(float(kp[0, 0]), float(kp[0, 1]))
+                                 if len(kp) == 1 else _wkb.encode_multipoint(kp))
+            elif t == _wkb.LINESTRING:
+                if keep_inside:
+                    pieces = []
+                    for g in cands:
+                        for r, _ in fg.rings(i):
+                            pieces.extend(_clip_line_to_poly(
+                                r, self.bundle, int(g), True))
+                else:
+                    pieces = [r for r, _ in fg.rings(i)]
+                    for g in cands:
+                        nxt = []
+                        for piece in pieces:
+                            nxt.extend(_clip_line_to_poly(
+                                piece, self.bundle, int(g), False))
+                        pieces = nxt
+                if pieces:
+                    take.append(i)
+                    geoms.append(_wkb.encode_linestring(pieces[0])
+                                 if len(pieces) == 1
+                                 else _wkb.encode_multilinestring(pieces))
+            else:  # polygon
+                if self.predicate_only:
+                    hit = False
+                    pts = fg.geom_coords(i)
+                    for g in cands:
+                        if geomops.points_in_geom(pts[:, 0], pts[:, 1],
+                                                  self.bundle.fg, int(g)).any():
+                            hit = True
+                            break
+                    if hit == keep_inside:
+                        take.append(i)
+                        geoms.append(bytes(batch[self.geom_col][i].as_py()))
+                    continue
+                if not keep_inside:
+                    raise NotImplementedError(
+                        "polygon erase needs GEOS; use predicate_only=True")
+                out_rings = []
+                for g in cands:
+                    if not self._convex[int(g)]:
+                        raise NotImplementedError(
+                            "polygon clip requires a convex overlay (or "
+                            "predicate_only=True); non-convex boolean ops "
+                            "need GEOS")
+                    for clip_ring, is_shell in self.bundle.fg.rings(int(g)):
+                        if not is_shell:
+                            continue
+                        for r, s in fg.rings(i):
+                            if not s:
+                                continue
+                            clipped = geomops.clip_polygon_convex(r, clip_ring)
+                            if len(clipped) >= 3:
+                                out_rings.append(clipped)
+                if out_rings:
+                    take.append(i)
+                    geoms.append(_wkb.encode_polygon(out_rings[0])
+                                 if len(out_rings) == 1
+                                 else _wkb.encode_multipolygon(
+                                     [(r, []) for r in out_rings]))
+        out = batch.take(pa.array(take)) if take else batch.slice(0, 0)
+        if len(out):
+            gi = out.column_names.index(self.geom_col)
+            out = out.set_column(gi, self.geom_col,
+                                 pa.array(geoms, pa.binary()))
+        return out
+
+
+def clip_with_features(ds, overlay: pa.Table, *, geom_col="geom",
+                       predicate_only=False, concurrency=None):
+    """Keep the parts of each input inside the overlay polygons."""
+    ref = put_bundle(overlay)
+    return ds.map_batches(
+        OverlayClipper,
+        fn_constructor_kwargs=dict(bundle_ref=[ref], mode="clip",
+                                   geom_col=geom_col,
+                                   predicate_only=predicate_only),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency())
+
+
+def erase_features(ds, overlay: pa.Table, *, geom_col="geom",
+                   predicate_only=False, concurrency=None):
+    """Difference — keep the parts outside the overlay
+    (DifferenceFeatureCollection)."""
+    ref = put_bundle(overlay)
+    return ds.map_batches(
+        OverlayClipper,
+        fn_constructor_kwargs=dict(bundle_ref=[ref], mode="erase",
+                                   geom_col=geom_col,
+                                   predicate_only=predicate_only),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency())
+
+
+def merge_features(ds_a, ds_b):
+    """MergeFeatures — schema-aligned union of two feature tables."""
+    sa = ds_a.schema()
+    sb = ds_b.schema()
+    names = list(dict.fromkeys(list(sa.names) + list(sb.names)))
+    types = {}
+    for n in names:
+        if n in sa.names:
+            types[n] = sa.types[sa.names.index(n)]
+        else:
+            types[n] = sb.types[sb.names.index(n)]
+
+    def _align(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for n in names:
+            if n in batch.column_names:
+                cols[n] = batch[n].cast(types[n])
+            else:
+                cols[n] = pa.nulls(len(batch), types[n])
+        return pa.table(cols)
+
+    return ds_a.map_batches(_align, batch_format="pyarrow").union(
+        ds_b.map_batches(_align, batch_format="pyarrow"))

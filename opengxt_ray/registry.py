@@ -69,6 +69,8 @@ def _populate() -> None:
     from .ops import regression as RG
     from .ops import weights as WT
     from .ops import lineops as LO
+    from .ops import overlay as OV
+    from .ops import histogram as HG
     from .ops import tessellation as TE
     from .raster import density as RD
     from .raster import tiles as RT
@@ -113,6 +115,12 @@ def _populate() -> None:
       "GT/operations/IntersectionPointsOperation.java")
     E("SumLineLength", "join", LO.sum_line_length,
       "GT/operations/CalculateSumLineLengthOperation.java")
+    E("ClipWithFeatures", "join", OV.clip_with_features,
+      "GT/operations/ClipWithFeaturesOperation.java")
+    E("Difference", "join", OV.erase_features,
+      "GT/transformation/DifferenceFeatureCollection.java")
+    E("MergeFeatures", "join", OV.merge_features,
+      "GT/transformation/MergeFeatureCollection.java")
 
     # aggregation (§2.4)
     E("Dissolve", "aggregate", AG.dissolve,
@@ -208,6 +216,12 @@ def _populate() -> None:
     E("NaturalBreaks", "classify", CL.natural_breaks,
       "GT/clsssifier/NaturalBreaksClassify.java:50-96")
     E("StdDevBreaks", "classify", CL.std_dev_breaks, "GT/clsssifier/")
+    E("HistogramFeatures", "classify", HG.histogram,
+      "GT/core/HistogramFeatures.java")
+    E("HistogramGridCoverage", "classify", HG.raster_histogram,
+      "GT/core/HistogramGridCoverage.java")
+    E("Sessionize", "trainingdata", HG.sessionize)
+    E("SessionStats", "trainingdata", HG.session_stats)
 
     # per-record transforms (§2.2)
     E("CalculateArea", "transform", T.calculate_area,

@@ -1,0 +1,111 @@
+"""Overlay clip/erase/merge tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from opengxt_ray.core import geomops, wkb as _wkb
+from opengxt_ray.ops import overlay
+
+
+def _overlay_square():
+    return pa.table({
+        "zid": pa.array([1]),
+        "geom": pa.array([_wkb.encode_polygon(
+            np.array([[0, 0], [10, 0], [10, 10], [0, 10]]))], pa.binary()),
+    })
+
+
+def test_clip_points():
+    pts = pa.table({
+        "pid": pa.array([0, 1, 2]),
+        "geom": pa.array([_wkb.encode_point(5, 5), _wkb.encode_point(15, 5),
+                          _wkb.encode_point(-1, -1)], pa.binary()),
+    })
+    ds = ray.data.from_arrow(pts)
+    out = overlay.clip_with_features(ds, _overlay_square()).to_pandas()
+    assert out.pid.tolist() == [0]
+    er = overlay.erase_features(ds, _overlay_square()).to_pandas()
+    assert sorted(er.pid.tolist()) == [1, 2]
+
+
+def test_clip_lines_exact_length():
+    lines = pa.table({
+        "lid": pa.array([1]),
+        "geom": pa.array([_wkb.encode_linestring(
+            np.array([[-5, 5], [15, 5]]))], pa.binary()),
+    })
+    ds = ray.data.from_arrow(lines)
+    out = overlay.clip_with_features(ds, _overlay_square()).to_pandas()
+    fg = _wkb.decode(out.geom.tolist())
+    assert geomops.lengths(fg)[0] == pytest.approx(10.0, abs=1e-9)
+    er = overlay.erase_features(ds, _overlay_square()).to_pandas()
+    fg = _wkb.decode(er.geom.tolist())
+    assert geomops.lengths(fg)[0] == pytest.approx(10.0, abs=1e-9)  # 5+5
+
+
+def test_clip_polygon_convex():
+    polys = pa.table({
+        "pid": pa.array([1]),
+        "geom": pa.array([_wkb.encode_polygon(
+            np.array([[5, 5], [15, 5], [15, 15], [5, 15]]))], pa.binary()),
+    })
+    ds = ray.data.from_arrow(polys)
+    out = overlay.clip_with_features(ds, _overlay_square()).to_pandas()
+    fg = _wkb.decode(out.geom.tolist())
+    assert geomops.areas(fg)[0] == pytest.approx(25.0, abs=1e-9)
+
+
+def test_polygon_erase_raises_without_predicate():
+    polys = pa.table({
+        "pid": pa.array([1]),
+        "geom": pa.array([_wkb.encode_polygon(
+            np.array([[5, 5], [15, 5], [15, 15], [5, 15]]))], pa.binary()),
+    })
+    ds = ray.data.from_arrow(polys)
+    with pytest.raises(Exception):
+        overlay.erase_features(ds, _overlay_square()).to_pandas()
+    # predicate_only path keeps whole disjoint polygons
+    far = pa.table({
+        "pid": pa.array([1, 2]),
+        "geom": pa.array([
+            _wkb.encode_polygon(np.array([[50, 50], [60, 50], [60, 60], [50, 60]])),
+            _wkb.encode_polygon(np.array([[5, 5], [8, 5], [8, 8], [5, 8]])),
+        ], pa.binary()),
+    })
+    ds2 = ray.data.from_arrow(far)
+    out = overlay.erase_features(ds2, _overlay_square(),
+                                 predicate_only=True).to_pandas()
+    assert out.pid.tolist() == [1]
+
+
+def test_merge_features():
+    a = ray.data.from_arrow(pa.table({"x": pa.array([1, 2]),
+                                      "name": pa.array(["a", "b"])}))
+    b = ray.data.from_arrow(pa.table({"x": pa.array([3]),
+                                      "extra": pa.array([9.5])}))
+    m = overlay.merge_features(a, b).to_pandas()
+    assert len(m) == 3
+    assert set(m.columns) == {"x", "name", "extra"}
+    assert m.extra.isna().sum() == 2
+
+
+def test_histogram_and_sessions():
+    from opengxt_ray.ops.histogram import histogram, session_stats
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(
+        [1.0, 5.0, 10.0, 15.0, 20.0, 25.0, 99.0])}))
+    h = histogram(ds, "v", [0.0, 10.0, 20.0, 30.0])
+    assert h["count"].to_pylist() == [2, 2, 2]  # 99 out of range
+    ts = np.array(["2025-01-01T00:00", "2025-01-01T00:10",
+                   "2025-01-01T02:00", "2025-01-01T02:05"],
+                  dtype="datetime64[us]")
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([7, 7, 7, 7]),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }))
+    ss = session_stats(ev).to_pandas().sort_values("session_idx")
+    assert len(ss) == 2
+    assert ss.n_events.tolist() == [2, 2]
+    assert ss.duration_sec.tolist() == [600.0, 300.0]
