@@ -442,7 +442,7 @@ def hot_cell_salts(points_ds, *, hot_threshold: int = 200_000,
 
 
 def slim_join_reattach(result_ds, payload_ds, *, key: str = "fid",
-                       num_partitions: int = 32,
+                       num_partitions: int = 8,
                        payload_cols: list[str] | None = None):
     """Re-attach wide payload columns (html/text) to a slim join result
     by key — hash join, payload never entered the shuffle."""

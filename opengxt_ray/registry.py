@@ -78,6 +78,7 @@ def _populate() -> None:
     from .raster import algebra as RA
     from .raster import surface as RS
     from .raster import interpolate as RI
+    from .raster import geometry as RG2
     from .sources import textfile as TF
     from .stages import transforms as T
     from .textops import dedup as TD
@@ -327,6 +328,14 @@ def _populate() -> None:
       "GT/gridcoverage/ThinPlateSplineInterpolator.java")
     E("EuclideanDistance", "raster", RI.euclidean_distance,
       "GT/gridcoverage/RasterEuclideanDistanceOperation.java")
+    E("RasterClipByExtent", "raster", RG2.clip_by_extent,
+      "GT/gridcoverage/RasterClipOperation.java")
+    E("RasterFlip", "raster", RG2.flip,
+      "GT/gridcoverage/RasterFlipOperation.java")
+    E("RasterShift", "raster", RG2.shift,
+      "GT/gridcoverage/RasterShiftOperation.java")
+    E("RasterResample", "raster", RG2.resample,
+      "GT/gridcoverage/RasterResampleOperation.java")
     E("TextfileToPoint", "transform", TF.textfile_to_points,
       "GT/operations/TextfileToPointOperation.java:111-175")
 
