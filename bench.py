@@ -96,7 +96,8 @@ def bench_gi_star(sf_dir):
     from opengxt_ray.sources import tpch_geo
 
     pts = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                columns=["c_custkey", "c_acctbal"])
+                                columns=["c_custkey", "c_acctbal"],
+                                override_num_blocks=16)
     import pyarrow as pa
 
     pts = pts.map_batches(
@@ -124,8 +125,11 @@ def bench_minhash(sf_dir):
 
     from opengxt_ray.textops.dedup import minhash_dedup
 
+    # documents at sf0.1 is small (5k rows): block count matched to the
+    # data, not the CPU count, avoids shuffle fixed costs
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=8)
     return minhash_dedup(ds).count()
 
 
@@ -141,7 +145,8 @@ def bench_ann(sf_dir):
     qids = q["vec_id"].to_numpy()
     qm = np.stack(q["embedding"].to_numpy(zero_copy_only=False))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+                               columns=["vec_id", "embedding"],
+                               override_num_blocks=16)
     return brute_topk(ds, qids, qm, k=10).count()
 
 
@@ -151,7 +156,8 @@ def bench_window(sf_dir):
     import pyarrow as pa
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type", "value"])
+                               columns=["ts", "event_type", "value"],
+                               override_num_blocks=16)
 
     def _hour(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -151,7 +151,7 @@ class KnnLinker:
 def knn_links(ds, nbr_ids, nbr_x, nbr_y, *, k=3, id_col="id",
               nbr_id_col="nbr_id", xcol="lon", ycol="lat",
               max_radius=np.inf, exclude_self=False, emit_dist_sq=False,
-              concurrency=None, batch_size: int = 16384):
+              concurrency=None, batch_size: int = 2048):
     ref = ray.put((np.asarray(nbr_ids), np.asarray(nbr_x, dtype=np.float64),
                    np.asarray(nbr_y, dtype=np.float64)))
     return ds.map_batches(

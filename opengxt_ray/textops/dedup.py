@@ -62,7 +62,8 @@ class MinHasher:
     MERSENNE = np.uint64((1 << 61) - 1)
 
     def __init__(self, num_perm: int = 128, shingle_k: int = 3,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 emit_bands: int = 0):
         rs = np.random.RandomState(42)  # fixed seed: deterministic across actors
         self.a = rs.randint(1, (1 << 61) - 1, num_perm).astype(np.uint64)
         self.b = rs.randint(0, (1 << 61) - 1, num_perm).astype(np.uint64)
@@ -70,24 +71,82 @@ class MinHasher:
         self.k = shingle_k
         self.text_col = text_col
         self.id_col = id_col
+        self.emit_bands = emit_bands  # >0: emit band keys directly (fused)
 
     def signature(self, text: str) -> np.ndarray:
         h = _shingle_hashes(text, self.k)
         if len(h) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            # (a*h + b) mod mersenne61, matrix (n_shingles, num_perm)
-            vals = (h[:, None] * self.a[None, :] + self.b[None, :])
-            vals = (vals & self.MERSENNE) + (vals >> np.uint64(61))
+            # (a*h + b) mod 2^64, matrix (n_shingles, num_perm)
+            vals = h[:, None] * self.a[None, :] + self.b[None, :]
         return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # vectorized across the whole batch: hash every shingle of every
+        # doc in ONE hash_strings call, permute once, segment-min per doc
         texts = batch[self.text_col].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        all_shingles: list[str] = []
+        offsets = [0]
+        for t in texts:
+            words = (t or "").lower().split()
+            if len(words) == 0:
+                pass
+            elif len(words) < self.k:
+                all_shingles.append(" ".join(words))
+            else:
+                all_shingles.extend(
+                    " ".join(words[i : i + self.k])
+                    for i in range(len(words) - self.k + 1))
+            offsets.append(len(all_shingles))
+        if not all_shingles:
+            sigs = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
+        else:
+            h = hash_strings(all_shingles)
+            # permute UNIQUE shingle hashes only (big win on repetitive
+            # corpora), mod-2^64 wraparound instead of Mersenne-61 (the
+            # permutation family stays ~universal for min-hashing)
+            uniq, inv = np.unique(h, return_inverse=True)
+            with np.errstate(over="ignore"):
+                uvals = uniq[:, None] * self.a[None, :] + self.b[None, :]
+            vals = uvals[inv]
+            starts = np.asarray(offsets[:-1])
+            ends = np.asarray(offsets[1:])
+            nonempty = ends > starts
+            sigs = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
+            mins = np.minimum.reduceat(vals, starts[nonempty], axis=0)
+            sigs[nonempty] = mins
+        if self.emit_bands:
+            return _band_key_rows(batch[self.id_col], sigs, self.emit_bands,
+                                  self.id_col)
         return pa.table({
             self.id_col: batch[self.id_col],
             "sig": pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm)),
         })
+
+
+def _band_key_rows(ids_arr, sigs: np.ndarray, bands: int,
+                   id_col: str) -> pa.Table:
+    """(n, num_perm) signatures → (n·bands) rows of (band_key, id)."""
+    ids = ids_arr.to_numpy(zero_copy_only=False) if hasattr(
+        ids_arr, "to_numpy") else np.asarray(ids_arr)
+    n, p = sigs.shape
+    rows = p // bands
+    keys, out_ids = [], []
+    for b in range(bands):
+        seg = np.ascontiguousarray(sigs[:, b * rows : (b + 1) * rows])
+        # vectorized segment hash: fold uint64 columns with splitmix
+        kh = np.full(n, np.uint64(0xCBF29CE484222325))
+        with np.errstate(over="ignore"):
+            for c in range(rows):
+                kh = hash_ints(kh ^ seg[:, c])
+            kh = hash_ints(kh + np.uint64(b))
+        keys.append(kh)
+        out_ids.append(ids)
+    return pa.table({
+        "band_key": pa.array(np.concatenate(keys), pa.uint64()),
+        id_col: pa.array(np.concatenate(out_ids)),
+    })
 
 
 def minhash_signatures(ds, *, num_perm=128, shingle_k=3,
@@ -149,22 +208,37 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
-                  text_col="text", id_col="doc_id"):
+                  text_col="text", id_col="doc_id",
+                  num_partitions: int | None = 16):
     """Full near-dup pipeline → Dataset (doc_id, rep_id): each doc mapped
     to its duplicate-cluster representative (min id). Docs with no
     near-dups map to themselves."""
-    sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k,
-                              text_col=text_col, id_col=id_col)
-    pairs = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    banded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   text_col=text_col, id_col=id_col,
+                                   emit_bands=bands),
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )
 
-    def _edges(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch["b"], "rep": batch["a"]})
+    def _star_edges(group: pa.Table) -> pa.Table:
+        ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "rep": pa.array([], pa.int64())})
+        return pa.table({"node": pa.array(ids[1:]),
+                         "rep": pa.array(np.full(len(ids) - 1, ids[0]))})
 
-    edges = pairs.map_batches(_edges, batch_format="pyarrow")
+    # duplicate edges across bands are harmless to the min-label reduce,
+    # so no pair-dedup shuffle is needed
+    edges = banded.groupby("band_key", num_partitions=num_partitions) \
+        .map_groups(_star_edges, batch_format="pyarrow")
     # min-label per node (star contraction; one round suffices for
     # star-shaped edges emitted toward bucket-min ids; a second round
     # collapses chains rep→rep)
-    lab = edges.groupby("node").aggregate(ray.data.aggregate.Min("rep"))
+    lab = edges.groupby("node", num_partitions=num_partitions).aggregate(
+        ray.data.aggregate.Min("rep"))
     lab = lab.map_batches(
         lambda b: pa.table({"node": b["node"], "rep": b["min(rep)"]}),
         batch_format="pyarrow")
