@@ -80,3 +80,91 @@ def kmeans(ds, k: int, *, xcol: str = "lon", ycol: str = "lat",
 def kmeans_assign(ds, k: int, **kw):
     centers, assign = kmeans(ds, k, **kw)
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def distance_clusters(ds, *, radius: float, id_col: str = "pid",
+                      xcol: str = "lon", ycol: str = "lat",
+                      max_rounds: int = 10):
+    """SpatialClump / DBSCAN-lite: single-linkage connected components
+    of points within `radius` (GT/transformation/
+    SpatialClumpFeatureCollection.java — buffer-union clusters have
+    exactly these components).
+
+    Distributed: pairs within radius via the hotspot halo co-shuffle,
+    then iterative min-label propagation until fixpoint (bounded
+    rounds). Returns (id, cluster) with cluster = min member id.
+    """
+    from ..index import hexgrid
+
+    res = hexgrid.res_for_band(radius)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        x = batch[xcol].to_numpy()
+        y = batch[ycol].to_numpy()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cells = hexgrid.hex_cell(x, y, res)
+        disks = hexgrid.disk_per_row(cells, 1)
+        m = disks.shape[1]
+        rep = lambda a: np.repeat(a, m)
+        return pa.table({
+            "gcell": pa.array(disks.ravel(), pa.uint64()),
+            "id": pa.array(rep(ids)),
+            "x": pa.array(rep(x)), "y": pa.array(rep(y)),
+            "__primary": pa.array(disks.ravel() == np.repeat(cells, m)),
+        })
+
+    halo = ds.map_batches(_pairs, batch_format="pyarrow")
+
+    def _edges(group: pa.Table) -> pa.Table:
+        prim = group["__primary"].to_numpy(zero_copy_only=False)
+        x = group["x"].to_numpy()
+        y = group["y"].to_numpy()
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        pidx = np.nonzero(prim)[0]
+        if len(pidx) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        d = np.hypot(x[pidx][:, None] - x[None, :], y[pidx][:, None] - y[None, :])
+        ii, jj = np.nonzero(d <= radius)
+        a = ids[pidx[ii]]
+        b = ids[jj]
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    edges = halo.groupby("gcell").map_groups(_edges,
+                                             batch_format="pyarrow").materialize()
+    # labels: start with own id; propagate min over neighbors to fixpoint
+    labels = ds.map_batches(
+        lambda b: pa.table({"id": b[id_col], "lab": b[id_col]}),
+        batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        lab_b = labels.map_batches(
+            lambda t: pa.table({"b": t["id"], "lab_b": t["lab"]}),
+            batch_format="pyarrow")
+        prop = edges.join(lab_b, join_type="inner", num_partitions=8,
+                          on=("b",))
+        nbr_min = prop.groupby("a").aggregate(ray.data.aggregate.Min("lab_b"))
+        nbr_min = nbr_min.map_batches(
+            lambda t: pa.table({"id": t["a"], "nbr_lab": t["min(lab_b)"]}),
+            batch_format="pyarrow")
+        joined = labels.join(nbr_min, join_type="left_outer",
+                             num_partitions=8, on=("id",))
+
+        def _upd(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            new = pc.min_element_wise(
+                t["lab"], pc.coalesce(t["nbr_lab"], t["lab"]))
+            return pa.table({"id": t["id"], "lab": new,
+                             "changed": pc.not_equal(new, t["lab"])})
+
+        upd = joined.map_batches(_upd, batch_format="pyarrow").materialize()
+        changed = upd.map_batches(
+            lambda t: pa.table({"c": [int(pa.compute.sum(t["changed"]).as_py() or 0)]}),
+            batch_format="pyarrow").aggregate(ray.data.aggregate.Sum("c"))
+        labels = upd.drop_columns(["changed"]).materialize()
+        if not changed["sum(c)"]:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({id_col: t["id"], "cluster": t["lab"]}),
+        batch_format="pyarrow")

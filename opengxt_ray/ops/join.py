@@ -308,11 +308,15 @@ _SALT_COL = "__salt"
 
 
 def _polys_to_cell_rows(batch: pa.Table, *, res: int, nsplit: int,
-                        geom_col: str = "geom") -> pa.Table:
+                        geom_col: str = "geom",
+                        salt_map: dict | None = None) -> pa.Table:
     """flat_map: each polygon → one row per covering cell × salt.
 
     The polygon row is carried as a pickled (attrs_dict, wkb) blob; the
     polygon side of a spatial join is narrow, so the blob stays small.
+    With a ``salt_map`` ({cell: nsplit}), only HOT cells replicate the
+    polygon per salt; cold cells get a single copy (targeted skew
+    splitting, north_rule).
     """
     fg = _wkb.decode(batch[geom_col].to_pylist())
     attrs = batch.drop_columns([geom_col])
@@ -322,7 +326,8 @@ def _polys_to_cell_rows(batch: pa.Table, *, res: int, nsplit: int,
         row = {c: attrs[c][i].as_py() for c in attrs.column_names}
         blob = pickle.dumps((row, batch[geom_col][i].as_py()), protocol=5)
         for c in cells:
-            for s in range(nsplit):
+            ns = salt_map.get(int(c), 1) if salt_map is not None else nsplit
+            for s in range(ns):
                 cells_out.append(c)
                 blobs.append(blob)
                 salts.append(s)
@@ -336,16 +341,18 @@ def _polys_to_cell_rows(batch: pa.Table, *, res: int, nsplit: int,
 def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
                           predicate: str = "intersects",
                           nsplit: int = 1,
+                          salt_map: dict | None = None,
                           point_cols: list[str] | None = None,
                           right_cols: list[str] | None = None,
                           num_partitions: int | None = None):
     """Large × large PIP/intersects join via groupby-on-cell co-shuffle.
 
     Returns an inner-join Dataset of point_cols + polygon attr cols.
-    ``nsplit`` > 1 salts EVERY cell (uniform splitting); use
-    :func:`hot_cell_salts` to derive a targeted per-cell salt map and
-    pass it via ``salt_map`` in a future revision (targeted salting is
-    applied by the flagship pipeline directly).
+    Skew handling (north_rule "explicit skew splitting of hot cells"):
+    pass ``salt_map`` from :func:`hot_cell_salts` — points in a hot
+    cell spread over its salt keys (deterministic hash of the point
+    fid/row), the polygon side is replicated once per salt ONLY for hot
+    cells. ``nsplit`` > 1 without a map salts every cell uniformly.
 
     Points must already carry lon/lat + ``cell`` (geocode stage).
     """
@@ -362,17 +369,27 @@ def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
         out_fields.append((dst, rschema_in.types[rschema_in.names.index(src)]))
     out_schema = pa.schema(out_fields)
     polys_cells = polys_ds.map_batches(
-        lambda b: _polys_to_cell_rows(b, res=res, nsplit=nsplit),
+        lambda b: _polys_to_cell_rows(b, res=res, nsplit=nsplit,
+                                      salt_map=salt_map),
         batch_format="pyarrow",
     )
 
     def _points_prep(batch: pa.Table) -> pa.Table:
+        from ..core.fid import hash_ints, hash_strings
+
         cols = {c: batch[c] for c in point_cols}
         h = np.asarray(batch["cell"].to_numpy(), dtype=np.uint64)
-        if nsplit > 1:
-            from ..core.fid import hash_ints
-            salt = (hash_ints(h + np.arange(len(h), dtype=np.uint64))
-                    % np.uint64(nsplit)).astype(np.int32)
+        # deterministic per-ROW salt (content hash, not arrival order)
+        if "fid" in batch.column_names:
+            rh = hash_strings(batch["fid"])
+        else:
+            rh = hash_ints(h + np.arange(len(h), dtype=np.uint64))
+        if salt_map is not None:
+            ns = np.asarray([salt_map.get(int(c), 1) for c in h],
+                            dtype=np.uint64)
+            salt = (rh % np.maximum(ns, 1)).astype(np.int32)
+        elif nsplit > 1:
+            salt = (rh % np.uint64(nsplit)).astype(np.int32)
         else:
             salt = np.zeros(len(h), dtype=np.int32)
         cols[_SALT_COL] = pa.array(salt, pa.int32())
@@ -430,14 +447,22 @@ def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
 
 
 def hot_cell_salts(points_ds, *, hot_threshold: int = 200_000,
-                   nsplit: int = 8) -> dict[int, int]:
-    """Pre-pass: per-cell counts on the slim projection → salt map for
-    cells exceeding hot_threshold (north_rule skew splitting)."""
+                   nsplit: int | None = None,
+                   target_group_rows: int | None = None) -> dict[int, int]:
+    """Pre-pass: per-cell counts on the slim cell projection → salt map
+    for cells exceeding hot_threshold (north_rule skew splitting).
+
+    nsplit fixed, or derived per cell as ceil(count/target_group_rows).
+    """
     counts = points_ds.select_columns(["cell"]).groupby("cell").count()
-    out = {}
+    out: dict[int, int] = {}
     for row in counts.iter_rows():
-        if row["count()"] > hot_threshold:
-            out[int(row["cell"])] = nsplit
+        c = row["count()"]
+        if c > hot_threshold:
+            if target_group_rows:
+                out[int(row["cell"])] = int(np.ceil(c / target_group_rows))
+            else:
+                out[int(row["cell"])] = nsplit or 8
     return out
 
 

@@ -207,3 +207,17 @@ def nearest_neighbor_index(ds, *, id_col="id", xcol="lon", ycol="lat",
     return {"observed_mean_dist": observed, "expected_mean_dist": float(expected),
             "nni": observed / expected, "z": float(z),
             "p": float(zprob(z, "both")), "n": n}
+
+
+def default_distance_band(ds, *, id_col="id", xcol="lon", ycol="lat") -> float:
+    """The reference's default band: max over features of 1-NN distance
+    × 1.0001 (GT/core/DistanceFactory.java:83-121) — guarantees every
+    feature has ≥1 neighbor. Distributed max-NN pass (SURVEY §7.4)."""
+    pdf = ds.select_columns([id_col, xcol, ycol]).to_pandas()
+    links = knn_links(ds, pdf[id_col].to_numpy(),
+                      pdf[xcol].to_numpy().astype(float),
+                      pdf[ycol].to_numpy().astype(float),
+                      k=1, id_col=id_col, xcol=xcol, ycol=ycol,
+                      exclude_self=True, emit_dist_sq=True)
+    mx = links.aggregate(ray.data.aggregate.Max("dist_sq"))
+    return float(np.sqrt(mx["max(dist_sq)"])) * 1.0001

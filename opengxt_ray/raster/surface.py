@@ -187,3 +187,55 @@ def roughness(tiles, meta: RasterMeta):
         return stack.max(axis=0) - stack.min(axis=0)
 
     return _focal(tiles, meta, _r)
+
+
+def curvature(tiles, meta: RasterMeta):
+    """Second-derivative curvature (Zevenbergen-Thorne style): −2(D+E)
+    ·100 with D, E from the 3×3 quadratic fit."""
+
+    def _c(pad, cell):
+        z = pad
+        L2 = cell * cell
+        d = ((z[1:-1, :-2] + z[1:-1, 2:]) / 2.0 - z[1:-1, 1:-1]) / L2
+        e = ((z[:-2, 1:-1] + z[2:, 1:-1]) / 2.0 - z[1:-1, 1:-1]) / L2
+        return -2.0 * (d + e) * 100.0
+
+    return _focal(tiles, meta, _c)
+
+
+def flow_direction(tiles, meta: RasterMeta):
+    """D8 flow direction (ESRI encoding 1,2,4,...,128 = E,SE,S,...,NE):
+    steepest downslope neighbor."""
+
+    def _f(pad, cell):
+        z = pad
+        c = z[1:-1, 1:-1]
+        diag = cell * np.sqrt(2.0)
+        drops = np.stack([
+            (c - z[1:-1, 2:]) / cell,    # E   = 1
+            (c - z[2:, 2:]) / diag,      # SE  = 2
+            (c - z[2:, 1:-1]) / cell,    # S   = 4
+            (c - z[2:, :-2]) / diag,     # SW  = 8
+            (c - z[1:-1, :-2]) / cell,   # W   = 16
+            (c - z[:-2, :-2]) / diag,    # NW  = 32
+            (c - z[:-2, 1:-1]) / cell,   # N   = 64
+            (c - z[:-2, 2:]) / diag,     # NE  = 128
+        ])
+        best = np.argmax(drops, axis=0)
+        codes = np.array([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.float64)
+        out = codes[best]
+        return np.where(drops.max(axis=0) <= 0, 0.0, out)  # pits/flats → 0
+
+    return _focal(tiles, meta, _f)
+
+
+def surface_area(tiles, meta: RasterMeta):
+    """Jenness-style 3D surface area per cell (triangulated to the 8
+    neighbors), as a ratio-corrected cell area."""
+
+    def _s(pad, cell):
+        dzdx, dzdy = _horn_gradients(pad, cell)
+        # area scale factor = sqrt(1 + |∇z|²)
+        return cell * cell * np.sqrt(1.0 + dzdx ** 2 + dzdy ** 2)
+
+    return _focal(tiles, meta, _s)

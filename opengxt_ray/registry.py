@@ -167,6 +167,8 @@ def _populate() -> None:
       "GT/core/WeightMatrixContiguity.java")
     E("KNNWeights", "hotspot", WT.knn_pairs,
       "GT/core/WeightMatrixKNearestNeighbors.java:46-65")
+    E("DefaultDistanceBand", "hotspot", NE.default_distance_band,
+      "GT/core/DistanceFactory.java:83-121")
     E("JoinCountStatistics", "hotspot", WT.join_count_statistics,
       "GT/autocorrelation/JoinCountStatisticsOperation.java:60-190")
 
@@ -196,6 +198,8 @@ def _populate() -> None:
       "GT/pattern/QuadratOperation.java:44-")
     E("KMeansClustering", "binning", CU.kmeans_assign,
       "GT/pattern/KMeansClusterOperation.java")
+    E("SpatialClump", "binning", CU.distance_clusters,
+      "GT/transformation/SpatialClumpFeatureCollection.java")
     E("ThiessenPolygon", "binning", TE.thiessen,
       "GT/operations/ThiessenPolygonOperation.java")
     E("DelaunayTriangulation", "binning", TE.delaunay,
@@ -255,6 +259,10 @@ def _populate() -> None:
       "GT/transformation/SimplifyFeatureCollection.java")
     E("Densify", "transform", T.make_densify,
       "GT/transformation/DensifyFeatureCollection.java")
+    E("Smooth", "transform", T.make_smooth,
+      "GT/transformation/SmoothFeatureCollection")
+    E("RemoveParts", "transform", T.remove_small_parts,
+      "GT/transformation/RemovePartsFeatureCollection")
     E("FlipLine", "transform", T.flip_line, "GT/transformation/FlipLine")
     E("OffsetFeatures", "transform", T.make_offset,
       "GT/transformation/OffsetFeatureCollection.java")
@@ -322,6 +330,12 @@ def _populate() -> None:
     E("RasterTRI", "raster", RS.tri, "GT/gridcoverage/RasterTRIOperation")
     E("RasterRoughness", "raster", RS.roughness,
       "GT/gridcoverage/RasterRoughnessOperation")
+    E("RasterCurvature", "raster", RS.curvature,
+      "GT/gridcoverage/RasterCurvatureOperation")
+    E("RasterFlowDirection", "raster", RS.flow_direction,
+      "GT/gridcoverage/RasterFlowDirectionOperation")
+    E("RasterSurfaceArea", "raster", RS.surface_area,
+      "GT/gridcoverage/RasterSurfaceAreaOperation.java")
     E("IDWInterpolation", "raster", RI.idw,
       "GT/gridcoverage/RasterInterpolationIDWOperation.java")
     E("TPSInterpolation", "raster", RI.tps,

@@ -658,3 +658,86 @@ def make_reproject(src: str, dst: str, *, geom_col="geom"):
         raise ValueError(f"unsupported CRS pair {src} → {dst}")
 
     return lambda b: _coord_transform(b, geom_col, f)
+
+
+def make_smooth(iterations: int = 1, *, geom_col="geom"):
+    """SmoothFeatureCollection — Chaikin corner cutting."""
+
+    def _chaikin(r: np.ndarray, closed: bool) -> np.ndarray:
+        for _ in range(iterations):
+            if len(r) < 3:
+                return r
+            q = 0.75 * r[:-1] + 0.25 * r[1:]
+            p = 0.25 * r[:-1] + 0.75 * r[1:]
+            mix = np.empty((2 * len(q), 2))
+            mix[0::2] = q
+            mix[1::2] = p
+            if closed:
+                r = np.vstack([mix, mix[:1]])
+            else:
+                r = np.vstack([r[:1], mix, r[-1:]])
+        return r
+
+    def _smooth(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        out = []
+        for i in range(len(fg)):
+            t = fg.types[i]
+            if t == _wkb.POINT:
+                pts = fg.geom_coords(i)
+                out.append(_wkb.encode_point(float(pts[0, 0]), float(pts[0, 1])))
+            elif t == _wkb.LINESTRING:
+                rings = [_chaikin(r, False) for r, _ in fg.rings(i)]
+                out.append(_wkb.encode_linestring(rings[0]) if len(rings) == 1
+                           else _wkb.encode_multilinestring(rings))
+            else:
+                shells = []
+                cur = None
+                for r, is_shell in fg.rings(i):
+                    rs = _chaikin(r, True)
+                    if is_shell:
+                        if cur:
+                            shells.append(cur)
+                        cur = (rs, [])
+                    elif cur:
+                        cur[1].append(rs)
+                if cur:
+                    shells.append(cur)
+                out.append(_wkb.encode_polygon(shells[0][0], shells[0][1])
+                           if len(shells) == 1
+                           else _wkb.encode_multipolygon(shells))
+        idx = batch.column_names.index(geom_col)
+        return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
+
+    return _smooth
+
+
+def remove_small_parts(batch: pa.Table, *, min_area: float,
+                       geom_col="geom") -> pa.Table:
+    """RemoveParts — drop multipolygon parts below min_area."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    out = []
+    for i in range(len(fg)):
+        shells = []
+        cur = None
+        for r, is_shell in fg.rings(i):
+            if is_shell:
+                if cur and abs(geomops.ring_area(cur[0])) >= min_area:
+                    shells.append(cur)
+                cur = (r, [])
+            elif cur:
+                cur[1].append(r)
+        if cur and abs(geomops.ring_area(cur[0])) >= min_area:
+            shells.append(cur)
+        if not shells:
+            out.append(None)
+        elif len(shells) == 1:
+            out.append(_wkb.encode_polygon(shells[0][0], shells[0][1]))
+        else:
+            out.append(_wkb.encode_multipolygon(shells))
+    mask = pa.array([g is not None for g in out])
+    kept = batch.filter(mask)
+    gi = kept.column_names.index(geom_col)
+    return kept.set_column(gi, geom_col,
+                           pa.array([g for g in out if g is not None],
+                                    pa.binary()))

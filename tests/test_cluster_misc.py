@@ -1,0 +1,98 @@
+"""Distance clusters, default band, new surface ops, smooth/remove-parts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from opengxt_ray.core import geomops, wkb as _wkb
+from opengxt_ray.ops.cluster import distance_clusters
+from opengxt_ray.ops.near import default_distance_band
+from opengxt_ray.stages.transforms import make_smooth, remove_small_parts
+
+
+def test_distance_clusters():
+    # two tight blobs + one singleton
+    rs = np.random.RandomState(8)
+    a = rs.uniform(0, 1, (20, 2))
+    b = rs.uniform(10, 11, (25, 2))
+    c = np.array([[50.0, 50.0]])
+    pts = np.vstack([a, b, c])
+    t = pa.table({"pid": pa.array(np.arange(len(pts))),
+                  "lon": pa.array(pts[:, 0]), "lat": pa.array(pts[:, 1])})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = distance_clusters(ds, radius=2.0).to_pandas()
+    assert len(out) == 46
+    labs = out.sort_values("pid")["cluster"].to_numpy()
+    assert len(set(labs[:20])) == 1       # blob A one cluster
+    assert len(set(labs[20:45])) == 1     # blob B one cluster
+    assert labs[0] != labs[20]
+    assert labs[45] == 45                 # singleton keeps own id
+
+
+def test_default_distance_band():
+    x = np.array([0.0, 1.0, 2.0, 10.0])
+    y = np.zeros(4)
+    t = pa.table({"pid": pa.array(np.arange(4)), "lon": pa.array(x),
+                  "lat": pa.array(y)})
+    ds = ray.data.from_arrow(t)
+    band = default_distance_band(ds, id_col="pid")
+    # max 1-NN distance = 8 (point at 10 → nearest 2) × 1.0001
+    assert band == pytest.approx(8.0 * 1.0001)
+
+
+def test_curvature_flow_surface_area():
+    from opengxt_ray.raster import RasterMeta
+    from opengxt_ray.raster.surface import curvature, flow_direction, surface_area
+
+    meta = RasterMeta(0.0, 8.0, 1.0, 8, 8, tile_size=4)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            h, w = meta.tile_shape(tx, ty)
+            cols = np.arange(tx * 4, tx * 4 + w)
+            rws = np.arange(ty * 4, ty * 4 + h)
+            cc, rr = np.meshgrid(cols, rws)
+            tile = (cc + rr).astype(np.float64)  # plane z = x + row
+            rows.append({"tx": tx, "ty": ty, "data": tile.tobytes()})
+    tiles = ray.data.from_items(rows).map_batches(
+        lambda b: pa.table({"tx": pa.array(b["tx"], pa.int32()),
+                            "ty": pa.array(b["ty"], pa.int32()),
+                            "data": pa.array(list(b["data"]), pa.binary())}),
+        batch_format="pandas").materialize()
+
+    def dense(tt):
+        out = np.zeros((8, 8))
+        for row in tt.iter_rows():
+            h, w = meta.tile_shape(row["tx"], row["ty"])
+            out[row["ty"] * 4 : row["ty"] * 4 + h,
+                row["tx"] * 4 : row["tx"] * 4 + w] = \
+                np.frombuffer(row["data"], np.float64).reshape(h, w)
+        return out
+
+    # plane → zero curvature everywhere (interior)
+    cv = dense(curvature(tiles, meta))
+    np.testing.assert_allclose(cv[1:-1, 1:-1], 0.0, atol=1e-9)
+    # z increases with x and row (row = south) → steepest drop to NW = 32
+    fd = dense(flow_direction(tiles, meta))
+    assert (fd[1:-1, 1:-1] == 32.0).all()
+    # surface area of plane with |∇z|² = 2 → cell²·√3
+    sa = dense(surface_area(tiles, meta))
+    np.testing.assert_allclose(sa[1:-1, 1:-1], np.sqrt(3.0), rtol=1e-9)
+
+
+def test_smooth_and_remove_parts():
+    sq = _wkb.encode_polygon(np.array([[0, 0], [10, 0], [10, 10], [0, 10]]))
+    b = pa.table({"geom": pa.array([sq], pa.binary())})
+    sm = make_smooth(2)(b)
+    fg = _wkb.decode(sm["geom"].to_pylist())
+    a = geomops.areas(fg)[0]
+    assert 80 < a < 100  # corners cut, area slightly reduced
+    mp = _wkb.encode_multipolygon([
+        (np.array([[0, 0], [10, 0], [10, 10], [0, 10]]), []),
+        (np.array([[20, 20], [20.1, 20], [20.1, 20.1], [20, 20.1]]), []),
+    ])
+    b2 = pa.table({"geom": pa.array([mp], pa.binary())})
+    rp = remove_small_parts(b2, min_area=1.0)
+    fg = _wkb.decode(rp["geom"].to_pylist())
+    np.testing.assert_allclose(geomops.areas(fg), [100.0])
