@@ -529,6 +529,20 @@ def _q_zonal_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_quantile_breaks(sf_dir: str):
+    import ray
+
+    from opengxt_ray.ops.classify import quantile_breaks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    breaks = quantile_breaks(ds, "l_extendedprice", 5)
+    return pa.table({
+        "q": pa.array(np.arange(6, dtype=np.int64)),
+        "brk": pa.array(breaks, pa.float64()),
+    })
+
+
 def _q_histogram(sf_dir: str):
     import ray
 
@@ -589,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_center": _q_mean_center,
         "attribute_join": _q_attribute_join,
         "events_window": _q_events_window,
+        "quantile_breaks": _q_quantile_breaks,
         "histogram": _q_histogram,
         "sessionize": _q_sessionize,
         "ann_topk": _q_ann_topk,
@@ -879,6 +894,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS cnt, round(SUM(value), 6) AS sval6
             FROM events GROUP BY 1, 2
+        """,
+        "quantile_breaks": """
+            WITH s AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM lineitem
+            ),
+            qs AS (SELECT unnest(range(0, 6)) AS q)
+            SELECT qs.q AS q, s.v AS brk
+            FROM qs JOIN s
+              ON s.rn = CASE WHEN qs.q = 0 THEN 1
+                        ELSE LEAST(CAST(ceil(s.n * qs.q / 5.0) AS BIGINT), s.n)
+                        END
         """,
         "histogram": """
             WITH bins AS (SELECT unnest(range(0, 5)) AS bin),

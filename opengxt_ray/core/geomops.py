@@ -228,6 +228,75 @@ def haversine(lon1, lat1, lon2, lat2) -> np.ndarray:
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
 
 
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+
+
+def vincenty(lon1, lat1, lon2, lat2, *, iterations: int = 50,
+             tol: float = 1e-12) -> np.ndarray:
+    """Ellipsoidal (WGS84) inverse distance in meters, vectorized.
+
+    Vincenty (1975) with mask-based convergence — matches GeoTools
+    ``GeodeticCalculator.getOrthodromicDistance``
+    (GT/util/GeodeticBuilder.java:86-140) to sub-millimeter for
+    non-antipodal pairs; falls back to haversine where the iteration
+    fails to converge (near-antipodal)."""
+    lon1, lat1, lon2, lat2 = (np.atleast_1d(np.asarray(a, dtype=np.float64))
+                              for a in (lon1, lat1, lon2, lat2))
+    L = np.radians(lon2 - lon1)
+    U1 = np.arctan((1 - WGS84_F) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1 - WGS84_F) * np.tan(np.radians(lat2)))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    active = np.ones(len(L), dtype=bool)
+    sin_sig = np.zeros_like(L)
+    cos_sig = np.ones_like(L)
+    sigma = np.zeros_like(L)
+    cos2_alpha = np.ones_like(L)
+    cos_2sigm = np.zeros_like(L)
+    for _ in range(iterations):
+        if not active.any():
+            break
+        sl, cl = np.sin(lam[active]), np.cos(lam[active])
+        su1, cu1 = sinU1[active], cosU1[active]
+        su2, cu2 = sinU2[active], cosU2[active]
+        ss = np.sqrt((cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
+        cs = su1 * su2 + cu1 * cu2 * cl
+        sig = np.arctan2(ss, cs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(ss == 0, 0.0, cu1 * cu2 * sl / np.where(ss == 0, 1.0, ss))
+            c2a = 1.0 - sin_alpha ** 2
+            c2sm = np.where(c2a == 0, 0.0,
+                            cs - 2.0 * su1 * su2 / np.where(c2a == 0, 1.0, c2a))
+        C = WGS84_F / 16.0 * c2a * (4 + WGS84_F * (4 - 3 * c2a))
+        new_lam = (L[active] + (1 - C) * WGS84_F * sin_alpha
+                   * (sig + C * ss * (c2sm + C * cs * (-1 + 2 * c2sm ** 2))))
+        sin_sig[active] = ss
+        cos_sig[active] = cs
+        sigma[active] = sig
+        cos2_alpha[active] = c2a
+        cos_2sigm[active] = c2sm
+        conv = np.abs(new_lam - lam[active]) < tol
+        lam[active] = new_lam
+        idx = np.nonzero(active)[0]
+        active[idx[conv]] = False
+    u2 = cos2_alpha * (WGS84_A ** 2 - WGS84_B ** 2) / WGS84_B ** 2
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    dsig = (B * sin_sig
+            * (cos_2sigm + B / 4 * (cos_sig * (-1 + 2 * cos_2sigm ** 2)
+               - B / 6 * cos_2sigm * (-3 + 4 * sin_sig ** 2)
+               * (-3 + 4 * cos_2sigm ** 2))))
+    dist = WGS84_B * A * (sigma - dsig)
+    # unconverged (near-antipodal) → haversine fallback
+    if active.any():
+        hv = haversine(lon1[active], lat1[active], lon2[active], lat2[active])
+        dist[active] = hv
+    return dist
+
+
 def point_segment_dist(px, py, x0, y0, x1, y1):
     """Min distance from points (px,py) to segments (x0,y0)-(x1,y1).
 

@@ -764,3 +764,123 @@ def focal_lq(ds, x_col: str, y_col: str, *, id_col: str,
         lambda b: pa.table({"g": [float(np.sum(np.abs(b["flqd"].to_numpy())))]}),
         batch_format="pyarrow").aggregate(ray.data.aggregate.Sum("g"))
     return out, float(glq["sum(g)"])
+
+
+# ---------------------------------------------------------------------------
+# Rogerson's R (spatial chi-square, case/pop fields)
+# ---------------------------------------------------------------------------
+
+def _rogerson_prep(ds, case_col, pop_col, id_col, xcol, ycol):
+    """Append v1 = (r−p)/√p and v2 = √p (r = case share, p = pop share)."""
+    import ray
+
+    def _sums(batch: pa.Table) -> pa.Table:
+        c = batch[case_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = batch[pop_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"sc": [float(c.sum())], "sp": [float(p.sum())]})
+
+    agg = ds.map_batches(_sums, batch_format="pyarrow").aggregate(
+        ray.data.aggregate.Sum("sc"), ray.data.aggregate.Sum("sp"))
+    sum_x, sum_y = agg["sum(sc)"], agg["sum(sp)"]
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        c = batch[case_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = batch[pop_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = c / sum_x
+        pp = p / sum_y
+        v1 = (r - pp) / np.sqrt(pp)
+        return pa.table({
+            id_col: batch[id_col],
+            xcol: batch[xcol], ycol: batch[ycol],
+            "__v1": pa.array(v1),
+            "__sqrtp": pa.array(np.sqrt(pp)),
+            "__ripi": pa.array(r - pp),
+            "__pi": pa.array(pp),
+        })
+
+    return ds.map_batches(_prep, batch_format="pyarrow"), sum_x, sum_y
+
+
+def local_rogerson_r(ds, case_col: str, pop_col: str, *, id_col: str,
+                     band: float | None = None, kappa: float = 1.0,
+                     xcol: str = "lon", ycol: str = "lat",
+                     round_digits: int | None = 8):
+    """Local Rogerson's R (GT/autocorrelation/LocalRogersonROperation
+    .java:85-135): Rᵢ = ((rᵢ−pᵢ)/√pᵢ)·Σⱼ aᵢⱼ(rⱼ−pⱼ)/√pⱼ with
+    aᵢᵢ=1, aᵢⱼ = 1 if d≤1 else d^−κ; z = Rᵢ/E(Rᵢ),
+    E = (1−pᵢ)/ΣX. κ=1 maps to the inverse-distance concept (κ=2 the
+    squared variant)."""
+    prep, sum_x, _ = _rogerson_prep(ds, case_col, pop_col, id_col, xcol, ycol)
+    concept = INVERSE if kappa == 1.0 else INVERSE2
+    sums = neighbor_sums(prep, "__v1", id_col=id_col, band=band,
+                         concept=concept, self_neighbors=True,
+                         xcol=xcol, ycol=ycol, value_col2="__ripi")
+    own = prep.map_batches(
+        lambda b: pa.table({"id": b[id_col], "__ripi0": b["__ripi"],
+                            "__pi0": b["__pi"], "__sqrtp0": b["__sqrtp"]}),
+        batch_format="pyarrow")
+    joined = sums.join(own, join_type="inner", num_partitions=8, on=("id",))
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        ls = batch["local_sum"].to_numpy()  # Σ aij·(rj−pj)/√pj incl self
+        ripi = batch["__ripi0"].to_numpy()
+        pi = batch["__pi0"].to_numpy()
+        sqrtp = batch["__sqrtp0"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            index = (ripi / sqrtp) * ls
+            expected = (1.0 - pi) / sum_x
+            z = index / expected
+        bad = ~np.isfinite(z)
+        p = np.where(bad, 1.0, zprob(np.where(bad, 0.0, z), "both"))
+        rd = (lambda v: format_round(v, round_digits)) if round_digits else (lambda v: v)
+        return pa.table({
+            "id": batch["id"],
+            "LRrIndex": pa.array(rd(np.where(np.isfinite(index), index, 0.0))),
+            "LRrZScore": pa.array(rd(np.where(bad, 0.0, z))),
+            "LRrPValue": pa.array(rd(p)),
+        })
+
+    return joined.map_batches(_finalize, batch_format="pyarrow")
+
+
+def global_rogerson_r(ds, case_col: str, pop_col: str, *, id_col: str,
+                      band: float | None = None, kappa: float = 1.0,
+                      xcol: str = "lon", ycol: str = "lat") -> dict:
+    """Global Rogerson's R (GlobalRogersonROperation.java:66-142):
+    R = GOF + SA; GOF = Σ(rᵢ−pᵢ)²/pᵢ,
+    SA = Σᵢ ((rᵢ−pᵢ)/√pᵢ)·Σⱼ≠ᵢ aᵢⱼ(rⱼ−pⱼ)/√pⱼ;
+    E = (m−1−2Σᵢ>ⱼaᵢⱼ√(pᵢpⱼ))/ΣX. The reference's variance term is an
+    O(n³) nested loop marked "TODO Verify" there — omitted here
+    (variance=0, documented)."""
+    import ray
+
+    prep, sum_x, _ = _rogerson_prep(ds, case_col, pop_col, id_col, xcol, ycol)
+    m = prep.count()
+    concept = INVERSE if kappa == 1.0 else INVERSE2
+    sums = neighbor_sums(prep, "__v1", id_col=id_col, band=band,
+                         concept=concept, self_neighbors=False,
+                         xcol=xcol, ycol=ycol, value_col2="__sqrtp")
+    own = prep.map_batches(
+        lambda b: pa.table({"id": b[id_col], "__ripi0": b["__ripi"],
+                            "__pi0": b["__pi"], "__sqrtp0": b["__sqrtp"]}),
+        batch_format="pyarrow")
+    joined = sums.join(own, join_type="inner", num_partitions=8, on=("id",))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ls = batch["local_sum"].to_numpy()      # Σⱼ≠ᵢ aij (rj−pj)/√pj
+        lsy = batch["local_sumy"].to_numpy()    # Σⱼ≠ᵢ aij √pj
+        ripi = batch["__ripi0"].to_numpy()
+        pi = batch["__pi0"].to_numpy()
+        sqrtp = batch["__sqrtp0"].to_numpy()
+        gof = float(np.sum(ripi * ripi / pi))
+        sa = float(np.sum((ripi / sqrtp) * ls))
+        aijsum2 = float(np.sum(sqrtp * lsy))    # Σᵢ≠ⱼ aij √(pi pj) = 2Σᵢ>ⱼ
+        return pa.table({"gof": [gof], "sa": [sa], "aij2": [aijsum2]})
+
+    agg = joined.map_batches(_partial, batch_format="pyarrow").aggregate(
+        *[ray.data.aggregate.Sum(c) for c in ("gof", "sa", "aij2")])
+    observed = agg["sum(gof)"] + agg["sum(sa)"]
+    expected = (m - 1.0 - agg["sum(aij2)"]) / sum_x
+    return {"observed": float(observed), "expected": float(expected),
+            "gof": float(agg["sum(gof)"]), "sa": float(agg["sum(sa)"]),
+            "variance": 0.0}

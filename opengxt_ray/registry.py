@@ -161,6 +161,10 @@ def _populate() -> None:
       "GT/autocorrelation/GlobalLeesLOperation.java:55-115")
     E("FocalLQ", "hotspot", HS.focal_lq,
       "GT/autocorrelation/FocalLQOperation.java:67-150")
+    E("LocalRogersonR", "hotspot", HS.local_rogerson_r,
+      "GT/autocorrelation/LocalRogersonROperation.java:85-135")
+    E("GlobalRogersonR", "hotspot", HS.global_rogerson_r,
+      "GT/autocorrelation/GlobalRogersonROperation.java:66-142")
     E("NearestNeighborIndex", "hotspot", NE.nearest_neighbor_index,
       "GT/pattern/NNIOperation.java:83-156")
     E("ContiguityWeights", "hotspot", WT.contiguity_pairs,

@@ -150,3 +150,17 @@ def test_convex_hull_and_simplify():
     line = np.array([[0, 0], [1, 0.01], [2, -0.01], [3, 0], [3, 5]])
     simp = geomops.douglas_peucker(line, 0.1)
     np.testing.assert_allclose(simp, [[0, 0], [3, 0], [3, 5]])
+
+
+def test_vincenty_known_geodesics():
+    from opengxt_ray.core.geomops import vincenty
+
+    # WGS84 ellipsoid invariants
+    np.testing.assert_allclose(
+        vincenty([0.0], [0.0], [1.0], [0.0]), [111319.491], atol=0.001)
+    np.testing.assert_allclose(
+        vincenty([0.0], [0.0], [0.0], [1.0]), [110574.389], atol=0.01)
+    # Paris → NYC geodesic ≈ 5853.1 km (ellipsoidal)
+    d = vincenty([2.3522], [48.8566], [-74.0060], [40.7128])
+    assert abs(d[0] / 1000.0 - 5853.1) < 2.0
+    assert vincenty([5.0], [5.0], [5.0], [5.0])[0] == 0.0
