@@ -529,6 +529,71 @@ def _q_zonal_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_point_statistics(sf_dir: str):
+    from opengxt_ray.ops.pip import point_statistics
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey",
+                    columns=["c_custkey", "c_acctbal"])
+    out = point_statistics(pts, _zones(sf_dir), poly_key="n_nationkey",
+                           spec="Count.c_acctbal, Sum.c_acctbal, "
+                                "Min.c_acctbal, Max.c_acctbal",
+                           round_digits=6)
+    import pyarrow.compute as pc
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_nationkey": b["n_nationkey"],
+            "cnt": pc.coalesce(b["count_c_acctbal"].combine_chunks(),
+                               pa.scalar(0.0)),
+            "s6": b["sum_c_acctbal"],
+            "mn6": b["min_c_acctbal"],
+            "mx6": b["max_c_acctbal"],
+        })
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+def _q_near_radius(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from opengxt_ray.ops.near import knn_links
+    from opengxt_ray.sources import tpch_geo
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    skey = supp["s_suppkey"].to_numpy()
+    sx, sy = tpch_geo.point_lonlat(skey)
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    links = knn_links(pts, skey, sx, sy, k=1, id_col="c_custkey",
+                      nbr_id_col="s_suppkey", max_radius=8.0,
+                      emit_dist_sq=True)
+    return links.map_batches(
+        lambda b: b.select(["c_custkey", "s_suppkey", "dist_sq"]),
+        batch_format="pyarrow")
+
+
+def _q_neighbor_count(sf_dir: str):
+    from opengxt_ray.ops.near import neighbor_count
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    out = neighbor_count(pts, radius=10.0, id_col="c_custkey")
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"],
+                            "nbr_count": b["nbr_count"]}),
+        batch_format="pyarrow")
+
+
+def _q_sde(sf_dir: str):
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.distribution import standard_deviational_ellipse
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    r = standard_deviational_ellipse(pts)
+    return pa.table({
+        "sx6": [format_round(r["sigma_x"], 6)],
+        "sy6": [format_round(r["sigma_y"], 6)],
+    })
+
+
 def _q_quantile_breaks(sf_dir: str):
     import ray
 
@@ -603,6 +668,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_center": _q_mean_center,
         "attribute_join": _q_attribute_join,
         "events_window": _q_events_window,
+        "point_statistics": _q_point_statistics,
+        "near_radius": _q_near_radius,
+        "neighbor_count": _q_neighbor_count,
+        "sde": _q_sde,
         "quantile_breaks": _q_quantile_breaks,
         "histogram": _q_histogram,
         "sessionize": _q_sessionize,
@@ -894,6 +963,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS cnt, round(SUM(value), 6) AS sval6
             FROM events GROUP BY 1, 2
+        """,
+        "point_statistics": f"""
+            SELECT n.n_nationkey,
+                   CAST(COALESCE(z.c, 0) AS DOUBLE) AS cnt,
+                   round(z.s, 6) AS s6, round(z.mn, 6) AS mn6,
+                   round(z.mx, 6) AS mx6
+            FROM nation n LEFT JOIN (
+                SELECT {zone_c} AS zone, COUNT(c_acctbal) AS c,
+                       SUM(c_acctbal) AS s, MIN(c_acctbal) AS mn,
+                       MAX(c_acctbal) AS mx
+                FROM customer GROUP BY 1
+            ) z ON z.zone = n.n_nationkey
+        """,
+        "near_radius": (f"SELECT c_custkey, s_suppkey, dist_sq "
+                        f"FROM ({knn_base}) t WHERE rn = 1 "
+                        f"AND dist_sq <= 64.0"),
+        "neighbor_count": f"""
+            SELECT c.c_custkey, CAST(COALESCE(z.cnt, 0) AS BIGINT) AS nbr_count
+            FROM customer c LEFT JOIN (
+                SELECT a.c_custkey AS k, COUNT(*) AS cnt
+                FROM customer a JOIN customer b
+                  ON a.c_custkey <> b.c_custkey
+                 AND (({lon_c.replace('c_custkey', 'a.c_custkey')})
+                      - ({lon_c.replace('c_custkey', 'b.c_custkey')}))
+                     * (({lon_c.replace('c_custkey', 'a.c_custkey')})
+                        - ({lon_c.replace('c_custkey', 'b.c_custkey')}))
+                   + (({lat_c.replace('c_custkey', 'a.c_custkey')})
+                      - ({lat_c.replace('c_custkey', 'b.c_custkey')}))
+                     * (({lat_c.replace('c_custkey', 'a.c_custkey')})
+                        - ({lat_c.replace('c_custkey', 'b.c_custkey')}))
+                   <= 100.0
+                GROUP BY 1
+            ) z ON z.k = c.c_custkey
+        """,
+        "sde": f"""
+            WITH m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM({lon_c}) AS sx, SUM({lat_c}) AS sy,
+                       SUM(({lon_c}) * ({lon_c})) AS sxx,
+                       SUM(({lat_c}) * ({lat_c})) AS syy,
+                       SUM(({lon_c}) * ({lat_c})) AS sxy
+                FROM customer
+            ),
+            v AS (
+                SELECT sxx / n - (sx / n) * (sx / n) AS a,
+                       syy / n - (sy / n) * (sy / n) AS b,
+                       sxy / n - (sx / n) * (sy / n) AS c
+                FROM m
+            )
+            SELECT round(sqrt((a + b + sqrt((a - b) * (a - b) + 4.0 * c * c))
+                              / 2.0), 6) AS sx6,
+                   round(sqrt((a + b - sqrt((a - b) * (a - b) + 4.0 * c * c))
+                              / 2.0), 6) AS sy6
+            FROM v
         """,
         "quantile_breaks": """
             WITH s AS (
