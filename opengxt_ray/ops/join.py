@@ -30,8 +30,6 @@ co-partition join and re-attached by key afterwards
 
 from __future__ import annotations
 
-import pickle
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -302,40 +300,40 @@ def nearest_join(points_ds, join_table: pa.Table, *, radius=0.0,
 # Co-partitioned cell join (both sides large) with hot-cell salting
 # ---------------------------------------------------------------------------
 
-_POLY_BLOB_COL = "__poly_blob"
-_KIND_COL = "__kind"
+_POLY_GEOM_COL = "__poly_wkb"
 _SALT_COL = "__salt"
+_RCOL_PREFIX = "__r_"
 
 
 def _polys_to_cell_rows(batch: pa.Table, *, res: int, nsplit: int,
-                        geom_col: str = "geom",
+                        right_cols: list[str], geom_col: str = "geom",
                         salt_map: dict | None = None) -> pa.Table:
     """flat_map: each polygon → one row per covering cell × salt.
 
-    The polygon row is carried as a pickled (attrs_dict, wkb) blob; the
-    polygon side of a spatial join is narrow, so the blob stays small.
-    With a ``salt_map`` ({cell: nsplit}), only HOT cells replicate the
-    polygon per salt; cold cells get a single copy (targeted skew
-    splitting, north_rule).
+    Typed Arrow columns only (WKB geometry + ``__r_`` attr columns) —
+    no Python pickling in the shuffle. With a ``salt_map``
+    ({cell: nsplit}), only HOT cells replicate the polygon per salt;
+    cold cells get a single copy (targeted skew splitting, north_rule).
     """
     fg = _wkb.decode(batch[geom_col].to_pylist())
-    attrs = batch.drop_columns([geom_col])
-    cells_out, blobs, salts = [], [], []
+    take_idx, cells_out, salts = [], [], []
     for i in range(len(fg)):
         cells = hexgrid.cover_geom(fg, i, res)
-        row = {c: attrs[c][i].as_py() for c in attrs.column_names}
-        blob = pickle.dumps((row, batch[geom_col][i].as_py()), protocol=5)
         for c in cells:
             ns = salt_map.get(int(c), 1) if salt_map is not None else nsplit
-            for s in range(ns):
+            for sl in range(ns):
+                take_idx.append(i)
                 cells_out.append(c)
-                blobs.append(blob)
-                salts.append(s)
-    return pa.table({
+                salts.append(sl)
+    idx = pa.array(np.asarray(take_idx, dtype=np.int64))
+    cols = {
         "cell": pa.array(np.asarray(cells_out, dtype=np.uint64), pa.uint64()),
         _SALT_COL: pa.array(salts, pa.int32()),
-        _POLY_BLOB_COL: pa.array(blobs, pa.binary()),
-    })
+        _POLY_GEOM_COL: batch[geom_col].take(idx),
+    }
+    for rc in right_cols:
+        cols[_RCOL_PREFIX + rc] = batch[rc].take(idx)
+    return pa.table(cols)
 
 
 def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
@@ -355,6 +353,8 @@ def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
     cells. ``nsplit`` > 1 without a map salts every cell uniformly.
 
     Points must already carry lon/lat + ``cell`` (geocode stage).
+    Everything in the shuffle is typed Arrow (WKB binary + native attr
+    columns) — zero Python-object serialization.
     """
     point_cols = point_cols or [c for c in points_ds.schema().names
                                 if c not in ("html", "text")]
@@ -370,7 +370,7 @@ def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
     out_schema = pa.schema(out_fields)
     polys_cells = polys_ds.map_batches(
         lambda b: _polys_to_cell_rows(b, res=res, nsplit=nsplit,
-                                      salt_map=salt_map),
+                                      right_cols=rnames, salt_map=salt_map),
         batch_format="pyarrow",
     )
 
@@ -393,7 +393,10 @@ def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
         else:
             salt = np.zeros(len(h), dtype=np.int32)
         cols[_SALT_COL] = pa.array(salt, pa.int32())
-        cols[_POLY_BLOB_COL] = pa.array([None] * len(batch), pa.binary())
+        cols[_POLY_GEOM_COL] = pa.array([None] * len(batch), pa.binary())
+        for src, _ in name_map:
+            cols[_RCOL_PREFIX + src] = pa.nulls(
+                len(batch), rschema_in.types[rschema_in.names.index(src)])
         return pa.table(cols)
 
     points_prep = points_ds.map_batches(_points_prep, batch_format="pyarrow")
@@ -417,14 +420,14 @@ def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
         [pa.array([], type=t) for t in out_schema.types], schema=out_schema)
 
     def _join_group(group: pa.Table) -> pa.Table:
-        blob_col = group[_POLY_BLOB_COL]
-        is_poly = np.asarray(pc.is_valid(blob_col).to_numpy(zero_copy_only=False))
+        geom_col_arr = group[_POLY_GEOM_COL]
+        is_poly = np.asarray(pc.is_valid(geom_col_arr).to_numpy(
+            zero_copy_only=False))
         if not is_poly.any() or is_poly.all():
             return empty
         poly_rows = group.filter(pa.array(is_poly))
         pt_rows = group.filter(pa.array(~is_poly))
-        decoded = [pickle.loads(b.as_py()) for b in poly_rows[_POLY_BLOB_COL]]
-        fg = _wkb.decode([w for _, w in decoded])
+        fg = _wkb.decode(poly_rows[_POLY_GEOM_COL].to_pylist())
         bundle = PolygonBundle.__new__(PolygonBundle)
         bundle.fg = fg
         bundle.bboxes = fg.bboxes()
@@ -437,9 +440,10 @@ def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
         # (cell, salt) group; the polygon is replicated to all of them.
         left = pt_rows.select(point_cols).take(pa.array(pi))
         arrays = [left[c].cast(out_schema.field(c).type) for c in point_cols]
+        gi_arr = pa.array(gi)
         for src, dst in name_map:
-            arrays.append(pa.array([decoded[int(g)][0][src] for g in gi],
-                                   type=out_schema.field(dst).type))
+            arrays.append(poly_rows[_RCOL_PREFIX + src].take(gi_arr)
+                          .cast(out_schema.field(dst).type).combine_chunks())
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     grouped = both.groupby(["cell", _SALT_COL], num_partitions=num_partitions)

@@ -185,22 +185,20 @@ def neighbor_count(ds, *, radius: float, id_col="id", xcol="lon", ycol="lat"):
 def nearest_neighbor_index(ds, *, id_col="id", xcol="lon", ycol="lat",
                            area: float | None = None) -> dict:
     """NNI — observed mean NN distance / expected 0.5√(A/n), z-score
-    (NNIOperation.java:83-156). NN distances via the self k-NN pass."""
+    (NNIOperation.java:83-156).
+
+    NN distances via the fully distributed halo pass
+    (:func:`self_nn_distance`) — no driver gather of the point set."""
     import ray.data.aggregate as A
 
     if area is None:
         stats = ds.aggregate(A.Min(xcol), A.Max(xcol), A.Min(ycol), A.Max(ycol))
         area = ((stats[f"max({xcol})"] - stats[f"min({xcol})"])
                 * (stats[f"max({ycol})"] - stats[f"min({ycol})"]))
-    pdf = ds.select_columns([id_col, xcol, ycol]).to_pandas()
-    ids = pdf[id_col].to_numpy()
-    x = pdf[xcol].to_numpy()
-    y = pdf[ycol].to_numpy()
-    links = knn_links(ds, ids, x, y, k=1, id_col=id_col, xcol=xcol, ycol=ycol,
-                      exclude_self=True, emit_dist_sq=True)
-    dd = links.to_pandas()["dist_sq"].to_numpy()
-    n = len(dd)
-    observed = float(np.sqrt(dd).mean())
+    nn = self_nn_distance(ds, id_col=id_col, xcol=xcol, ycol=ycol)
+    agg = nn.aggregate(A.Sum("nn_dist"), A.Count())
+    n = agg["count()"]
+    observed = float(agg["sum(nn_dist)"] / n)
     expected = 0.5 * np.sqrt(area / n)
     se = 0.26136 / np.sqrt(n * n / area)
     z = (observed - expected) / se
@@ -221,3 +219,125 @@ def default_distance_band(ds, *, id_col="id", xcol="lon", ycol="lat") -> float:
                       exclude_self=True, emit_dist_sq=True)
     mx = links.aggregate(ray.data.aggregate.Max("dist_sq"))
     return float(np.sqrt(mx["max(dist_sq)"])) * 1.0001
+
+
+def self_nn_distance(ds, *, id_col="id", xcol="lon", ycol="lat",
+                     max_rounds: int = 6):
+    """1-NN distance of every point to another point of the SAME
+    dataset — fully distributed (no driver gather of the point set).
+
+    Round k: halo co-shuffle at a resolution coarsened 2× per round;
+    points whose 1-ring contains a neighbor resolve that round (the
+    ring guarantees correctness: any candidate within one cell size is
+    seen). Unresolved points (isolated) escalate; stragglers after
+    max_rounds are resolved by broadcasting just THEM against the full
+    dataset (one streaming pass).
+
+    Returns a Dataset (id, nn_dist).
+    """
+    import ray
+    import ray.data.aggregate as A
+
+    from ..index import hexgrid
+
+    stats = ds.aggregate(A.Min(xcol), A.Max(xcol), A.Min(ycol), A.Max(ycol),
+                         A.Count())
+    n = stats["count()"]
+    w = max(stats[f"max({xcol})"] - stats[f"min({xcol})"], 1e-9)
+    h = max(stats[f"max({ycol})"] - stats[f"min({ycol})"], 1e-9)
+    spacing = float(np.sqrt(w * h / max(n, 1)))
+    res = hexgrid.res_for_band(spacing * 2.0)
+
+    remaining = ds.map_batches(
+        lambda b: pa.table({"id": b[id_col], "x": b[xcol], "y": b[ycol]}),
+        batch_format="pyarrow").materialize()
+    resolved = []
+    for _ in range(max_rounds):
+        if remaining.count() == 0 or res < 0:
+            break
+        cur_res = res
+
+        def _halo(batch: pa.Table, cur_res=cur_res) -> pa.Table:
+            x = batch["x"].to_numpy()
+            y = batch["y"].to_numpy()
+            cells = hexgrid.hex_cell(x, y, cur_res)
+            disks = hexgrid.disk_per_row(cells, 1)
+            m = disks.shape[1]
+            rep = lambda a: np.repeat(a, m)
+            return pa.table({
+                "gcell": pa.array(disks.ravel(), pa.uint64()),
+                "id": batch["id"].take(
+                    pa.array(np.repeat(np.arange(len(batch)), m))),
+                "x": pa.array(rep(x)), "y": pa.array(rep(y)),
+                "__primary": pa.array(disks.ravel() == np.repeat(cells, m)),
+            })
+
+        # all points participate as candidates each round, but only
+        # REMAINING points are primaries
+        rem_ids = set(remaining.select_columns(["id"]).to_pandas()["id"])
+        all_halo = ds.map_batches(
+            lambda b: _halo(pa.table({"id": b[id_col], "x": b[xcol],
+                                      "y": b[ycol]})),
+            batch_format="pyarrow")
+
+        def _group_nn(group: pa.Table, rem_ids=rem_ids,
+                      cur_res=cur_res) -> pa.Table:
+            prim = group["__primary"].to_numpy(zero_copy_only=False)
+            ids = group["id"].to_numpy(zero_copy_only=False)
+            x = group["x"].to_numpy()
+            y = group["y"].to_numpy()
+            pidx = np.asarray([i for i in np.nonzero(prim)[0]
+                               if ids[i] in rem_ids], dtype=np.int64)
+            if len(pidx) == 0:
+                return pa.table({"id": pa.array([], group.schema.field("id").type),
+                                 "nn_dist": pa.array([], pa.float64())})
+            d = np.hypot(x[pidx][:, None] - x[None, :],
+                         y[pidx][:, None] - y[None, :])
+            d[ids[pidx][:, None] == ids[None, :]] = np.inf
+            best = d.min(axis=1)
+            # correctness bound: any point OUTSIDE the 1-ring is at hex
+            # distance ≥2, i.e. ≥ 2·(√3−1)·s away (centers ≥ 2√3 s apart,
+            # each point ≤ s from its center) — distances within that
+            # bound are final
+            s_ = hexgrid.hex_size(cur_res)
+            guarantee = 2.0 * (np.sqrt(3.0) - 1.0) * s_
+            ok = best <= max(guarantee, 0.0)
+            return pa.table({
+                "id": pa.array(ids[pidx[ok]]),
+                "nn_dist": pa.array(best[ok]),
+            })
+
+        found = all_halo.groupby("gcell").map_groups(
+            _group_nn, batch_format="pyarrow").materialize()
+        resolved.append(found)
+        found_ids = set(found.select_columns(["id"]).to_pandas()["id"])
+        remaining = remaining.filter(
+            lambda r, f=found_ids: r["id"] not in f).materialize()
+        res -= 1
+
+    if remaining.count() > 0:
+        # stragglers: broadcast them, one streaming pass over the data
+        rem = remaining.to_pandas()
+        ref = ray.put((rem["id"].to_numpy(), rem["x"].to_numpy(),
+                       rem["y"].to_numpy()))
+
+        def _partial_min(batch: pa.Table) -> pa.Table:
+            rid, rx, ry = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            x = batch[xcol].to_numpy()
+            y = batch[ycol].to_numpy()
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            d = np.hypot(rx[:, None] - x[None, :], ry[:, None] - y[None, :])
+            d[rid[:, None] == ids[None, :]] = np.inf
+            return pa.table({"id": pa.array(rid),
+                             "nn_dist": pa.array(d.min(axis=1))})
+
+        parts = ds.map_batches(_partial_min, batch_format="pyarrow")
+        agg = parts.groupby("id").aggregate(ray.data.aggregate.Min("nn_dist"))
+        resolved.append(agg.map_batches(
+            lambda b: pa.table({"id": b["id"], "nn_dist": b["min(nn_dist)"]}),
+            batch_format="pyarrow").materialize())
+
+    out = resolved[0]
+    for r in resolved[1:]:
+        out = out.union(r)
+    return out

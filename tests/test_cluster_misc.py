@@ -96,3 +96,59 @@ def test_smooth_and_remove_parts():
     rp = remove_small_parts(b2, min_area=1.0)
     fg = _wkb.decode(rp["geom"].to_pylist())
     np.testing.assert_allclose(geomops.areas(fg), [100.0])
+
+
+def test_self_nn_distance_matches_brute():
+    from opengxt_ray.ops.near import self_nn_distance
+
+    rs = np.random.RandomState(17)
+    n = 400
+    x = rs.uniform(0, 50, n)
+    y = rs.uniform(0, 50, n)
+    # an isolated far point exercises the escalation path
+    x[0], y[0] = 500.0, 500.0
+    t = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(x),
+                  "lat": pa.array(y)})
+    ds = ray.data.from_arrow(t).repartition(4).materialize()
+    out = self_nn_distance(ds, id_col="pid").to_pandas()
+    assert len(out) == n
+    assert out["id"].is_unique
+    d = np.hypot(x[:, None] - x[None, :], y[:, None] - y[None, :])
+    np.fill_diagonal(d, np.inf)
+    expect = d.min(axis=1)
+    got = out.sort_values("id")["nn_dist"].to_numpy()
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_nni_and_ivf_recall():
+    from opengxt_ray.ops.near import nearest_neighbor_index
+    from opengxt_ray.vector.ann import brute_topk, ivf_topk
+
+    rs = np.random.RandomState(19)
+    n = 300
+    t = pa.table({"pid": pa.array(np.arange(n)),
+                  "lon": pa.array(rs.uniform(0, 10, n)),
+                  "lat": pa.array(rs.uniform(0, 10, n))})
+    ds = ray.data.from_arrow(t).materialize()
+    res = nearest_neighbor_index(ds, id_col="pid")
+    assert res["n"] == n
+    assert 0.5 < res["nni"] < 1.5  # uniform random ≈ 1
+    # IVF recall vs brute on synthetic embeddings
+    dim = 16
+    vecs = rs.standard_normal((500, dim)).astype(np.float32)
+    emb = pa.table({"vec_id": pa.array(np.arange(500)),
+                    "embedding": pa.array(list(vecs),
+                                          pa.list_(pa.float32(), dim))})
+    eds = ray.data.from_arrow(emb).materialize()
+    qids = np.arange(5)
+    qm = vecs[:5]
+    exact = brute_topk(eds, qids, qm, k=10).to_pandas()
+    approx = ivf_topk(eds, qids, qm, k=10, nlist=16, nprobe=6,
+                      sample_n=500).to_pandas()
+    recall = 0.0
+    for q in qids:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        recall += len(e & a) / len(e)
+    recall /= len(qids)
+    assert recall >= 0.6  # nprobe 6/16 on random vectors
