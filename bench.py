@@ -170,6 +170,37 @@ def bench_window(sf_dir):
             .aggregate(A.Count(), A.Sum("value")).count())
 
 
+def bench_kernel_density(sf_dir):
+    from opengxt_ray.raster import RasterMeta, kernel_density
+
+    pts = _lineitem_points(sf_dir)
+    meta = RasterMeta(-180.0, 90.0, 0.5, 720, 360, tile_size=64)
+    return kernel_density(pts, meta, search_radius=2.0).count()
+
+
+def bench_salted_copart(sf_dir):
+    """Skewed pages co-partition join with targeted hot-cell salting."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from opengxt_ray.ops import join as J
+    from opengxt_ray.sources import pages, tpch_geo
+
+    geo = pages.pages_dataset(200_000, parallelism=64).map_batches(
+        lambda b: pages.geocode_batch(b, res=5, with_geom=False),
+        batch_format="pyarrow").materialize()
+    salts = J.hot_cell_salts(geo, hot_threshold=20_000,
+                             target_group_rows=10_000)
+    zones = tpch_geo.nation_zones_table(
+        pq.read_table(f"{sf_dir}/nation.parquet"))
+    zds = ray.data.from_arrow(zones)
+    out = J.cell_copartition_join(
+        geo, zds, res=5, salt_map=salts,
+        point_cols=["fid", "lon", "lat", "cell"],
+        right_cols=["n_nationkey"])
+    return out.count()
+
+
 BENCHES = {
     "pip_join": bench_pip_join,
     "copart_join": bench_copart_join,
@@ -179,6 +210,8 @@ BENCHES = {
     "minhash_dedup": bench_minhash,
     "ann_topk": bench_ann,
     "events_window": bench_window,
+    "kernel_density": bench_kernel_density,
+    "salted_copart": bench_salted_copart,
 }
 
 

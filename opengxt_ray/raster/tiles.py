@@ -243,3 +243,98 @@ def raster_statistics(tiles, meta: RasterMeta) -> dict:
     return {"count": int(n), "sum": agg["sum(s)"], "mean": mean,
             "min": agg["min(mn)"], "max": agg["max(mx)"],
             "std": float(np.sqrt(max(var, 0.0))), "variance": var}
+
+
+class _TileSampler:
+    """Actor stage: broadcast tile dict built once per actor."""
+
+    def __init__(self, tiles_ref, meta: RasterMeta, out_col: str,
+                 xcol: str, ycol: str):
+        import ray
+
+        if isinstance(tiles_ref, list):
+            tiles_ref = tiles_ref[0]
+        self.tiles: dict = (ray.get(tiles_ref)
+                            if isinstance(tiles_ref, ray.ObjectRef)
+                            else tiles_ref)
+        self.meta = meta
+        self.out_col = out_col
+        self.xcol = xcol
+        self.ycol = ycol
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meta = self.meta
+        x = batch[self.xcol].to_numpy()
+        y = batch[self.ycol].to_numpy()
+        col, row = meta.world_to_cell(x, y)
+        ts = meta.tile_size
+        vals = np.full(len(x), meta.nodata, dtype=np.float64)
+        inb = (col >= 0) & (col < meta.width) & (row >= 0) & (row < meta.height)
+        tx = col // ts
+        ty = row // ts
+        key = tx * np.int64(1 << 32) + ty
+        order = np.argsort(key, kind="stable")
+        start = 0
+        ko = key[order]
+        for i in range(1, len(order) + 1):
+            if i == len(order) or ko[i] != ko[start]:
+                sel = order[start:i]
+                sel = sel[inb[sel]]
+                if len(sel):
+                    k = (int(tx[sel[0]]), int(ty[sel[0]]))
+                    tile = self.tiles.get(k)
+                    if tile is not None:
+                        lr = row[sel] - k[1] * ts
+                        lc = col[sel] - k[0] * ts
+                        vals[sel] = tile[lr, lc]
+                start = i
+        return batch.append_column(self.out_col, pa.array(vals))
+
+
+def extract_values_to_points(points_ds, tiles, meta: RasterMeta, *,
+                             out_col: str = "raster_val",
+                             xcol: str = "lon", ycol: str = "lat",
+                             concurrency=None):
+    """ExtractValuesToPoints (GT/gridcoverage/
+    RasterExtractValuesToPointsOperation.java:54-78) — sample the
+    raster value under each point. Tiles broadcast once (ray.put);
+    per-batch lookup is vectorized per touched tile. For rasters too
+    big to broadcast, co-shuffle by tile key instead (SURVEY §2.7)."""
+    import ray
+
+    from ..core.util import default_concurrency
+
+    tile_map: dict = {}
+    for r in tiles.iter_rows():
+        h, w = meta.tile_shape(r["tx"], r["ty"])
+        tile_map[(r["tx"], r["ty"])] = np.frombuffer(
+            r["data"], dtype=np.float64).reshape(h, w)
+    ref = ray.put(tile_map)
+    return points_ds.map_batches(
+        _TileSampler,
+        fn_constructor_args=([ref], meta, out_col, xcol, ycol),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency())
+
+
+def raster_profile(tiles, meta: RasterMeta, line_wkb: bytes, *,
+                   distance: float, concurrency=None):
+    """RasterProfile — sample the surface every `distance` along a line
+    (points-along-line + extract-values compose)."""
+    import ray
+
+    from ..core import wkb as _wkbmod
+    from ..stages.transforms import calculate_xy  # noqa: F401 (doc link)
+    from ..ops.lineops import split_line_by_distance  # noqa: F401
+
+    fg = _wkbmod.decode([line_wkb])
+    r = fg.geom_coords(0)
+    seg = np.diff(r, axis=0)
+    cum = np.concatenate([[0.0], np.cumsum(np.hypot(seg[:, 0], seg[:, 1]))])
+    total = cum[-1]
+    pos = np.arange(0.0, total + 1e-9, distance)
+    px = np.interp(pos, cum, r[:, 0])
+    py = np.interp(pos, cum, r[:, 1])
+    pts = ray.data.from_arrow(pa.table({
+        "station": pa.array(pos), "lon": pa.array(px), "lat": pa.array(py)}))
+    return extract_values_to_points(pts, tiles, meta, concurrency=concurrency)

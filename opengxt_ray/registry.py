@@ -306,6 +306,10 @@ def _populate() -> None:
       "GT/gridcoverage/RasterPointsToRasterOperation.java")
     E("RasterToPoint", "raster", RT.raster_to_points,
       "GT/transformation/CoverageToPointFeatureCollection.java:58-90")
+    E("ExtractValuesToPoints", "raster", RT.extract_values_to_points,
+      "GT/gridcoverage/RasterExtractValuesToPointsOperation.java:54-78")
+    E("RasterProfile", "raster", RT.raster_profile,
+      "GT/gridcoverage/RasterProfileOperation")
     E("RasterDescribe", "raster", RT.raster_statistics,
       "GT/gridcoverage/RasterDescribeOperation.java")
     E("RasterMath", "raster", RA.raster_math,

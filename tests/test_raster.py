@@ -138,3 +138,25 @@ def test_slope_flat_and_ramp():
     d = dense_fn(s, meta)
     # interior cells all 45°
     np.testing.assert_allclose(d[1:-1, 1:-1], 45.0, atol=1e-9)
+
+
+def test_extract_values_and_profile(pts_ds):
+    from opengxt_ray.raster.tiles import extract_values_to_points, raster_profile
+
+    ds, (x, y, w) = pts_ds
+    tiles = points_to_raster(ds, META, assign="sum", value_col="w").materialize()
+    dense = _dense(tiles, META)
+    sampled = extract_values_to_points(ds, tiles, META).to_pandas()
+    col, row = META.world_to_cell(x, y)
+    # every point samples its own cell's accumulated value
+    expect = dense[row, col]
+    got = sampled.sort_index()["raster_val"].to_numpy()
+    # align by lon since to_pandas may reorder blocks
+    m = sampled.sort_values("lon").reset_index(drop=True)
+    order = np.argsort(x)
+    np.testing.assert_allclose(m["raster_val"].to_numpy(), dense[row[order], col[order]])
+    line = _wkb.encode_linestring(np.array([[0.0, 50.0], [99.0, 50.0]]))
+    prof = raster_profile(tiles, META, line, distance=10.0).to_pandas()
+    assert len(prof) == 10
+    pc_, pr = META.world_to_cell(prof["lon"].to_numpy(), prof["lat"].to_numpy())
+    np.testing.assert_allclose(prof["raster_val"].to_numpy(), dense[pr, pc_])
