@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for core invariants."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opengxt_ray.core import fid, geomops, ssutils, wkb
+from opengxt_ray.index import hexgrid, quadgrid
+
+coord = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False,
+                  width=64)
+lat_s = st.floats(min_value=-85.0, max_value=85.0, allow_nan=False, width=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(coord, lat_s), min_size=1, max_size=50))
+def test_wkb_point_roundtrip_prop(pts):
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    dx, dy = wkb.decode_points(list(wkb.encode_points(x, y)))
+    np.testing.assert_array_equal(dx, x)
+    np.testing.assert_array_equal(dy, y)
+
+
+@settings(max_examples=200, deadline=None)
+@given(coord, lat_s, st.integers(min_value=0, max_value=15))
+def test_hex_cell_contains_point(lon, lat, res):
+    c = hexgrid.hex_cell(np.array([lon]), np.array([lat]), res)
+    hx, hy = hexgrid.hex_center(c)
+    # point within circumradius of its assigned center, and the center
+    # round-trips to the same cell
+    assert np.hypot(lon - hx[0], lat - hy[0]) <= hexgrid.hex_size(res) * (1 + 1e-9)
+    assert hexgrid.hex_cell(hx, hy, res)[0] == c[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(coord, lat_s, st.integers(min_value=1, max_value=20))
+def test_quad_cell_contains_point(lon, lat, level):
+    c = quadgrid.quad_cell(np.array([lon]), np.array([lat]), level)
+    qx, qy = quadgrid.quad_center(c)
+    assert abs(lon - qx[0]) <= 360.0 / 2 ** level / 2 + 1e-9
+    assert abs(lat - qy[0]) <= 180.0 / 2 ** level / 2 + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=64),
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=64)),
+    min_size=3, max_size=40))
+def test_convex_hull_contains_all(pts):
+    arr = np.array(pts)
+    hull = geomops.convex_hull(arr)
+    if len(hull) < 4:  # degenerate (collinear)
+        return
+    fg = wkb.decode([wkb.encode_polygon(hull)])
+    inside = geomops.points_in_geom(arr[:, 0], arr[:, 1], fg, 0)
+    # denormal cross-product underflow can leave a point an ulp outside
+    # the boundary — the meaningful invariant is distance-to-hull ≈ 0
+    if not inside.all():
+        d = geomops.points_to_geom_dist(arr[~inside, 0], arr[~inside, 1],
+                                        fg, 0)
+        assert (d < 1e-9).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-6.9, max_value=6.9, allow_nan=False, width=64))
+def test_zprob_is_probability(z):
+    for tail in ("left", "right", "both"):
+        p = ssutils.zprob(z, tail)
+        assert 0.0 <= p <= 1.0 + 1e-12
+    # left + right = 1 (+ rounding)
+    assert abs(ssutils.zprob(z, "left") + ssutils.zprob(z, "right") - 1.0) < 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=30))
+def test_fnv_hash_matches_reference(strings):
+    hs = fid.hash_strings(strings)
+
+    def ref(s):
+        v = 0xCBF29CE484222325
+        for b in s.encode():
+            v = ((v ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return v
+
+    assert [int(h) for h in hs] == [ref(s) for s in strings]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                          width=64), min_size=2, max_size=100),
+       st.integers(min_value=2, max_value=5))
+def test_jenks_breaks_monotone_and_bounding(vals, k):
+    from opengxt_ray.ops.classify import jenks_breaks
+
+    arr = np.asarray(vals)
+    breaks = jenks_breaks(arr, min(k, len(set(vals))) or 1)
+    assert breaks == sorted(breaks)
+    assert breaks[0] <= arr.min() + 1e-9
+    assert breaks[-1] >= arr.max() - 1e-9
+
+
+def test_null_geometry_handling():
+    """Null geom rows flow through decode and transforms without crashing."""
+    from opengxt_ray.stages.transforms import calculate_area
+
+    t = pa.table({"geom": pa.array(
+        [wkb.encode_polygon(np.array([[0, 0], [1, 0], [1, 1], [0, 1]])),
+         None], pa.binary())})
+    fg = wkb.decode(t["geom"].to_pylist())
+    assert len(fg) == 2
+    areas = geomops.areas(fg)
+    assert areas[0] == 1.0 and areas[1] == 0.0
+    out = calculate_area(t)
+    assert out["geom_area"][1].as_py() == 0.0
