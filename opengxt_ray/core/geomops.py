@@ -487,3 +487,67 @@ def bbox_intersects(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
         (b1[:, 0] <= b2[2]) & (b1[:, 2] >= b2[0])
         & (b1[:, 1] <= b2[3]) & (b1[:, 3] >= b2[1])
     )
+
+
+# ---------------------------------------------------------------------------
+# Tessellation union (exact for edge-sharing polygon sets)
+# ---------------------------------------------------------------------------
+
+def union_tessellation(fg, idxs=None, *, quant: float = 1e-9) -> list:
+    """Union of polygons that tile (share exact edges): internal edges
+    appear twice with opposite orientation and cancel; boundary edges
+    chain into rings. EXACT for fishnet/hex/admin tessellations — the
+    dominant Dissolve case; overlapping (non-tiling) inputs need GEOS.
+
+    Returns a list of closed rings (outer shells CCW, holes CW by
+    construction of the input orientation).
+    """
+    from collections import defaultdict
+
+    idxs = range(len(fg)) if idxs is None else idxs
+    edge_count: dict = defaultdict(int)
+    edge_pts: dict = {}
+
+    def key_of(p) -> tuple:
+        return (round(p[0] / quant), round(p[1] / quant))
+
+    for i in idxs:
+        for ring, _ in fg.rings(i):
+            if len(ring) < 4:
+                continue
+            for j in range(len(ring) - 1):
+                a, b = key_of(ring[j]), key_of(ring[j + 1])
+                if a == b:
+                    continue
+                edge_count[(a, b)] += 1
+                edge_pts[a] = ring[j]
+                edge_pts[b] = ring[j + 1]
+    # boundary edges: directed edge kept iff its reverse is absent
+    # (interior edges of a consistently-oriented tessellation appear
+    # once in each direction)
+    nxt: dict = {}
+    for (a, b), cnt in edge_count.items():
+        rev = edge_count.get((b, a), 0)
+        if cnt > rev:
+            nxt[a] = b
+    rings = []
+    visited = set()
+    for start in list(nxt):
+        if start in visited:
+            continue
+        chain = [start]
+        visited.add(start)
+        cur = start
+        while True:
+            n = nxt.get(cur)
+            if n is None or n == start:
+                break
+            if n in visited:
+                break
+            chain.append(n)
+            visited.add(n)
+            cur = n
+        if len(chain) >= 3:
+            ring = np.array([edge_pts[k] for k in chain] + [edge_pts[chain[0]]])
+            rings.append(ring)
+    return rings

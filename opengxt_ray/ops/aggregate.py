@@ -120,11 +120,13 @@ def dissolve(ds, dissolve_field: str, *, value_cols: list[str] = (),
              funcs=("sum", "mean"), union_geom: bool = False,
              geom_col: str = "geom", round_digits: int | None = None):
     """DissolveOperation — group by field; stats per group; optionally a
-    (convex-hull approximate) unioned geometry per group.
+    unioned geometry per group.
 
-    Exact geometric union without GEOS is out of scope; when
-    ``union_geom`` the per-group geometry is the convex hull of member
-    vertices (documented approximation, flagged in SURVEY parity notes).
+    Geometry union is EXACT for tessellating members (shared-edge
+    cancellation, :func:`geomops.union_tessellation` — fishnet/hex/
+    admin dissolves); non-tiling overlapping members fall back to the
+    convex hull of vertices (documented approximation; exact general
+    boolean union needs GEOS).
     """
     if not union_geom:
         return data_statistics(ds, list(value_cols), group_by=dissolve_field,
@@ -132,10 +134,28 @@ def dissolve(ds, dissolve_field: str, *, value_cols: list[str] = (),
 
     def _group_union(group: pa.Table) -> pa.Table:
         fg = _wkb.decode(group[geom_col].to_pylist())
-        allpts = fg.coords
-        hull = geomops.convex_hull(allpts)
+        rings = geomops.union_tessellation(fg)
+        if rings:
+            pos = [r for r in rings if geomops.ring_area(r) > 0]
+            neg = [r for r in rings if geomops.ring_area(r) < 0]
+            shells = [(r, []) for r in pos]
+            for hole in neg:  # attach each hole to its containing shell
+                for sr, hl in shells:
+                    sfg = _wkb.decode([_wkb.encode_polygon(sr)])
+                    if geomops.points_in_geom(hole[:1, 0], hole[:1, 1],
+                                              sfg, 0)[0]:
+                        hl.append(hole)
+                        break
+            if shells:
+                geom = (_wkb.encode_polygon(shells[0][0], shells[0][1])
+                        if len(shells) == 1
+                        else _wkb.encode_multipolygon(shells))
+            else:
+                geom = _wkb.encode_polygon(geomops.convex_hull(fg.coords))
+        else:
+            geom = _wkb.encode_polygon(geomops.convex_hull(fg.coords))
         out = {dissolve_field: [group[dissolve_field][0].as_py()],
-               geom_col: [_wkb.encode_polygon(hull)]}
+               geom_col: [geom]}
         for c in value_cols:
             v = group[c].to_numpy(zero_copy_only=False).astype(np.float64)
             for f in funcs:

@@ -80,6 +80,7 @@ def _populate() -> None:
     from .raster import interpolate as RI
     from .raster import geometry as RG2
     from .sources import textfile as TF
+    from .sources import geojson as GJ
     from .stages import transforms as T
     from .textops import dedup as TD
     from .textops import quality as TQ
@@ -360,6 +361,10 @@ def _populate() -> None:
       "GT/gridcoverage/RasterResampleOperation.java")
     E("TextfileToPoint", "transform", TF.textfile_to_points,
       "GT/operations/TextfileToPointOperation.java:111-175")
+    E("GeoJSONDecode", "transform", GJ.geojson_to_table,
+      "GS/ppio/ApplicationGeoJSONPPIO.java:68-95")
+    E("GeoJSONEncode", "transform", GJ.dataset_to_geojson,
+      "GS/ppio/ApplicationGeoJSONPPIO.java:96-130")
 
     # training-data ops (engine extensions)
     E("ExactDedup", "trainingdata", TD.exact_dedup)
