@@ -594,6 +594,16 @@ def _q_sde(sf_dir: str):
     })
 
 
+def _q_funnel(sf_dir: str):
+    import ray
+
+    from opengxt_ray.ops.histogram import funnel
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return funnel(ds, ["signup", "view", "purchase"])
+
+
 def _q_quantile_breaks(sf_dir: str):
     import ray
 
@@ -675,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_breaks": _q_quantile_breaks,
         "histogram": _q_histogram,
         "sessionize": _q_sessionize,
+        "funnel": _q_funnel,
         "ann_topk": _q_ann_topk,
         "standardized_scores": _q_standardized_scores,
         "ols": _q_ols,
@@ -1068,6 +1079,33 @@ def oracle_sql() -> dict[str, str]:
                    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0
                    AS duration_sec
             FROM sess GROUP BY user_id, session_idx
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t1
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+                GROUP BY e.user_id
+            ),
+            steps(step_idx, step) AS (
+                VALUES (0, 'signup'), (1, 'view'), (2, 'purchase')
+            )
+            SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+                   CAST(CASE step_idx
+                        WHEN 0 THEN (SELECT COUNT(*) FROM s1)
+                        WHEN 1 THEN (SELECT COUNT(*) FROM s2)
+                        ELSE (SELECT COUNT(*) FROM s3) END AS BIGINT) AS users
+            FROM steps
         """,
         "ann_topk": """
             WITH q AS (

@@ -118,3 +118,53 @@ def session_stats(events_ds, *, user_col="user_id", ts_col="ts",
 
     return sess.groupby([user_col, "session_idx"]).map_groups(
         _agg, batch_format="pyarrow")
+
+
+def funnel(events_ds, steps: list[str], *, user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered funnel: per user, the deepest step reached such that each
+    step's FIRST occurrence comes strictly after the previous step's.
+    Returns (step_idx, step, users) — users reaching ≥ that step.
+
+    groupby(user).map_groups over sorted events (the event-log pattern);
+    SQL-oracle-expressible via cascaded min-ts window aggregates.
+    """
+    import ray
+
+    def _depth(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(group[ts_col])
+        g = group.take(order)
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        types = g[type_col].to_pylist()
+        prev_t = -1
+        depth = 0
+        for step in steps:
+            nxt = None
+            for t, ty in zip(ts, types):
+                if ty == step and t > prev_t:
+                    nxt = t
+                    break
+            if nxt is None:
+                break
+            prev_t = nxt
+            depth += 1
+        return pa.table({user_col: [group[user_col][0].as_py()],
+                         "depth": pa.array([depth], pa.int64())})
+
+    depths = events_ds.groupby(user_col).map_groups(_depth,
+                                                    batch_format="pyarrow")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        d = batch["depth"].to_numpy()
+        cnt = [int((d >= i + 1).sum()) for i in range(len(steps))]
+        return pa.table({f"s{i}": [cnt[i]] for i in range(len(steps))})
+
+    agg = depths.map_batches(_partial, batch_format="pyarrow").aggregate(
+        *[ray.data.aggregate.Sum(f"s{i}") for i in range(len(steps))])
+    return pa.table({
+        "step_idx": pa.array(np.arange(len(steps), dtype=np.int64)),
+        "step": pa.array(steps, pa.string()),
+        "users": pa.array([int(agg[f"sum(s{i})"]) for i in range(len(steps))],
+                          pa.int64()),
+    })
