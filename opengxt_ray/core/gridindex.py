@@ -200,7 +200,7 @@ class BBoxIndex:
         """
         if self.n == 0 or len(px) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        if self.n <= 1024:
+        if self.n <= 64:
             bb = self.bboxes
             out_pi, out_gi = [], []
             CH = max(1, (1 << 23) // max(self.n, 1))  # ≤8M bools per chunk
@@ -213,31 +213,31 @@ class BBoxIndex:
                 out_pi.append(pi.astype(np.int64) + c0)
                 out_gi.append(gi.astype(np.int64))
             return np.concatenate(out_pi), np.concatenate(out_gi)
+        # bucketed, vectorized per occupied bucket: each bucket tests its
+        # points against only its few candidate geoms — O(N·c̄), not O(N·G)
         cix = np.floor(px / self.cell).astype(np.int64)
         ciy = np.floor(py / self.cell).astype(np.int64)
         pi_out, gi_out = [], []
-        # group points by bucket to amortize dict lookups
         order = np.lexsort((ciy, cix))
         sx, sy = cix[order], ciy[order]
-        start = 0
-        for i in range(1, len(order) + 1):
-            if i == len(order) or sx[i] != sx[start] or sy[i] != sy[start]:
-                key = (int(sx[start]), int(sy[start]))
-                cands = self.buckets.get(key)
-                if cands:
-                    pts = order[start:i]
-                    cand = np.asarray(cands, dtype=np.int64)
-                    bb = self.bboxes[cand]
-                    for p in pts:
-                        m = (
-                            (bb[:, 0] <= px[p]) & (px[p] <= bb[:, 2])
-                            & (bb[:, 1] <= py[p]) & (py[p] <= bb[:, 3])
-                        )
-                        if m.any():
-                            g = cand[m]
-                            pi_out.append(np.full(len(g), p, dtype=np.int64))
-                            gi_out.append(g)
-                start = i
+        boundary = np.nonzero((np.diff(sx) != 0) | (np.diff(sy) != 0))[0] + 1
+        starts = np.concatenate([[0], boundary])
+        ends = np.concatenate([boundary, [len(order)]])
+        for s, e in zip(starts, ends):
+            cands = self.buckets.get((int(sx[s]), int(sy[s])))
+            if not cands:
+                continue
+            pts = order[s:e]
+            cand = np.asarray(cands, dtype=np.int64)
+            bb = self.bboxes[cand]
+            pxs = px[pts][:, None]
+            pys = py[pts][:, None]
+            m = ((bb[None, :, 0] <= pxs) & (pxs <= bb[None, :, 2])
+                 & (bb[None, :, 1] <= pys) & (pys <= bb[None, :, 3]))
+            ii, jj = np.nonzero(m)
+            if len(ii):
+                pi_out.append(pts[ii])
+                gi_out.append(cand[jj])
         if not pi_out:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(pi_out), np.concatenate(gi_out)

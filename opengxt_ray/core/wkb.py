@@ -66,6 +66,25 @@ def encode_points(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return out
 
 
+def encode_points_arrow(x: np.ndarray, y: np.ndarray):
+    """Encode x/y straight into a ``pyarrow.BinaryArray`` of WKB Points
+    — zero per-row Python objects (one buffer build + offsets), the hot
+    path for geocode stages at scale."""
+    import pyarrow as pa
+
+    n = len(x)
+    buf = np.empty((n, _POINT_WKB_LEN), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.frombuffer(struct.pack("<I", POINT), dtype=np.uint8)
+    buf[:, 5:13] = np.asarray(x, dtype="<f8").reshape(n, 1).view(np.uint8)
+    buf[:, 13:21] = np.asarray(y, dtype="<f8").reshape(n, 1).view(np.uint8)
+    offsets = np.arange(0, (n + 1) * _POINT_WKB_LEN, _POINT_WKB_LEN,
+                        dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())])
+
+
 def decode_points(wkb: "np.ndarray | list") -> tuple[np.ndarray, np.ndarray]:
     """Decode a column of WKB Points → (x, y) float64 arrays.
 

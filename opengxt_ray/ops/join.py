@@ -53,9 +53,27 @@ class PolygonBundle:
         self.attrs = table.drop_columns([geom_col])
         self.fg = _wkb.decode(table[geom_col].to_pylist())
         self.bboxes = self.fg.bboxes()
+        self._stack = False  # lazily computed: ndarray | None
 
     def build_index(self) -> BBoxIndex:
         return BBoxIndex(self.bboxes)
+
+    def ring_stack(self):
+        """(G, m, 2) stacked rings when EVERY geometry is a single-ring
+        polygon with the same vertex count (rect/hex zone grids — the
+        common broadcast case); else None. Enables fully vectorized
+        all-pairs PIP refinement."""
+        if self._stack is False:
+            stack = None
+            fg = self.fg
+            if len(fg) and (fg.types == _wkb.POLYGON).all():
+                nrings = np.diff(fg.part_offsets)
+                sizes = np.diff(fg.ring_offsets)
+                if (nrings == 1).all() and len(set(sizes.tolist())) == 1:
+                    m = int(sizes[0])
+                    stack = fg.coords.reshape(len(fg), m, 2)
+            self._stack = stack
+        return self._stack
 
 
 def put_bundle(table: pa.Table, geom_col: str = "geom") -> "ray.ObjectRef":
@@ -107,12 +125,38 @@ def _point_coords(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return _wkb.decode_points(batch["geom"].to_pylist())
 
 
+def _pairs_in_rings_stacked(px, py, stack, pi, gi) -> np.ndarray:
+    """Vectorized PIP for candidate pairs against stacked uniform rings
+    (P pairs × (m−1) edges, one shot) — same crossing+boundary
+    semantics as geomops.points_in_ring."""
+    r = stack[gi]                       # (P, m, 2)
+    x0, y0 = r[:, :-1, 0], r[:, :-1, 1]
+    x1, y1 = r[:, 1:, 0], r[:, 1:, 1]
+    X = px[pi][:, None]
+    Y = py[pi][:, None]
+    cond = (y0 > Y) != (y1 > Y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (Y - y0) * (x1 - x0) / (y1 - y0)
+    inside = (np.sum(cond & (X < xint), axis=1) % 2) == 1
+    dx, dy = x1 - x0, y1 - y0
+    cross = (X - x0) * dy - (Y - y0) * dx
+    wx = (X >= np.minimum(x0, x1)) & (X <= np.maximum(x0, x1))
+    wy = (Y >= np.minimum(y0, y1)) & (Y <= np.maximum(y0, y1))
+    on_edge = np.any((np.abs(cross) < 1e-12) & wx & wy, axis=1)
+    return inside | on_edge
+
+
 def _refine_pairs(px, py, bundle: PolygonBundle, index: BBoxIndex,
                   predicate: str) -> tuple[np.ndarray, np.ndarray]:
     """Candidate bbox pairs → exact predicate pairs (pi, gi)."""
     pi, gi = index.query_points(px, py)
     if len(pi) == 0:
         return pi, gi
+    if predicate in ("intersects", "contains", "within"):
+        stack = bundle.ring_stack() if hasattr(bundle, "ring_stack") else None
+        if stack is not None:
+            m = _pairs_in_rings_stacked(px, py, stack, pi, gi)
+            return pi[m], gi[m]
     keep = np.zeros(len(pi), dtype=bool)
     order = np.argsort(gi, kind="stable")
     gs, ps = gi[order], pi[order]
@@ -178,22 +222,60 @@ class PipJoiner:
         return pa.table(cols)
 
 
+# per-worker-process cache: ObjectRef hex → built joiner. Ray reuses
+# worker processes across tasks, so a task-based stage gets its index
+# built once per worker — the actor-pool benefit without pool startup.
+_JOINER_CACHE: dict = {}
+
+
+def _cached_pip_joiner(ref_hex: str, ref, predicate, how, dedup,
+                       right_cols) -> "PipJoiner":
+    key = (ref_hex, predicate, how, dedup,
+           tuple(right_cols) if right_cols else None)
+    j = _JOINER_CACHE.get(key)
+    if j is None:
+        j = PipJoiner([ref], predicate=predicate, how=how, dedup=dedup,
+                      right_cols=right_cols)
+        _JOINER_CACHE[key] = j
+    return j
+
+
 def broadcast_spatial_join(points_ds, poly_table: pa.Table, *,
                            predicate="intersects", how="inner",
                            dedup="suffix", right_cols=None,
-                           concurrency=None, batch_size: int = 8192):
-    """Points × broadcast polygons join (MB-actor path)."""
-    ref = put_bundle(poly_table)
-    return points_ds.map_batches(
-        PipJoiner,
-        fn_constructor_kwargs=dict(
-            bundle_ref=[ref], predicate=predicate, how=how,
-            dedup=dedup, right_cols=right_cols,
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-    )
+                           concurrency=None, batch_size: int = 8192,
+                           compute: str = "auto"):
+    """Points × broadcast polygons join.
+
+    compute: "tasks" (default for small bundles) runs as stateless
+    map_batches tasks with a per-worker-process joiner cache — no
+    actor-pool spin-up, index still built once per worker; "actors"
+    pins a fixed actor pool (preferred for very large indexes where
+    placement stability matters); "auto" picks by bundle size.
+    """
+    bundle = PolygonBundle(poly_table)
+    ref = ray.put(bundle)
+    if compute == "auto":
+        compute = "tasks" if len(bundle.fg) <= 100_000 else "actors"
+    if compute == "actors":
+        return points_ds.map_batches(
+            PipJoiner,
+            fn_constructor_kwargs=dict(
+                bundle_ref=[ref], predicate=predicate, how=how,
+                dedup=dedup, right_cols=right_cols,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or default_concurrency(),
+        )
+    ref_hex = ref.hex()
+
+    def _join_task(batch: pa.Table) -> pa.Table:
+        j = _cached_pip_joiner(ref_hex, ref, predicate, how, dedup, right_cols)
+        return j(batch)
+
+    return points_ds.map_batches(_join_task, batch_format="pyarrow",
+                                 batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -431,6 +513,7 @@ def cell_copartition_join(points_ds, polys_ds, *, res: int = 5,
         bundle = PolygonBundle.__new__(PolygonBundle)
         bundle.fg = fg
         bundle.bboxes = fg.bboxes()
+        bundle._stack = False
         index = BBoxIndex(bundle.bboxes)
         px, py = pt_rows["lon"].to_numpy(), pt_rows["lat"].to_numpy()
         pi, gi = _refine_pairs(px, py, bundle, index, predicate)

@@ -110,9 +110,7 @@ def geocode_batch(batch: pa.Table, *, res: int = 7,
     out = batch.append_column("lon", pa.array(lon, pa.float64()))
     out = out.append_column("lat", pa.array(lat, pa.float64()))
     if with_geom:
-        out = out.append_column(
-            "geom", pa.array(list(_wkb.encode_points(lon, lat)), pa.binary())
-        )
+        out = out.append_column("geom", _wkb.encode_points_arrow(lon, lat))
     out = out.append_column("cell", pa.array(cell, pa.uint64()))
     out = out.append_column("fid", _fid.make_fids(urls, "page"))
     return out

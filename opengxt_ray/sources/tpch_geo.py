@@ -101,7 +101,5 @@ def add_point_geom(batch: pa.Table, key_col: str, *, with_wkb: bool = True) -> p
     out = batch.append_column("lon", pa.array(lon, pa.float64()))
     out = out.append_column("lat", pa.array(lat, pa.float64()))
     if with_wkb:
-        out = out.append_column(
-            "geom", pa.array(list(_wkb.encode_points(lon, lat)), pa.binary())
-        )
+        out = out.append_column("geom", _wkb.encode_points_arrow(lon, lat))
     return out
