@@ -32,7 +32,8 @@ def _lineitem_points(sf_dir):
     from opengxt_ray.sources import tpch_geo
 
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
-                               columns=["l_orderkey", "l_linenumber"])
+                               columns=["l_orderkey", "l_linenumber"],
+                               override_num_blocks=32)
 
     def _prep(b: pa.Table) -> pa.Table:
         import numpy as np

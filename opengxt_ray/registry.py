@@ -260,6 +260,9 @@ def _populate() -> None:
       T.minimum_bounding_circle, "GT/transformation/FeatureToMBC")
     E("FeatureToOctagonalEnvelope", "transform", T.octagonal_envelope,
       "GT/transformation/FeatureToOctagonalEnvelope")
+    E("FeatureToMaximumInscribedCircle", "transform",
+      T.maximum_inscribed_circle,
+      "GT/transformation/MaximumInscribedCircleFeatureCollection")
     E("Simplify", "transform", T.make_simplify,
       "GT/transformation/SimplifyFeatureCollection.java")
     E("Densify", "transform", T.make_densify,

@@ -164,3 +164,18 @@ def test_registry_coverage():
         assert cat in cats and len(cats[cat]) >= 4, cat
     e = registry.get("SpatialJoin")
     assert "SpatialJoinOperation" in e.reference
+
+
+def test_maximum_inscribed_circle():
+    sq = _wkb.encode_polygon(np.array([[0, 0], [10, 0], [10, 10], [0, 10]]))
+    tri = _wkb.encode_polygon(np.array([[0, 0], [8, 0], [0, 6]]))
+    b = pa.table({"geom": pa.array([sq, tri], pa.binary())})
+    out = T.maximum_inscribed_circle(b)
+    r = out["mic_radius"].to_pylist()
+    assert r[0] == pytest.approx(5.0, rel=2e-3)
+    assert r[1] == pytest.approx(2.0, rel=3e-3)  # 3-4-5 inradius
+    fg = _wkb.decode(out["geom"].to_pylist())
+    # circle fully inside original square
+    ring = fg.geom_coords(0)
+    orig = _wkb.decode([sq])
+    assert geomops.points_in_geom(ring[:, 0], ring[:, 1], orig, 0).all()
