@@ -81,6 +81,7 @@ def _populate() -> None:
     from .raster import geometry as RG2
     from .sources import textfile as TF
     from .sources import geojson as GJ
+    from .sources import shapefile as SF
     from .stages import transforms as T
     from .textops import dedup as TD
     from .textops import quality as TQ
@@ -366,6 +367,8 @@ def _populate() -> None:
       "GT/operations/TextfileToPointOperation.java:111-175")
     E("GeoJSONDecode", "transform", GJ.geojson_to_table,
       "GS/ppio/ApplicationGeoJSONPPIO.java:68-95")
+    E("ShapefileRead", "transform", SF.read_shapefile,
+      "GT/storage/DataStoreFactory.java:64-90 (read side)")
     E("GeoJSONEncode", "transform", GJ.dataset_to_geojson,
       "GS/ppio/ApplicationGeoJSONPPIO.java:96-130")
 
