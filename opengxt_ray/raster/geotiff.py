@@ -1,0 +1,145 @@
+"""Minimal GeoTIFF reader — pure numpy + stdlib zlib.
+
+Reads single-band striped or tiled TIFFs with no/DEFLATE compression
+(uint8/16/32, int, float32/64) plus GeoTIFF georeferencing
+(ModelPixelScale + ModelTiepoint) — enough to ingest the reference's
+``sfdem.tif`` DEM fixture into the engine's tile-table model. TIFF 6.0
+and the GeoTIFF spec are public; independent implementation.
+
+Reference mapping: GT/storage (GeoTIFF via GeoTools gridcoverage
+readers); our engine ingests rasters to Parquet tile tables — this
+reader is for fixture ingestion / offline conversion.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .tiles import RasterMeta
+
+_SAMPLE_DTYPES = {
+    (1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
+    (2, 8): np.int8, (2, 16): np.int16, (2, 32): np.int32,
+    (3, 32): np.float32, (3, 64): np.float64,
+}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+
+
+def _read_tag_values(data, endian, typ, cnt, raw):
+    size = _TYPE_SIZES.get(typ, 1) * cnt
+    if size <= 4:
+        buf = raw
+    else:
+        off = struct.unpack(endian + "I", raw)[0]
+        buf = data[off : off + size]
+    if typ == 3:
+        return list(struct.unpack(endian + "H" * cnt, buf[: 2 * cnt]))
+    if typ == 4:
+        return list(struct.unpack(endian + "I" * cnt, buf[: 4 * cnt]))
+    if typ == 12:
+        return list(struct.unpack(endian + "d" * cnt, buf[: 8 * cnt]))
+    if typ == 2:
+        return buf[:cnt].split(b"\x00")[0].decode("latin-1")
+    if typ == 11:
+        return list(struct.unpack(endian + "f" * cnt, buf[: 4 * cnt]))
+    return buf
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, RasterMeta]:
+    """→ (dense (H, W) float64 array with NaN nodata, RasterMeta)."""
+    data = open(path, "rb").read()
+    endian = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(endian + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF")
+    ntags = struct.unpack(endian + "H", data[ifd_off : ifd_off + 2])[0]
+    tags: dict = {}
+    for i in range(ntags):
+        e = data[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12]
+        tag, typ, cnt = struct.unpack(endian + "HHI", e[:8])
+        tags[tag] = _read_tag_values(data, endian, typ, cnt, e[8:12])
+    width = tags[256][0]
+    height = tags[257][0]
+    bits = tags[258][0]
+    comp = tags.get(259, [1])[0]
+    sfmt = tags.get(339, [1])[0]
+    dtype = _SAMPLE_DTYPES.get((sfmt, bits))
+    if dtype is None:
+        raise ValueError(f"unsupported sample format {sfmt}/{bits}")
+    if comp not in (1, 8, 32946):
+        raise ValueError(f"unsupported compression {comp} "
+                         "(only none/DEFLATE)")
+    dt = np.dtype(dtype).newbyteorder(endian)
+    out = np.full((height, width), np.nan, dtype=np.float64)
+
+    def _decode(buf):
+        return zlib.decompress(buf) if comp in (8, 32946) else buf
+
+    if 322 in tags:  # tiled
+        tw = tags[322][0]
+        th = tags[323][0]
+        offs = tags[324]
+        cnts = tags[325]
+        tpr = (width + tw - 1) // tw
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            raw = _decode(data[o : o + c])
+            arr = np.frombuffer(raw, dtype=dt,
+                                count=tw * th).reshape(th, tw).astype(np.float64)
+            ty, tx = divmod(ti, tpr)
+            y0, x0 = ty * th, tx * tw
+            h = min(th, height - y0)
+            w = min(tw, width - x0)
+            out[y0 : y0 + h, x0 : x0 + w] = arr[:h, :w]
+    else:  # strips
+        rps = tags.get(278, [height])[0]
+        offs = tags[273]
+        cnts = tags[279]
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            y0 = si * rps
+            h = min(rps, height - y0)
+            raw = _decode(data[o : o + c])
+            arr = np.frombuffer(raw, dtype=dt, count=h * width).reshape(h, width)
+            out[y0 : y0 + h] = arr.astype(np.float64)
+    # nodata (GDAL tag 42113, ASCII)
+    nod = tags.get(42113)
+    if nod is not None:
+        try:
+            nv = float(str(nod).strip())
+            out[out == nv] = np.nan
+        except ValueError:
+            pass
+    # georeferencing
+    scale = tags.get(33550, [1.0, 1.0, 0.0])
+    tie = tags.get(33922, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    cell = float(scale[0])
+    origin_x = float(tie[3]) - float(tie[0]) * cell
+    origin_y = float(tie[4]) + float(tie[1]) * float(scale[1])
+    meta = RasterMeta(origin_x, origin_y, cell, width, height, tile_size=256)
+    return out, meta
+
+
+def geotiff_to_tiles(path: str, *, tile_size: int = 256):
+    """GeoTIFF → (tile Dataset, RasterMeta) in the engine model."""
+    import ray
+
+    dense, meta = read_geotiff(path)
+    meta = RasterMeta(meta.origin_x, meta.origin_y, meta.cell_size,
+                      meta.width, meta.height, tile_size)
+    rows = []
+    for ty in range(meta.tiles_y):
+        for tx in range(meta.tiles_x):
+            h, w = meta.tile_shape(tx, ty)
+            tile = dense[ty * tile_size : ty * tile_size + h,
+                         tx * tile_size : tx * tile_size + w]
+            rows.append({"tx": tx, "ty": ty,
+                         "data": np.ascontiguousarray(tile).tobytes()})
+    t = pa.table({
+        "tx": pa.array([r["tx"] for r in rows], pa.int32()),
+        "ty": pa.array([r["ty"] for r in rows], pa.int32()),
+        "data": pa.array([r["data"] for r in rows], pa.binary()),
+    })
+    return ray.data.from_arrow(t), meta

@@ -79,6 +79,7 @@ def _populate() -> None:
     from .raster import surface as RS
     from .raster import interpolate as RI
     from .raster import geometry as RG2
+    from .raster import geotiff as GT2
     from .sources import textfile as TF
     from .sources import geojson as GJ
     from .sources import shapefile as SF
@@ -363,6 +364,8 @@ def _populate() -> None:
       "GT/gridcoverage/RasterShiftOperation.java")
     E("RasterResample", "raster", RG2.resample,
       "GT/gridcoverage/RasterResampleOperation.java")
+    E("GeoTiffRead", "raster", GT2.geotiff_to_tiles,
+      "GS/ppio/GeoTiffWithParamsPPIO.java (decode side)")
     E("TextfileToPoint", "transform", TF.textfile_to_points,
       "GT/operations/TextfileToPointOperation.java:111-175")
     E("GeoJSONDecode", "transform", GJ.geojson_to_table,

@@ -137,3 +137,48 @@ def test_lisa_on_hexa(hexa):
     assert len(out) == 37
     assert set(out["COType"]) <= {"", "HH", "LL", "HL", "LH"}
     assert np.isfinite(out["LMiZScore"]).all()
+
+
+def test_sfdem_surface_pipeline():
+    """The reference's DEM fixture (sfdem.tif — SurfaceAnalysisProcessTest
+    input) through the tile-table raster stack: stats, slope, hillshade."""
+    from opengxt_ray.raster.geotiff import geotiff_to_tiles, read_geotiff
+    from opengxt_ray.raster import raster_statistics
+    from opengxt_ray.raster.surface import hillshade, slope
+
+    tiles, meta = geotiff_to_tiles(BASE + "sfdem.tif", tile_size=128)
+    tiles = tiles.materialize()
+    stats = raster_statistics(tiles, meta)
+    # Spearfish DEM: elevations ~1066..1840 m, 30 m cells
+    assert stats["count"] == 292317
+    assert stats["min"] == pytest.approx(1066.0)
+    assert stats["max"] == pytest.approx(1840.0)
+    assert 1300 < stats["mean"] < 1400
+    s = slope(tiles, meta)
+    sstats = raster_statistics(s, meta)
+    assert 0.0 <= sstats["min"] and sstats["max"] <= 90.0
+    assert 1.0 < sstats["mean"] < 30.0  # hilly terrain
+    hs = hillshade(tiles, meta)
+    hstats = raster_statistics(hs, meta)
+    assert 0.0 <= hstats["min"] and hstats["max"] <= 255.0
+    # cross-check slope against a dense-numpy Horn stencil (interior)
+    dense, m2 = read_geotiff(BASE + "sfdem.tif")
+    z = np.nan_to_num(dense, nan=np.nanmean(dense))
+    dzdx = ((z[:-2, 2:] + 2 * z[1:-1, 2:] + z[2:, 2:])
+            - (z[:-2, :-2] + 2 * z[1:-1, :-2] + z[2:, :-2])) / (8 * 30.0)
+    dzdy = ((z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:])
+            - (z[:-2, :-2] + 2 * z[:-2, 1:-1] + z[:-2, 2:])) / (8 * 30.0)
+    expect = np.degrees(np.arctan(np.sqrt(dzdx ** 2 + dzdy ** 2)))
+    got = np.zeros((meta.height, meta.width))
+    for row in s.iter_rows():
+        h, w = meta.tile_shape(row["tx"], row["ty"])
+        got[row["ty"] * 128 : row["ty"] * 128 + h,
+            row["tx"] * 128 : row["tx"] * 128 + w] = \
+            np.frombuffer(row["data"], np.float64).reshape(h, w)
+    # compare where the dense oracle has no NaN contamination
+    valid = ~np.isnan(dense)
+    core = valid[1:-1, 1:-1]
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            core &= valid[1 + dy : 477 - 1 + dy, 1 + dx : 634 - 1 + dx]
+    np.testing.assert_allclose(got[1:-1, 1:-1][core], expect[core], atol=1e-9)
