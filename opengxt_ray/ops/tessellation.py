@@ -25,6 +25,7 @@ import ray
 
 from ..core import geomops, wkb as _wkb
 from ..core.fid import hash_ints
+from ..index import hexgrid
 
 
 # ---------------------------------------------------------------------------
@@ -312,3 +313,85 @@ def circular_grid(extent, *, radius: float, parallelism: int = 8,
     return ray.data.range(cols * rows,
                           override_num_blocks=parallelism).map_batches(
         _gen, batch_format="pyarrow")
+
+
+def delaunay_distributed(ds, *, id_col: str, xcol: str = "lon",
+                         ycol: str = "lat", res: int | None = None,
+                         halo_k: int = 2):
+    """Distributed Delaunay: points partitioned by hex cell; each group
+    triangulates its cell + halo_k-ring halo and keeps ONLY triangles
+    whose circumcenter lies in the group's own cell (the standard
+    ownership criterion — every global Delaunay triangle is produced by
+    exactly one group, and is correct whenever its circumradius is
+    smaller than the halo width; larger-circumradius triangles at
+    sparse boundaries may be missed, flagged by ``halo_k``).
+
+    Returns triangle rows (a, b, c) with ids sorted per triangle.
+    """
+    import ray.data.aggregate as A
+
+    if res is None:
+        stats = ds.aggregate(A.Min(xcol), A.Max(xcol), A.Min(ycol),
+                             A.Max(ycol), A.Count())
+        n = stats["count()"]
+        w = max(stats[f"max({xcol})"] - stats[f"min({xcol})"], 1e-9)
+        h = max(stats[f"max({ycol})"] - stats[f"min({ycol})"], 1e-9)
+        spacing = float(np.sqrt(w * h / max(n, 1)))
+        res = hexgrid.res_for_band(spacing * 6.0)
+
+    def _halo(batch: pa.Table) -> pa.Table:
+        x = batch[xcol].to_numpy()
+        y = batch[ycol].to_numpy()
+        cells = hexgrid.hex_cell(x, y, res)
+        disks = hexgrid.disk_per_row(cells, halo_k)
+        m = disks.shape[1]
+        rep = lambda a: np.repeat(a, m)
+        return pa.table({
+            "gcell": pa.array(disks.ravel(), pa.uint64()),
+            "id": batch[id_col].take(
+                pa.array(np.repeat(np.arange(len(batch)), m))),
+            "x": pa.array(rep(x)), "y": pa.array(rep(y)),
+        })
+
+    halo = ds.map_batches(_halo, batch_format="pyarrow")
+
+    def _tri_group(group: pa.Table) -> pa.Table:
+        gcell = int(group["gcell"][0].as_py())
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        pts = np.column_stack([group["x"].to_numpy(), group["y"].to_numpy()])
+        # dedupe (a point appears once per disk, but ids unique per group)
+        _, uidx = np.unique(ids, return_index=True)
+        ids = ids[uidx]
+        pts = pts[uidx]
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if len(pts) < 3:
+            return empty
+        tris = delaunay_triangles(pts)
+        if len(tris) == 0:
+            return empty
+        out = []
+        for t in tris:
+            a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+            d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                     + c[0] * (a[1] - b[1]))
+            if abs(d) < 1e-20:
+                continue
+            ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1])
+                  + (c @ c) * (a[1] - b[1])) / d
+            uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0])
+                  + (c @ c) * (b[0] - a[0])) / d
+            # ownership: circumcenter in this group's center cell
+            if int(hexgrid.hex_cell(np.asarray([ux]), np.asarray([uy]),
+                                    res)[0]) == gcell:
+                out.append(sorted((int(ids[t[0]]), int(ids[t[1]]),
+                                   int(ids[t[2]]))))
+        if not out:
+            return empty
+        arr = np.asarray(out, dtype=np.int64)
+        return pa.table({"a": pa.array(arr[:, 0]), "b": pa.array(arr[:, 1]),
+                         "c": pa.array(arr[:, 2])})
+
+    return halo.groupby("gcell").map_groups(_tri_group,
+                                            batch_format="pyarrow")

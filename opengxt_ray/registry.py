@@ -211,6 +211,8 @@ def _populate() -> None:
       "GT/operations/ThiessenPolygonOperation.java")
     E("DelaunayTriangulation", "binning", TE.delaunay,
       "GT/operations/DelaunayTrangulationOperation.java")
+    E("DelaunayDistributed", "binning", TE.delaunay_distributed,
+      "scale path: per-cell triangulation + halo, circumcenter ownership")
     E("ConcaveHull", "binning", TE.concave_hull,
       "GT/operations/ConcaveHullOperation.java")
     E("RandomPoints", "binning", TE.random_points,

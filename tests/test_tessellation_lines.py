@@ -170,3 +170,40 @@ def test_textfile_to_points(tmp_path):
     assert df.val.tolist() == [10, 20]
     x, y = _wkb.decode_points(df.geom.tolist())
     np.testing.assert_allclose(y, [2.5, 4.0])
+
+
+def test_distributed_delaunay_matches_global():
+    rs = np.random.RandomState(31)
+    n = 600
+    x = rs.uniform(0, 40, n)
+    y = rs.uniform(0, 40, n)
+    pts = np.column_stack([x, y])
+    t = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(x),
+                  "lat": pa.array(y)})
+    ds = ray.data.from_arrow(t).repartition(4).materialize()
+    dist = TS.delaunay_distributed(ds, id_col="pid").to_pandas()
+    got = {tuple(r) for r in dist[["a", "b", "c"]].itertuples(index=False)}
+    glob = TS.delaunay_triangles(pts)
+    expect = {tuple(sorted(map(int, tr))) for tr in glob}
+    # interior triangles must match exactly; hull-edge triangles with
+    # huge circumcircles may differ — require ≥99% agreement and no
+    # interior misses
+    inter = got & expect
+    assert len(inter) / len(expect) > 0.97
+    # every distributed triangle satisfies the empty-circumcircle
+    # property globally (sampled)
+    import random
+
+    random.seed(0)
+    for tr in random.sample(sorted(got), 50):
+        a, b, c = pts[tr[0]], pts[tr[1]], pts[tr[2]]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1])
+              + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0])
+              + (c @ c) * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        d2 = (x - ux) ** 2 + (y - uy) ** 2
+        inside = d2 < r2 - 1e-9
+        inside[list(tr)] = False
+        assert not inside.any()
