@@ -105,3 +105,28 @@ def test_raster_geometry_ops():
     dr = dense(rt, rm)
     assert dr.shape == (16, 16)
     np.testing.assert_array_equal(dr[::2, ::2], base)
+
+
+def test_join_deterministic_across_parallelism():
+    """North-star determinism: identical sorted join output regardless
+    of block structure/arrival order."""
+    import pyarrow.parquet as pq
+
+    from opengxt_ray.ops import join as J
+
+    nation = pq.read_table("/root/testdata/sf0.001/nation.parquet")
+    zones = tpch_geo.nation_zones_table(nation)
+    outs = []
+    for blocks in (2, 7):
+        cust = ray.data.read_parquet("/root/testdata/sf0.001/customer.parquet",
+                                     columns=["c_custkey"],
+                                     override_num_blocks=blocks)
+        pts = cust.map_batches(
+            lambda b: tpch_geo.add_point_geom(b, "c_custkey", with_wkb=False),
+            batch_format="pyarrow")
+        df = J.broadcast_spatial_join(
+            pts, zones, predicate="intersects", how="inner",
+            right_cols=["n_nationkey"]).to_pandas()
+        outs.append(df.sort_values("c_custkey").reset_index(drop=True))
+    assert (outs[0]["c_custkey"] == outs[1]["c_custkey"]).all()
+    assert (outs[0]["n_nationkey"] == outs[1]["n_nationkey"]).all()
