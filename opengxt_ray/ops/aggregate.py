@@ -105,8 +105,11 @@ def data_statistics(ds, value_cols: list[str], *, group_by: str | None = None,
         lambda b: _partial_stats_batch(b, group_by, value_cols),
         batch_format="pyarrow",
     )
+    from ..core.util import default_shuffle_partitions
+
     keycol = group_by if group_by is not None else "__k"
-    return partials.groupby(keycol).map_groups(
+    return partials.groupby(
+        keycol, num_partitions=default_shuffle_partitions()).map_groups(
         lambda g: _finalize_stats(g, group_by, value_cols, funcs, round_digits),
         batch_format="pyarrow",
     )
@@ -199,8 +202,11 @@ def collect_events(ds, *, tolerance: float = 0.1,
             "qx": pa.array(qx), "qy": pa.array(qy),
         })
 
+    from ..core.util import default_shuffle_partitions
+
     q = ds.map_batches(_quantize, batch_format="pyarrow")
-    agg = q.groupby("qkey").aggregate(
+    agg = q.groupby("qkey",
+                    num_partitions=default_shuffle_partitions()).aggregate(
         # first qx/qy are identical within a group
         __import__("ray").data.aggregate.Min("qx"),
         __import__("ray").data.aggregate.Min("qy"),

@@ -49,7 +49,10 @@ def _partial_cell_sum(batch: pa.Table, keys: np.ndarray,
 
 
 def _reduce_cell_sums(partials):
-    agg = partials.groupby("cell_key").aggregate(
+    from ..core.util import default_shuffle_partitions
+
+    agg = partials.groupby("cell_key",
+                           num_partitions=default_shuffle_partitions()).aggregate(
         ray.data.aggregate.Sum("__w"), ray.data.aggregate.Sum("__cnt"))
     return agg.map_batches(
         lambda b: pa.table({"cell_key": b["cell_key"],

@@ -206,8 +206,11 @@ def neighbor_sums(ds, value_col: str, *, id_col: str, band: float | None,
             cols["val2"] = pa.array(rep(v2))
         return pa.table(cols)
 
+    from ..core.util import default_shuffle_partitions
+
     slim = ds.map_batches(_slim, batch_format="pyarrow")
-    sums = slim.groupby("gcell").map_groups(
+    sums = slim.groupby(
+        "gcell", num_partitions=default_shuffle_partitions()).map_groups(
         lambda g: _group_neighbor_sums(
             g, concept=concept, band=band, self_neighbors=self_neighbors),
         batch_format="pyarrow",

@@ -96,7 +96,12 @@ def _focal(tiles, meta: RasterMeta, stencil):
                          "ty": pa.array([ty], pa.int32()),
                          "data": pa.array([out.tobytes()], pa.binary())})
 
-    return halo.groupby("tkey").map_groups(_compute, batch_format="pyarrow")
+    from .tiles import RasterMeta as _RM  # noqa: F401 (doc)
+    from ..core.util import default_shuffle_partitions
+
+    return halo.groupby(
+        "tkey", num_partitions=default_shuffle_partitions()).map_groups(
+        _compute, batch_format="pyarrow")
 
 
 def _horn_gradients(pad: np.ndarray, cell: float):

@@ -126,7 +126,11 @@ def reduce_tiles(partials):
             "data": pa.array([acc.tobytes()], pa.binary()),
         })
 
-    return partials.groupby("tkey").map_groups(_merge, batch_format="pyarrow")
+    from ..core.util import default_shuffle_partitions
+
+    return partials.groupby(
+        "tkey", num_partitions=default_shuffle_partitions()).map_groups(
+        _merge, batch_format="pyarrow")
 
 
 def points_to_raster(ds, meta: RasterMeta, *, assign: str = "count",
