@@ -236,3 +236,85 @@ def merge_features(ds_a, ds_b):
 
     return ds_a.map_batches(_align, batch_format="pyarrow").union(
         ds_b.map_batches(_align, batch_format="pyarrow"))
+
+
+def eliminate(polys_ds, *, fid_col: str, min_area: float,
+              geom_col: str = "geom", quant: float = 1e-9):
+    """EliminateOperation (GT/operations/EliminateOperation.java) —
+    merge sliver polygons (area < min_area) into the neighbor sharing
+    the LONGEST boundary.
+
+    Exact for tessellating inputs (shared-edge adjacency + edge-length
+    accounting + shared-edge-cancellation union); overlapping inputs
+    need GEOS. Returns merged polygons (fid of the absorbing feature,
+    geom) plus untouched non-sliver features.
+    """
+    from ..core.geomops import ring_area, union_tessellation
+    from ..ops.weights import _quant_key  # quantized vertex keys
+
+    table = pa.concat_tables(
+        [b for b in polys_ds.iter_batches(batch_format="pyarrow")])
+    fg = _wkb.decode(table[geom_col].to_pylist())
+    fids = table[fid_col].to_pylist()
+    areas = geomops.areas(fg)
+    n = len(fg)
+    # shared-edge lengths between features (undirected edge key → owner)
+    edge_owner: dict = {}
+    shared: dict = {}
+    for i in range(n):
+        for ring, _ in fg.rings(i):
+            if len(ring) < 2:
+                continue
+            k0 = _quant_key(ring[:-1, 0], ring[:-1, 1], quant)
+            k1 = _quant_key(ring[1:, 0], ring[1:, 1], quant)
+            seg = np.diff(ring, axis=0)
+            lens = np.hypot(seg[:, 0], seg[:, 1])
+            with np.errstate(over="ignore"):
+                keys = (np.minimum(k0, k1).astype(np.uint64)
+                        * np.uint64(0x9E3779B9)
+                        + np.maximum(k0, k1).astype(np.uint64))
+            for k, L in zip(keys.tolist(), lens.tolist()):
+                j = edge_owner.get(k)
+                if j is None:
+                    edge_owner[k] = i
+                elif j != i:
+                    key = (min(i, j), max(i, j))
+                    shared[key] = shared.get(key, 0.0) + L
+    # sliver → absorbing neighbor with max shared length
+    target = np.arange(n)
+    for i in np.argsort(areas):
+        if areas[i] >= min_area:
+            continue
+        best, best_len = -1, 0.0
+        for (a, b), L in shared.items():
+            if a == i and areas[b] >= min_area and L > best_len:
+                best, best_len = b, L
+            elif b == i and areas[a] >= min_area and L > best_len:
+                best, best_len = a, L
+        if best >= 0:
+            target[i] = best
+    # union per absorbing group
+    groups: dict = {}
+    for i in range(n):
+        groups.setdefault(int(target[i]), []).append(i)
+    out_fid, out_geom = [], []
+    for t, members in sorted(groups.items()):
+        if len(members) == 1:
+            out_fid.append(fids[t])
+            out_geom.append(table[geom_col][members[0]].as_py())
+            continue
+        rings = union_tessellation(fg, members, quant=quant)
+        pos = [(r, []) for r in rings if ring_area(r) > 0]
+        if pos:
+            g = (_wkb.encode_polygon(pos[0][0], pos[0][1]) if len(pos) == 1
+                 else _wkb.encode_multipolygon(pos))
+        else:
+            g = table[geom_col][t].as_py()
+        out_fid.append(fids[t])
+        out_geom.append(g)
+    import ray as _ray
+
+    return _ray.data.from_arrow(pa.table({
+        fid_col: pa.array(out_fid),
+        geom_col: pa.array(out_geom, pa.binary()),
+    }))

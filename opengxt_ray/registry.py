@@ -125,6 +125,8 @@ def _populate() -> None:
       "GT/transformation/DifferenceFeatureCollection.java")
     E("MergeFeatures", "join", OV.merge_features,
       "GT/transformation/MergeFeatureCollection.java")
+    E("Eliminate", "join", OV.eliminate,
+      "GT/operations/EliminateOperation.java (exact for tessellations)")
 
     # aggregation (§2.4)
     E("Dissolve", "aggregate", AG.dissolve,

@@ -109,3 +109,23 @@ def test_histogram_and_sessions():
     assert len(ss) == 2
     assert ss.n_events.tolist() == [2, 2]
     assert ss.duration_sec.tolist() == [600.0, 300.0]
+
+
+def test_eliminate_slivers():
+    from opengxt_ray.ops.overlay import eliminate
+
+    # 3-column strip with a thin middle sliver
+    polys, fids = [], []
+    polys.append(_wkb.encode_polygon(np.array([[0, 0], [1, 0], [1, 1], [0, 1]])))
+    fids.append(1)
+    polys.append(_wkb.encode_polygon(np.array([[1, 0], [1.1, 0], [1.1, 1], [1, 1]])))
+    fids.append(2)  # sliver
+    polys.append(_wkb.encode_polygon(np.array([[1.1, 0], [2.6, 0], [2.6, 1], [1.1, 1]])))
+    fids.append(3)
+    ds = ray.data.from_arrow(pa.table({"fid": pa.array(fids),
+                                       "geom": pa.array(polys, pa.binary())}))
+    out = eliminate(ds, fid_col="fid", min_area=0.5).to_pandas()
+    fg = _wkb.decode(out.geom.tolist())
+    assert len(out) == 2
+    assert 2 not in out.fid.tolist()  # sliver absorbed
+    assert geomops.areas(fg).sum() == pytest.approx(2.6, abs=1e-9)
