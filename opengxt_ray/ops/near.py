@@ -341,3 +341,42 @@ def self_nn_distance(ds, *, id_col="id", xcol="lon", ycol="lat",
     for r in resolved[1:]:
         out = out.union(r)
     return out
+
+
+def knn_circles(ds, nbr_ids, nbr_x, nbr_y, *, k: int = 8, id_col="id",
+                xcol="lon", ycol="lat", quadrant_segs: int = 8,
+                concurrency=None):
+    """KNearestNeighborCircle (GT/pattern/KNearestNeighborCircleOperation
+    .java:72-) — circle centered on each input with radius = distance
+    to its k-th nearest neighbor."""
+    from ..core import geomops, wkb as _wkb
+    import pyarrow as pa_
+
+    links = knn_links(ds, nbr_ids, nbr_x, nbr_y, k=k, id_col=id_col,
+                      xcol=xcol, ycol=ycol, emit_dist_sq=True,
+                      concurrency=concurrency)
+    kth = links.filter(lambda r: r["rank"] == k)
+
+    def _attach(batch: pa_.Table) -> pa_.Table:
+        return pa_.table({id_col: batch[id_col],
+                          "radius": pa_.array(
+                              np.sqrt(batch["dist_sq"].to_numpy()))})
+
+    radii = kth.map_batches(_attach, batch_format="pyarrow")
+    pts = ds.map_batches(
+        lambda b: pa_.table({id_col: b[id_col], xcol: b[xcol],
+                             ycol: b[ycol]}),
+        batch_format="pyarrow")
+    joined = pts.join(radii, join_type="inner", num_partitions=8,
+                      on=(id_col,))
+
+    def _circle(batch: pa_.Table) -> pa_.Table:
+        x = batch[xcol].to_numpy()
+        y = batch[ycol].to_numpy()
+        r = batch["radius"].to_numpy()
+        geoms = [_wkb.encode_polygon(geomops.circle_ring(
+            float(xi), float(yi), float(ri), quadrant_segs))
+            for xi, yi, ri in zip(x, y, r)]
+        return batch.append_column("geom", pa_.array(geoms, pa_.binary()))
+
+    return joined.map_batches(_circle, batch_format="pyarrow")

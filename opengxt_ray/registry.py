@@ -107,6 +107,8 @@ def _populate() -> None:
       "GT/operations/NearOperation.java:77-185")
     E("KNearestNeighborMap", "join", NE.knn_links,
       "GT/pattern/KNearestNeighborMapOperation.java:59-147")
+    E("KNearestNeighborCircle", "join", NE.knn_circles,
+      "GT/pattern/KNearestNeighborCircleOperation.java:72-")
     E("NearestNeighborCount", "join", NE.neighbor_count,
       "GT/operations/NearestNeighborCountOperation.java")
     E("AttributeJoin", "join", J.slim_join_reattach,
@@ -294,6 +296,8 @@ def _populate() -> None:
       "GT/transformation/SplitLineFeatureCollection.java")
     E("SplitLineByDistance", "transform", LO.split_line_by_distance,
       "GT/transformation/SplitByDistanceFeatureCollection.java")
+    E("SplitPolygonByCount", "transform", T.split_polygon_by_count,
+      "GT/operations/SplitPolygonByCountOperation (equal-area x-cuts)")
     E("ExtendLine", "transform", LO.extend_line,
       "GT/operations/ExtendLineOperation.java")
     E("TrimLine", "transform", LO.trim_line,

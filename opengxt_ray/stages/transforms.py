@@ -807,3 +807,55 @@ def _boundary_dist(px, py, fg, i):
             ring[1:, 0][None, :], ring[1:, 1][None, :]).min(axis=1)
         best = np.minimum(best, d)
     return best
+
+
+def split_polygon_by_count(batch: pa.Table, *, parts: int,
+                           geom_col="geom") -> pa.Table:
+    """SplitPolygonByCount (GT/operations/SplitPolygonByCountOperation)
+    — split each polygon into `parts` pieces of EQUAL AREA by vertical
+    cuts (x-positions found by bisection on cumulative area). 1→N rows
+    with ``part_idx``. Works for arbitrary simple polygons (strip clip
+    windows are convex)."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    take, geoms, pidx = [], [], []
+    for i in range(len(fg)):
+        shell = None
+        for r, is_shell in fg.rings(i):
+            if is_shell:
+                shell = r
+                break
+        if shell is None or len(shell) < 4:
+            continue
+        total = abs(geomops.ring_area(shell))
+        x0, x1 = shell[:, 0].min(), shell[:, 0].max()
+        y0, y1 = shell[:, 1].min() - 1.0, shell[:, 1].max() + 1.0
+
+        def area_left(xc):
+            win = np.array([[x0 - 1, y0], [xc, y0], [xc, y1], [x0 - 1, y1]])
+            c = geomops.clip_polygon_convex(shell, win)
+            return abs(geomops.ring_area(np.vstack([c, c[:1]]))) if len(c) >= 3 else 0.0
+
+        cuts = [x0]
+        for kpart in range(1, parts):
+            want = total * kpart / parts
+            lo, hi = x0, x1
+            for _ in range(60):
+                mid = (lo + hi) / 2
+                if area_left(mid) < want:
+                    lo = mid
+                else:
+                    hi = mid
+            cuts.append((lo + hi) / 2)
+        cuts.append(x1)
+        for kpart in range(parts):
+            win = np.array([[cuts[kpart], y0], [cuts[kpart + 1], y0],
+                            [cuts[kpart + 1], y1], [cuts[kpart], y1]])
+            c = geomops.clip_polygon_convex(shell, win)
+            if len(c) >= 3:
+                take.append(i)
+                pidx.append(kpart)
+                geoms.append(_wkb.encode_polygon(c))
+    out = batch.take(pa.array(take))
+    gi = out.column_names.index(geom_col)
+    out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+    return out.append_column("part_idx", pa.array(pidx, pa.int32()))

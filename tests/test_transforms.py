@@ -179,3 +179,15 @@ def test_maximum_inscribed_circle():
     ring = fg.geom_coords(0)
     orig = _wkb.decode([sq])
     assert geomops.points_in_geom(ring[:, 0], ring[:, 1], orig, 0).all()
+
+
+def test_split_polygon_by_count_concave():
+    L = _wkb.encode_polygon(np.array([[0, 0], [2, 0], [2, 1], [1, 1],
+                                      [1, 2], [0, 2]]))
+    b = pa.table({"geom": pa.array([L], pa.binary())})
+    out = T.split_polygon_by_count(b, parts=3)
+    fg = _wkb.decode(out["geom"].to_pylist())
+    a = geomops.areas(fg)
+    assert len(a) == 3
+    np.testing.assert_allclose(a, 1.0, atol=1e-6)
+    assert out["part_idx"].to_pylist() == [0, 1, 2]
