@@ -114,3 +114,45 @@ def test_null_geometry_handling():
     assert areas[0] == 1.0 and areas[1] == 0.0
     out = calculate_area(t)
     assert out["geom_area"][1].as_py() == 0.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=10**9), st.integers(2, 6),
+       st.integers(2, 6))
+def test_pip_join_matches_brute_on_random_grids(seed, gx, gy):
+    """Property: broadcast PIP join == brute-force PIP for random point
+    sets against random rect grids (exercises bucketed candidates +
+    stacked refinement)."""
+    import pyarrow as pa
+    import ray
+
+    from opengxt_ray.core import wkb as W
+    from opengxt_ray.ops.join import PipJoiner, PolygonBundle
+
+    rs = np.random.RandomState(seed % (2**31))
+    n = 300
+    px = rs.uniform(-5, gx * 10 + 5, n)
+    py = rs.uniform(-5, gy * 10 + 5, n)
+    polys, zids = [], []
+    for r in range(gy):
+        for c in range(gx):
+            x0, y0 = c * 10.0, r * 10.0
+            polys.append(W.encode_polygon(np.array(
+                [[x0, y0], [x0 + 10, y0], [x0 + 10, y0 + 10], [x0, y0 + 10]])))
+            zids.append(r * gx + c)
+    zt = pa.table({"zid": pa.array(zids, pa.int64()),
+                   "geom": pa.array(polys, pa.binary())})
+    joiner = PipJoiner([PolygonBundle(zt)], predicate="intersects",
+                       how="inner", dedup="suffix", right_cols=["zid"])
+    batch = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(px),
+                      "lat": pa.array(py)})
+    out = joiner(batch).to_pandas()
+    # brute force
+    fg = wkb.decode(polys)
+    expect = set()
+    for g in range(len(polys)):
+        inside = geomops.points_in_geom(px, py, fg, g)
+        for p in np.nonzero(inside)[0]:
+            expect.add((int(p), zids[g]))
+    got = set(zip(out.pid.astype(int), out.zid.astype(int)))
+    assert got == expect
