@@ -10,12 +10,13 @@ Reference (SURVEY.md §2.3):
   (1-to-many; intersection geometry mapped to input dimension)
 - MergeFeatures: GT/transformation/MergeFeatureCollection.java
 
-Geometry-output limits without GEOS (documented):
+Geometry-output semantics without GEOS:
 - point inputs: exact (PIP)
 - line inputs: exact (segment-crossing parameter clipping)
-- polygon inputs: exact when the overlay polygon is CONVEX
-  (Sutherland–Hodgman); non-convex overlays raise unless
-  ``predicate_only=True`` (keep whole geometry on intersects).
+- polygon inputs: convex overlays via Sutherland–Hodgman; general
+  simple overlays via Greiner–Hormann intersection/difference
+  (core/polyclip.py) with deterministic micro-perturbation for
+  degenerate contacts; input holes carried but not re-clipped.
 """
 
 from __future__ import annotations
@@ -154,24 +155,63 @@ class OverlayClipper:
                         geoms.append(bytes(batch[self.geom_col][i].as_py()))
                     continue
                 if not keep_inside:
-                    raise NotImplementedError(
-                        "polygon erase needs GEOS; use predicate_only=True")
+                    # erase: subtract every overlay candidate in turn
+                    # (Greiner–Hormann difference; input holes are
+                    # carried but not themselves re-clipped — exact for
+                    # hole-free inputs, documented)
+                    from ..core.polyclip import polygon_difference
+
+                    pieces = []
+                    for r, sflag in fg.rings(i):
+                        if sflag and len(r) >= 4:
+                            pieces.append((r, []))
+                    for g in cands:
+                        clip_shell = None
+                        for cr, cs in self.bundle.fg.rings(int(g)):
+                            if cs:
+                                clip_shell = cr
+                                break
+                        if clip_shell is None:
+                            continue
+                        nxt = []
+                        for shell, holes in pieces:
+                            rings = polygon_difference(shell, clip_shell)
+                            cur_shell = None
+                            for rr in rings:
+                                if geomops.ring_area(rr) >= 0:
+                                    if cur_shell:
+                                        nxt.append(cur_shell)
+                                    cur_shell = (rr, list(holes))
+                                elif cur_shell:
+                                    cur_shell[1].append(rr[::-1])
+                            if cur_shell:
+                                nxt.append(cur_shell)
+                        pieces = nxt
+                    if pieces:
+                        take.append(i)
+                        geoms.append(_wkb.encode_polygon(*pieces[0])
+                                     if len(pieces) == 1
+                                     else _wkb.encode_multipolygon(pieces))
+                    continue
+                from ..core.polyclip import polygon_intersection
+
                 out_rings = []
                 for g in cands:
-                    if not self._convex[int(g)]:
-                        raise NotImplementedError(
-                            "polygon clip requires a convex overlay (or "
-                            "predicate_only=True); non-convex boolean ops "
-                            "need GEOS")
                     for clip_ring, is_shell in self.bundle.fg.rings(int(g)):
                         if not is_shell:
                             continue
-                        for r, s in fg.rings(i):
-                            if not s:
+                        for r, sflag in fg.rings(i):
+                            if not sflag:
                                 continue
-                            clipped = geomops.clip_polygon_convex(r, clip_ring)
-                            if len(clipped) >= 3:
-                                out_rings.append(clipped)
+                            if self._convex[int(g)]:
+                                clipped = geomops.clip_polygon_convex(
+                                    r, clip_ring)
+                                if len(clipped) >= 3:
+                                    out_rings.append(clipped)
+                            else:
+                                for rr in polygon_intersection(r, clip_ring):
+                                    if len(rr) >= 4:
+                                        out_rings.append(rr)
                 if out_rings:
                     take.append(i)
                     geoms.append(_wkb.encode_polygon(out_rings[0])

@@ -57,15 +57,16 @@ def test_clip_polygon_convex():
     assert geomops.areas(fg)[0] == pytest.approx(25.0, abs=1e-9)
 
 
-def test_polygon_erase_raises_without_predicate():
+def test_polygon_erase_exact():
     polys = pa.table({
         "pid": pa.array([1]),
         "geom": pa.array([_wkb.encode_polygon(
             np.array([[5, 5], [15, 5], [15, 15], [5, 15]]))], pa.binary()),
     })
     ds = ray.data.from_arrow(polys)
-    with pytest.raises(Exception):
-        overlay.erase_features(ds, _overlay_square()).to_pandas()
+    out = overlay.erase_features(ds, _overlay_square()).to_pandas()
+    fg = _wkb.decode(out.geom.tolist())
+    assert geomops.areas(fg)[0] == pytest.approx(75.0, abs=1e-9)
     # predicate_only path keeps whole disjoint polygons
     far = pa.table({
         "pid": pa.array([1, 2]),
@@ -78,6 +79,38 @@ def test_polygon_erase_raises_without_predicate():
     out = overlay.erase_features(ds2, _overlay_square(),
                                  predicate_only=True).to_pandas()
     assert out.pid.tolist() == [1]
+
+
+def test_nonconvex_overlay_clip():
+    """Concave overlay (L-shape) clipping a polygon — GH path."""
+    L = pa.table({"zid": pa.array([1]), "geom": pa.array(
+        [_wkb.encode_polygon(np.array(
+            [[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10]]))],
+        pa.binary())})
+    sq = pa.table({"pid": pa.array([1]), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[2, 2], [8, 2], [8, 8], [2, 8]]))],
+        pa.binary())})
+    ds = ray.data.from_arrow(sq)
+    out = overlay.clip_with_features(ds, L).to_pandas()
+    fg = _wkb.decode(out.geom.tolist())
+    # sq∩L = 36 − 16 = 20
+    assert geomops.areas(fg).sum() == pytest.approx(20.0, abs=1e-9)
+    # erase: sq − L = 16
+    er = overlay.erase_features(ds, L).to_pandas()
+    fg = _wkb.decode(er.geom.tolist())
+    assert geomops.areas(fg).sum() == pytest.approx(16.0, abs=1e-9)
+    # hole case: big square minus small interior square
+    big = pa.table({"pid": pa.array([1]), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[0, 0], [20, 0], [20, 20], [0, 20]]))],
+        pa.binary())})
+    small = pa.table({"zid": pa.array([1]), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[5, 5], [9, 5], [9, 9], [5, 9]]))],
+        pa.binary())})
+    er2 = overlay.erase_features(ray.data.from_arrow(big), small).to_pandas()
+    fg = _wkb.decode(er2.geom.tolist())
+    assert geomops.areas(fg)[0] == pytest.approx(400.0 - 16.0, abs=1e-9)
+    # the hole is real
+    assert not geomops.points_in_geom(np.array([7.0]), np.array([7.0]), fg, 0)[0]
 
 
 def test_merge_features():
