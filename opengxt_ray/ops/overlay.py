@@ -176,16 +176,7 @@ class OverlayClipper:
                         nxt = []
                         for shell, holes in pieces:
                             rings = polygon_difference(shell, clip_shell)
-                            cur_shell = None
-                            for rr in rings:
-                                if geomops.ring_area(rr) >= 0:
-                                    if cur_shell:
-                                        nxt.append(cur_shell)
-                                    cur_shell = (rr, list(holes))
-                                elif cur_shell:
-                                    cur_shell[1].append(rr[::-1])
-                            if cur_shell:
-                                nxt.append(cur_shell)
+                            nxt.extend(_classify_rings(rings, holes))
                         pieces = nxt
                     if pieces:
                         take.append(i)
@@ -358,3 +349,158 @@ def eliminate(polys_ds, *, fid_col: str, min_area: float,
         fid_col: pa.array(out_fid),
         geom_col: pa.array(out_geom, pa.binary()),
     }))
+
+
+def _classify_rings(rings, carry_holes=()):
+    """GH output rings → [(shell, holes)] by containment (GH traversal
+    does not guarantee orientation): largest-first; a ring whose first
+    vertex lies inside an existing shell becomes that shell's hole."""
+    from ..core import wkb as _W
+
+    if not rings:
+        return []
+    order = sorted(range(len(rings)),
+                   key=lambda i: -abs(geomops.ring_area(rings[i])))
+    out = []
+    for i in order:
+        r = rings[i]
+        if abs(geomops.ring_area(r)) <= 0:
+            continue
+        ccw = r if geomops.ring_area(r) > 0 else r[::-1]
+        placed = False
+        for shell, holes in out:
+            sfg = _W.decode([_W.encode_polygon(shell)])
+            if geomops.points_in_geom(ccw[:1, 0], ccw[:1, 1], sfg, 0)[0]:
+                holes.append(ccw[::-1])  # hole: CW
+                placed = True
+                break
+        if not placed:
+            out.append((ccw, list(carry_holes)))
+    return out
+
+
+class IntersectEmitter:
+    """Actor stage: the reference's Intersect join with GEOMETRY output
+    (GT/transformation/IntersectFeatureCollection.java:294-350) — one
+    row per (input, overlay) pair whose geometries intersect, carrying
+    the intersection geometry mapped to the input dimension and the
+    overlay attrs with ``_N`` name dedup."""
+
+    def __init__(self, bundle_ref, *, geom_col="geom", right_cols=None):
+        self.bundle = _resolve_bundle(bundle_ref)
+        self.index = self.bundle.build_index()
+        self.geom_col = geom_col
+        self.right_cols = right_cols
+        self._convex = [
+            all(_is_convex(r) for r, s in self.bundle.fg.rings(g) if s)
+            for g in range(len(self.bundle.fg))
+        ]
+        self._name_map = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.polyclip import polygon_intersection
+        from .join import _dedup_names
+
+        fg = _wkb.decode(batch[self.geom_col].to_pylist())
+        if self._name_map is None:
+            right = self.right_cols or self.bundle.attrs.column_names
+            self._name_map = _dedup_names(batch.column_names, right, "suffix")
+        bboxes = fg.bboxes()
+        take, gidx, geoms = [], [], []
+        for i in range(len(fg)):
+            cands = self.index.query_bbox(bboxes[i])
+            t = fg.types[i]
+            for g in cands:
+                g = int(g)
+                if t == _wkb.POINT:
+                    pts = fg.geom_coords(i)
+                    inside = geomops.points_in_geom(pts[:, 0], pts[:, 1],
+                                                    self.bundle.fg, g)
+                    kp = pts[inside]
+                    if len(kp):
+                        take.append(i)
+                        gidx.append(g)
+                        geoms.append(
+                            _wkb.encode_point(float(kp[0, 0]), float(kp[0, 1]))
+                            if len(kp) == 1 else _wkb.encode_multipoint(kp))
+                elif t == _wkb.LINESTRING:
+                    pieces = []
+                    for r, _ in fg.rings(i):
+                        pieces.extend(_clip_line_to_poly(r, self.bundle, g,
+                                                         True))
+                    if pieces:
+                        take.append(i)
+                        gidx.append(g)
+                        geoms.append(_wkb.encode_linestring(pieces[0])
+                                     if len(pieces) == 1
+                                     else _wkb.encode_multilinestring(pieces))
+                else:
+                    out_rings = []
+                    for clip_ring, cs in self.bundle.fg.rings(g):
+                        if not cs:
+                            continue
+                        for r, sflag in fg.rings(i):
+                            if not sflag:
+                                continue
+                            if self._convex[g]:
+                                c = geomops.clip_polygon_convex(r, clip_ring)
+                                if len(c) >= 3:
+                                    out_rings.append(c)
+                            else:
+                                for rr in polygon_intersection(r, clip_ring):
+                                    if len(rr) >= 4:
+                                        out_rings.append(rr)
+                    if out_rings:
+                        take.append(i)
+                        gidx.append(g)
+                        geoms.append(_wkb.encode_polygon(out_rings[0])
+                                     if len(out_rings) == 1
+                                     else _wkb.encode_multipolygon(
+                                         [(r, []) for r in out_rings]))
+        out = batch.take(pa.array(take)) if take else batch.slice(0, 0)
+        cols = dict(zip(out.column_names, out.columns))
+        cols[self.geom_col] = pa.array(geoms, pa.binary())
+        gi_arr = pa.array(np.asarray(gidx, dtype=np.int64))
+        for src, dst in self._name_map:
+            cols[dst] = (self.bundle.attrs[src].take(gi_arr)
+                         if len(gidx) else self.bundle.attrs[src].slice(0, 0))
+        return pa.table(cols)
+
+
+def intersect_features(ds, overlay: pa.Table, *, geom_col="geom",
+                       right_cols=None, concurrency=None):
+    """Intersect overlay join with geometry output (1-to-many)."""
+    ref = put_bundle(overlay)
+    return ds.map_batches(
+        IntersectEmitter,
+        fn_constructor_kwargs=dict(bundle_ref=[ref], geom_col=geom_col,
+                                   right_cols=right_cols),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency())
+
+
+def identity_features(ds, overlay: pa.Table, *, geom_col="geom",
+                      right_cols=None):
+    """IdentityProcess — intersection pieces (with overlay attrs) plus
+    the parts of the input outside the overlay (overlay attrs null)."""
+    inter = intersect_features(ds, overlay, geom_col=geom_col,
+                               right_cols=right_cols)
+    outside = erase_features(ds, overlay, geom_col=geom_col)
+    return merge_features(inter, outside)
+
+
+def symdifference_features(ds_a, overlay_b: pa.Table, a_table: pa.Table,
+                           ds_b, *, geom_col="geom"):
+    """SymDifference — (A − B) ∪ (B − A)."""
+    a_minus = erase_features(ds_a, overlay_b, geom_col=geom_col)
+    b_minus = erase_features(ds_b, a_table, geom_col=geom_col)
+    return merge_features(a_minus, b_minus)
+
+
+def update_features(ds, overlay: pa.Table, *, geom_col="geom"):
+    """UpdateProcess — overlay features replace the overlapping parts
+    of the input: (input − overlay) ∪ overlay."""
+    import ray as _ray
+
+    outside = erase_features(ds, overlay, geom_col=geom_col)
+    return merge_features(outside, _ray.data.from_arrow(overlay))

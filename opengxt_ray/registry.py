@@ -129,6 +129,14 @@ def _populate() -> None:
       "GT/transformation/MergeFeatureCollection.java")
     E("Eliminate", "join", OV.eliminate,
       "GT/operations/EliminateOperation.java (exact for tessellations)")
+    E("Intersect", "join", OV.intersect_features,
+      "GT/transformation/IntersectFeatureCollection.java:294-350")
+    E("Identity", "join", OV.identity_features,
+      "GT/operations (Identity overlay)")
+    E("SymDifference", "join", OV.symdifference_features,
+      "GT/operations (SymDifference overlay)")
+    E("Update", "join", OV.update_features,
+      "GT/operations (Update overlay)")
 
     # aggregation (§2.4)
     E("Dissolve", "aggregate", AG.dissolve,

@@ -162,3 +162,27 @@ def test_eliminate_slivers():
     assert len(out) == 2
     assert 2 not in out.fid.tolist()  # sliver absorbed
     assert geomops.areas(fg).sum() == pytest.approx(2.6, abs=1e-9)
+
+
+def test_intersect_identity_update():
+    from opengxt_ray.ops.overlay import (identity_features,
+                                         intersect_features, update_features)
+
+    inp = pa.table({"pid": pa.array([1]), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[0, 0], [10, 0], [10, 10], [0, 10]]))],
+        pa.binary())})
+    over = pa.table({"zid": pa.array([7], pa.int64()), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[5, 5], [15, 5], [15, 15], [5, 15]]))],
+        pa.binary())})
+    ds = ray.data.from_arrow(inp)
+    it = intersect_features(ds, over).to_pandas()
+    fg = _wkb.decode(it.geom.tolist())
+    assert len(it) == 1 and it.zid.iloc[0] == 7
+    assert geomops.areas(fg)[0] == pytest.approx(25.0, abs=1e-9)
+    ident = identity_features(ds, over).to_pandas()
+    fg = _wkb.decode(ident.geom.tolist())
+    assert geomops.areas(fg).sum() == pytest.approx(100.0, abs=1e-9)
+    assert ident.zid.isna().sum() == 1  # the outside piece
+    upd = update_features(ds, over).to_pandas()
+    fg = _wkb.decode(upd.geom.tolist())
+    assert geomops.areas(fg).sum() == pytest.approx(75.0 + 100.0, abs=1e-9)
