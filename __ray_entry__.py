@@ -529,6 +529,45 @@ def _q_zonal_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_intersect_area(sf_dir: str):
+    """Geometry-emitting Intersect overlay: 3°×2° rects around customer
+    points × nation zones → per-piece intersection AREA (SQL-exact for
+    axis-aligned rects)."""
+    import ray
+
+    from opengxt_ray.core import wkb as _wkb
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.overlay import intersect_features
+    from opengxt_ray.sources import tpch_geo
+    from opengxt_ray.stages.transforms import calculate_area
+
+    def _rects(batch: pa.Table) -> pa.Table:
+        lon, lat = tpch_geo.point_lonlat(batch["c_custkey"].to_numpy())
+        geoms = [
+            _wkb.encode_polygon(np.array(
+                [[x - 1.5, y - 1.0], [x + 1.5, y - 1.0],
+                 [x + 1.5, y + 1.0], [x - 1.5, y + 1.0]]))
+            for x, y in zip(lon, lat)
+        ]
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "geom": pa.array(geoms, pa.binary())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"]).map_batches(
+        _rects, batch_format="pyarrow")
+    inter = intersect_features(ds, _zones(sf_dir),
+                               right_cols=["n_nationkey"])
+    out = inter.map_batches(
+        lambda b: calculate_area(b, out_col="__a"), batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b["c_custkey"],
+            "n_nationkey": b["n_nationkey"],
+            "area6": pa.array(format_round(b["__a"].to_numpy(), 6)),
+        }),
+        batch_format="pyarrow")
+
+
 def _q_point_statistics(sf_dir: str):
     from opengxt_ray.ops.pip import point_statistics
 
@@ -678,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_center": _q_mean_center,
         "attribute_join": _q_attribute_join,
         "events_window": _q_events_window,
+        "intersect_area": _q_intersect_area,
         "point_statistics": _q_point_statistics,
         "near_radius": _q_near_radius,
         "neighbor_count": _q_neighbor_count,
@@ -974,6 +1014,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS cnt, round(SUM(value), 6) AS sval6
             FROM events GROUP BY 1, 2
+        """,
+        "intersect_area": f"""
+            WITH pts AS (
+                SELECT c_custkey, {lon_c} AS x, {lat_c} AS y FROM customer
+            ),
+            zones AS (
+                SELECT n_nationkey,
+                       -180.0 + 72.0 * (n_nationkey % 5) AS zx0,
+                       -90.0 + 36.0 * (n_nationkey // 5) AS zy0
+                FROM nation
+            )
+            SELECT p.c_custkey, z.n_nationkey,
+                   round(
+                     (LEAST(p.x + 1.5, z.zx0 + 72.0)
+                      - GREATEST(p.x - 1.5, z.zx0))
+                   * (LEAST(p.y + 1.0, z.zy0 + 36.0)
+                      - GREATEST(p.y - 1.0, z.zy0)), 6) AS area6
+            FROM pts p JOIN zones z
+              ON LEAST(p.x + 1.5, z.zx0 + 72.0)
+                 > GREATEST(p.x - 1.5, z.zx0)
+             AND LEAST(p.y + 1.0, z.zy0 + 36.0)
+                 > GREATEST(p.y - 1.0, z.zy0)
         """,
         "point_statistics": f"""
             SELECT n.n_nationkey,
