@@ -120,6 +120,28 @@ def polygon_difference(subject: np.ndarray, clip: np.ndarray,
     return _gh_core(s, cc, op="difference")
 
 
+def polygon_union(subject: np.ndarray, clip: np.ndarray,
+                  *, max_perturb_tries: int = 4) -> list[np.ndarray]:
+    """Union of two simple rings → closed rings (shell(s); a CW ring
+    following a shell is its hole — can occur when the union encloses a
+    void between concave boundaries)."""
+    s = _ring_open(np.asarray(subject, dtype=np.float64))
+    c = _ring_open(np.asarray(clip, dtype=np.float64))
+    if len(s) < 3:
+        return [np.vstack([c, c[:1]])] if len(c) >= 3 else []
+    if len(c) < 3:
+        return [np.vstack([s, s[:1]])]
+    scale = max(s.ptp(axis=0).max(), c.ptp(axis=0).max(), 1e-12)
+    eps = scale * 1e-12
+    cc = c
+    for attempt in range(max_perturb_tries):
+        if not _has_degeneracy(s, cc, eps * 10):
+            break
+        shift = scale * 1e-9 * (attempt + 1)
+        cc = c + np.array([shift, shift * 0.618])
+    return _gh_core(s, cc, op="union")
+
+
 def _gh_core(s: np.ndarray, c: np.ndarray,
              op: str = "intersection") -> list[np.ndarray]:
     snodes = _build_list(s)
@@ -152,6 +174,12 @@ def _gh_core(s: np.ndarray, c: np.ndarray,
                     np.vstack([c, c[:1]])) > 0 else c
                 return [np.vstack([s, s[:1]]), np.vstack([hole, hole[:1]])]
             return [np.vstack([s, s[:1]])]    # disjoint
+        if op == "union":
+            if s_in_c:
+                return [np.vstack([c, c[:1]])]
+            if c_in_s:
+                return [np.vstack([s, s[:1]])]
+            return [np.vstack([s, s[:1]]), np.vstack([c, c[:1]])]  # disjoint
         if s_in_c:
             return [np.vstack([s, s[:1]])]
         if c_in_s:
@@ -170,8 +198,10 @@ def _gh_core(s: np.ndarray, c: np.ndarray,
     # entry/exit flags: alternate starting from PIP of the first vertex;
     # difference = invert the SUBJECT flags (keep-outside) and traverse
     # the clip ring REVERSED (A − B ≡ A ∩ Bᶜ)
-    for nodes, other, invert in ((snodes, c, op == "difference"),
-                                 (cnodes, s, op == "difference")):
+    inv_s = op in ("difference", "union")
+    inv_c = op in ("difference", "union")
+    for nodes, other, invert in ((snodes, c, inv_s),
+                                 (cnodes, s, inv_c)):
         status = not _point_in_ring(nodes[0].pt, other)
         if invert:
             status = not status

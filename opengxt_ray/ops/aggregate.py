@@ -135,9 +135,84 @@ def dissolve(ds, dissolve_field: str, *, value_cols: list[str] = (),
         return data_statistics(ds, list(value_cols), group_by=dissolve_field,
                                funcs=funcs, round_digits=round_digits)
 
+    def _fold_union(fg) -> list:
+        """Pairwise Greiner–Hormann union fold for OVERLAPPING members
+        (shells only; holes of intermediate unions preserved via ring
+        classification at the end)."""
+        from ..core.polyclip import polygon_union
+
+        shells: list = []
+        for i in range(len(fg)):
+            for r, is_shell in fg.rings(i):
+                if not is_shell or len(r) < 4:
+                    continue
+                cur = r[:-1]
+                merged = True
+                while merged:
+                    merged = False
+                    for j, other in enumerate(shells):
+                        bb_o = (other[:, 0].min(), other[:, 1].min(),
+                                other[:, 0].max(), other[:, 1].max())
+                        bb_c = (cur[:, 0].min(), cur[:, 1].min(),
+                                cur[:, 0].max(), cur[:, 1].max())
+                        if (bb_c[0] > bb_o[2] or bb_c[2] < bb_o[0]
+                                or bb_c[1] > bb_o[3] or bb_c[3] < bb_o[1]):
+                            continue
+                        u = polygon_union(cur, other)
+                        if len(u) == 1:  # actually merged into one shell
+                            shells.pop(j)
+                            cur = u[0][:-1]
+                            merged = True
+                            break
+                shells.append(cur)
+        return shells
+
+    def _members_overlap(fg) -> bool:
+        """True if any two member polygons overlap in the interior
+        (edge crossings or containment) — tessellation cancellation is
+        only valid for edge-sharing, non-overlapping members."""
+        bb = fg.bboxes()
+        n = len(fg)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (bb[i, 0] >= bb[j, 2] or bb[i, 2] <= bb[j, 0]
+                        or bb[i, 1] >= bb[j, 3] or bb[i, 3] <= bb[j, 1]):
+                    continue
+                pi = fg.geom_coords(i)
+                pj = fg.geom_coords(j)
+                if geomops.points_in_geom(pj[:1, 0], pj[:1, 1], fg, i)[0]:
+                    # shared-corner vertices sit on the boundary; require
+                    # strict interior: test the centroid too
+                    cx, cy = pj[:, 0].mean(), pj[:, 1].mean()
+                    if geomops.points_in_geom(np.asarray([cx]),
+                                              np.asarray([cy]), fg, i)[0]:
+                        return True
+                for ri, _s1 in fg.rings(i):
+                    for rj, _s2 in fg.rings(j):
+                        xs, _, _, _ = geomops.segment_intersections(
+                            ri[:-1], ri[1:], rj[:-1], rj[1:])
+                        # shared-edge tessellations touch at endpoints;
+                        # interior crossings indicate overlap — filter
+                        # endpoint-only touches by midpoint test
+                        if len(xs) > 0:
+                            cxm = (pi[:, 0].mean() + pj[:, 0].mean()) / 2
+                            cym = (pi[:, 1].mean() + pj[:, 1].mean()) / 2
+                            if (geomops.points_in_geom(
+                                    np.asarray([cxm]), np.asarray([cym]),
+                                    fg, i)[0]
+                                    and geomops.points_in_geom(
+                                        np.asarray([cxm]), np.asarray([cym]),
+                                        fg, j)[0]):
+                                return True
+        return False
+
     def _group_union(group: pa.Table) -> pa.Table:
         fg = _wkb.decode(group[geom_col].to_pylist())
-        rings = geomops.union_tessellation(fg)
+        if len(fg) > 1 and _members_overlap(fg):
+            shells = _fold_union(fg)
+            rings = [np.vstack([sh, sh[:1]]) for sh in shells]
+        else:
+            rings = geomops.union_tessellation(fg)
         if rings:
             pos = [r for r in rings if geomops.ring_area(r) > 0]
             neg = [r for r in rings if geomops.ring_area(r) < 0]

@@ -184,3 +184,61 @@ def euclidean_distance(points_ds, meta: RasterMeta, *,
         _TileEvaluator, fn_constructor_args=([ref], meta, _eval),
         batch_format="pyarrow",
         concurrency=concurrency or default_concurrency())
+
+
+def linear_los(tiles, meta: RasterMeta, observer, target, *,
+               observer_height: float = 1.8, step: float | None = None):
+    """RasterLinearLOS (GT/gridcoverage/RasterFunctionalSurface) — line
+    of sight from observer to target over the surface: per-station
+    (station, x, y, z, visible). A station is visible when the sight
+    angle from the observer exceeds every prior terrain angle."""
+    from .tiles import extract_values_to_points
+
+    import ray as _ray
+
+    ox, oy = observer
+    tx_, ty_ = target
+    length = float(np.hypot(tx_ - ox, ty_ - oy))
+    if step is None:
+        step = meta.cell_size
+    n = max(2, int(np.ceil(length / step)) + 1)
+    tt = np.linspace(0.0, 1.0, n)
+    xs = ox + tt * (tx_ - ox)
+    ys = oy + tt * (ty_ - oy)
+    pts = _ray.data.from_arrow(pa.table({
+        "station": pa.array(tt * length), "lon": pa.array(xs),
+        "lat": pa.array(ys)}))
+    sampled = extract_values_to_points(pts, tiles, meta, out_col="z")
+    df = sampled.to_pandas().sort_values("station").reset_index(drop=True)
+    z = df["z"].to_numpy()
+    d = df["station"].to_numpy()
+    z0 = (z[0] if np.isfinite(z[0]) else 0.0) + observer_height
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ang = np.where(d > 0, (z - z0) / d, -np.inf)
+    ang = np.where(np.isnan(ang), -np.inf, ang)
+    max_prior = np.maximum.accumulate(np.concatenate([[-np.inf], ang[:-1]]))
+    visible = ang >= max_prior
+    visible[0] = True
+    out = pa.table({
+        "station": pa.array(d), "x": pa.array(df["lon"].to_numpy()),
+        "y": pa.array(df["lat"].to_numpy()), "z": pa.array(z),
+        "visible": pa.array(visible),
+    })
+    return out
+
+
+def radial_los(tiles, meta: RasterMeta, observer, *, radius: float,
+               n_bearings: int = 36, observer_height: float = 1.8):
+    """RasterRadialLOS — linear LOS swept over bearings; returns rows
+    (bearing_deg, station, x, y, z, visible)."""
+    outs = []
+    ox, oy = observer
+    for k in range(n_bearings):
+        b = 360.0 * k / n_bearings
+        rad = np.radians(b)
+        tgt = (ox + radius * np.sin(rad), oy + radius * np.cos(rad))
+        t = linear_los(tiles, meta, observer, tgt,
+                       observer_height=observer_height)
+        outs.append(t.append_column(
+            "bearing_deg", pa.array(np.full(t.num_rows, b))))
+    return pa.concat_tables(outs)

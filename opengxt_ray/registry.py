@@ -382,6 +382,10 @@ def _populate() -> None:
       "GT/gridcoverage/RasterResampleOperation.java")
     E("GeoTiffRead", "raster", GT2.geotiff_to_tiles,
       "GS/ppio/GeoTiffWithParamsPPIO.java (decode side)")
+    E("RasterLinearLOS", "raster", RI.linear_los,
+      "GT/gridcoverage/RasterLinearLOSOperation (FunctionalSurface)")
+    E("RasterRadialLOS", "raster", RI.radial_los,
+      "GT/gridcoverage/RasterRadialLOSOperation")
     E("TextfileToPoint", "transform", TF.textfile_to_points,
       "GT/operations/TextfileToPointOperation.java:111-175")
     E("GeoJSONDecode", "transform", GJ.geojson_to_table,

@@ -87,3 +87,44 @@ def test_dissolve_union_with_hole():
     # the hole is real: center point not inside
     assert not geomops.points_in_geom(np.array([1.5]), np.array([1.5]), fg, 0)[0]
     assert geomops.points_in_geom(np.array([0.5]), np.array([0.5]), fg, 0)[0]
+
+
+def test_dissolve_union_overlapping_members():
+    from opengxt_ray.ops.aggregate import dissolve
+
+    t = pa.table({"g": pa.array([0, 0, 0]), "geom": pa.array([
+        _wkb.encode_polygon(np.array([[0, 0], [6, 0], [6, 6], [0, 6]])),
+        _wkb.encode_polygon(np.array([[4, 0], [10, 0], [10, 6], [4, 6]])),
+        _wkb.encode_polygon(np.array([[8, 0], [14, 0], [14, 6], [8, 6]])),
+    ], pa.binary()), "v": pa.array([1.0, 1.0, 1.0])})
+    out = dissolve(ray.data.from_arrow(t), "g", value_cols=["v"],
+                   union_geom=True).to_pandas()
+    fg = _wkb.decode(out.geom.tolist())
+    assert geomops.areas(fg).sum() == pytest.approx(84.0, abs=1e-9)
+
+
+def test_linear_los_on_ramp():
+    from opengxt_ray.raster import RasterMeta, points_to_raster
+    from opengxt_ray.raster.interpolate import linear_los
+    from opengxt_ray.raster.tiles import reduce_tiles, partials_from_coo
+
+    # terrain: flat 0 with a wall (z=50) at x≈50
+    meta = RasterMeta(0.0, 100.0, 1.0, 100, 100, tile_size=50)
+    cols, rows = np.meshgrid(np.arange(100), np.arange(100))
+    z = np.zeros((100, 100))
+    z[:, 50] = 50.0
+    import ray as _ray
+
+    t = partials_from_coo(meta, rows.ravel(), cols.ravel(), z.ravel())
+    tiles = reduce_tiles(_ray.data.from_arrow(t)).materialize()
+    los = linear_los(tiles, meta, (0.5, 50.5), (99.5, 50.5),
+                     observer_height=2.0).to_pandas()
+    vis = los.sort_values("station")
+    # before the wall: visible; behind the wall: hidden
+    before = vis[(vis.x < 49.5)]
+    behind = vis[(vis.x > 51.5) & (vis.x < 99)]
+    assert before.visible.all()
+    assert not behind.visible.any()
+    # wall cell itself visible
+    wall = vis[(vis.x > 49.5) & (vis.x < 51.5)]
+    assert wall.visible.any()
