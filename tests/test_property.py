@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -156,3 +157,59 @@ def test_pip_join_matches_brute_on_random_grids(seed, gx, gy):
             expect.add((int(p), zids[g]))
     got = set(zip(out.pid.astype(int), out.zid.astype(int)))
     assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=10**9))
+def test_gh_matches_sutherland_hodgman_on_convex(seed):
+    """Two independent clippers must agree: Greiner–Hormann vs
+    Sutherland–Hodgman for random convex polygon pairs."""
+    from opengxt_ray.core.polyclip import polygon_intersection
+
+    rs = np.random.RandomState(seed % (2**31))
+
+    def convex(cx, cy, r, n):
+        ang = np.sort(rs.uniform(0, 2 * np.pi, n))
+        return np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+
+    A = convex(0, 0, rs.uniform(2, 6), rs.randint(3, 9))
+    B = convex(rs.uniform(-3, 3), rs.uniform(-3, 3), rs.uniform(2, 6),
+               rs.randint(3, 9))
+    gh = polygon_intersection(A, B)
+    gh_area = sum(abs(geomops.ring_area(r)) for r in gh)
+    sh = geomops.clip_polygon_convex(A, B)
+    sh_area = abs(geomops.ring_area(np.vstack([sh, sh[:1]]))) if len(sh) >= 3 else 0.0
+    assert gh_area == pytest.approx(sh_area, abs=1e-9, rel=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=10**9))
+def test_gh_partition_identity(seed):
+    """A∩B area + A−B area == area(A) for random polygon pairs
+    (intersection and difference are complementary partitions of A)."""
+    from opengxt_ray.core.polyclip import (polygon_difference,
+                                           polygon_intersection)
+
+    rs = np.random.RandomState(seed % (2**31))
+
+    def star(cx, cy, n):
+        ang = np.sort(rs.uniform(0, 2 * np.pi, n))
+        rad = rs.uniform(2, 6, n)
+        return np.column_stack([cx + rad * np.cos(ang),
+                                cy + rad * np.sin(ang)])
+
+    A = star(0, 0, rs.randint(4, 12))
+    B = star(rs.uniform(-2, 2), rs.uniform(-2, 2), rs.randint(4, 12))
+    a_area = abs(geomops.ring_area(np.vstack([A, A[:1]])))
+    inter = sum(abs(geomops.ring_area(r))
+                for r in polygon_intersection(A, B))
+    diff_rings = polygon_difference(A, B)
+    # signed accounting: shells minus holes (containment-classified)
+    from opengxt_ray.ops.overlay import _classify_rings
+
+    diff = 0.0
+    for shell, holes in _classify_rings(diff_rings):
+        diff += abs(geomops.ring_area(np.vstack([shell, shell[:1]])))
+        for h in holes:
+            diff -= abs(geomops.ring_area(np.vstack([h, h[:1]])))
+    assert inter + diff == pytest.approx(a_area, rel=1e-6, abs=1e-9)
