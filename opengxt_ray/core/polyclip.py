@@ -1,6 +1,7 @@
-"""General polygon intersection — Greiner–Hormann (1998), pure Python/
-numpy. Handles arbitrary simple polygons (convex or concave, no holes
-in the inputs). Degenerate contacts (vertex exactly on an edge,
+"""General polygon boolean ops — Greiner–Hormann (1998), pure Python/
+numpy. Handles arbitrary SIMPLE polygons (convex or concave, no holes
+in the inputs; self-intersecting rings are undefined behavior — run
+them through transforms.repair_geometry first). Degenerate contacts (vertex exactly on an edge,
 collinear overlaps) are broken by a deterministic micro-perturbation of
 the clip ring (documented epsilon approach; the reference relies on
 JTS's full robustness machinery instead).

@@ -193,7 +193,10 @@ def test_gh_partition_identity(seed):
     rs = np.random.RandomState(seed % (2**31))
 
     def star(cx, cy, n):
-        ang = np.sort(rs.uniform(0, 2 * np.pi, n))
+        # jittered even spacing keeps every angular gap < π — a gap
+        # larger than π lets the chord cross the far side of the
+        # polygon (self-intersection), which GH does not support
+        ang = (np.arange(n) + rs.uniform(0.05, 0.95, n)) * (2 * np.pi / n)
         rad = rs.uniform(2, 6, n)
         return np.column_stack([cx + rad * np.cos(ang),
                                 cy + rad * np.sin(ang)])
