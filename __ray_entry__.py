@@ -529,6 +529,25 @@ def _q_zonal_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_cell_assignment(sf_dir: str):
+    """Per-row H3-style hex cell assignment (the engine's partition
+    key) — row-level 'tile assignment' parity vs SQL cube-rounding."""
+    from opengxt_ray.index import hexgrid
+
+    res = 5
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cells = hexgrid.hex_cell(b["lon"].to_numpy(), b["lat"].to_numpy(), res)
+        q = ((cells >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(
+            np.int64) - (1 << 28)
+        r = (cells & np.uint64((1 << 29) - 1)).astype(np.int64) - (1 << 28)
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "q": pa.array(q), "r": pa.array(r)})
+
+    return pts.map_batches(_cells, batch_format="pyarrow")
+
+
 def _q_intersect_area(sf_dir: str):
     """Geometry-emitting Intersect overlay: 3°×2° rects around customer
     points × nation zones → per-piece intersection AREA (SQL-exact for
@@ -717,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_center": _q_mean_center,
         "attribute_join": _q_attribute_join,
         "events_window": _q_events_window,
+        "cell_assignment": _q_cell_assignment,
         "intersect_area": _q_intersect_area,
         "point_statistics": _q_point_statistics,
         "near_radius": _q_near_radius,
@@ -1014,6 +1034,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS cnt, round(SUM(value), 6) AS sval6
             FROM events GROUP BY 1, 2
+        """,
+        "cell_assignment": f"""
+            WITH frac AS (
+                SELECT c_custkey,
+                       (sqrt(3.0)/3.0 * ({lon_c}) - ({lat_c})/3.0)
+                       / 1.40625 AS qf,
+                       (2.0/3.0 * ({lat_c})) / 1.40625 AS rf
+                FROM customer
+            ),
+            rounded AS (
+                SELECT c_custkey, qf, rf, -qf - rf AS sf,
+                       round(qf, 0) AS q0, round(rf, 0) AS r0,
+                       round(-qf - rf, 0) AS s0
+                FROM frac
+            )
+            SELECT c_custkey,
+                   CAST(CASE WHEN abs(q0-qf) > abs(r0-rf)
+                              AND abs(q0-qf) > abs(s0-sf)
+                        THEN -r0 - s0 ELSE q0 END AS BIGINT) AS q,
+                   CAST(CASE WHEN NOT (abs(q0-qf) > abs(r0-rf)
+                                       AND abs(q0-qf) > abs(s0-sf))
+                              AND abs(r0-rf) > abs(s0-sf)
+                        THEN -(CASE WHEN abs(q0-qf) > abs(r0-rf)
+                                     AND abs(q0-qf) > abs(s0-sf)
+                                    THEN -r0 - s0 ELSE q0 END) - s0
+                        ELSE r0 END AS BIGINT) AS r
+            FROM rounded
         """,
         "intersect_area": f"""
             WITH pts AS (
