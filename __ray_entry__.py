@@ -529,6 +529,49 @@ def _q_zonal_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_kernel_density_quartic(sf_dir: str):
+    """Second kernel family through the gate (quartic/biweight)."""
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.raster import kernel_density, raster_to_points
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    tiles = kernel_density(pts, _kd_meta(), search_radius=3.0,
+                           kernel="quartic")
+    cells = raster_to_points(tiles, _kd_meta(), drop_zero=True)
+    return cells.map_batches(
+        lambda b: pa.table({
+            "col": b["col"], "row": b["row"],
+            "kd6": pa.array(format_round(b["val"].to_numpy(), 6)),
+        }),
+        batch_format="pyarrow")
+
+
+def _q_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    from opengxt_ray.vector.ann import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qtab = emb.slice(0, 5)
+    qids = qtab["vec_id"].to_numpy()
+    qm = np.stack(qtab["embedding"].to_numpy(zero_copy_only=False))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, qids, qm, k=10, nlist=16, nprobe=8)
+    return out.map_batches(
+        lambda b: pa.table({"query_id": b["query_id"], "vec_id": b["vec_id"],
+                            "rank": b["rank"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_spatial_clump(sf_dir: str):
+    from opengxt_ray.ops.cluster import distance_clusters
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+    return distance_clusters(pts, radius=3.0, id_col="c_custkey")
+
+
 def _q_cell_assignment(sf_dir: str):
     """Per-row H3-style hex cell assignment (the engine's partition
     key) — row-level 'tile assignment' parity vs SQL cube-rounding."""
@@ -737,6 +780,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribute_join": _q_attribute_join,
         "events_window": _q_events_window,
         "cell_assignment": _q_cell_assignment,
+        "kernel_density_quartic": _q_kernel_density_quartic,
+        "ivf_topk": _q_ivf_topk,
+        "spatial_clump": _q_spatial_clump,
         "intersect_area": _q_intersect_area,
         "point_statistics": _q_point_statistics,
         "near_radius": _q_near_radius,
@@ -1034,6 +1080,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS cnt, round(SUM(value), 6) AS sval6
             FROM events GROUP BY 1, 2
+        """,
+        "kernel_density_quartic": f"""
+            WITH pts AS (
+                SELECT CAST(floor((({lon_c}) + 180.0) / 1.0) AS BIGINT) AS col,
+                       CAST(floor((90.0 - ({lat_c})) / 1.0) AS BIGINT) AS row
+                FROM customer
+            ),
+            offs AS (
+                SELECT dx.r AS dx, dy.r AS dy,
+                       ((15.0 / 16.0)
+                        * ((1.0 - (sqrt(CAST(dx.r*dx.r + dy.r*dy.r AS DOUBLE))
+                                   / 3.0)
+                              * (sqrt(CAST(dx.r*dx.r + dy.r*dy.r AS DOUBLE))
+                                 / 3.0))
+                           * (1.0 - (sqrt(CAST(dx.r*dx.r + dy.r*dy.r
+                                               AS DOUBLE)) / 3.0)
+                              * (sqrt(CAST(dx.r*dx.r + dy.r*dy.r AS DOUBLE))
+                                 / 3.0)))) / 25.0 AS kv
+                FROM (SELECT unnest(range(-3, 4)) AS r) dx,
+                     (SELECT unnest(range(-3, 4)) AS r) dy
+                WHERE dx.r*dx.r + dy.r*dy.r < 9
+            )
+            SELECT p.col + o.dx AS col, p.row + o.dy AS row,
+                   round(SUM(o.kv), 6) AS kd6
+            FROM pts p, offs o
+            WHERE p.col + o.dx BETWEEN 0 AND 359
+              AND p.row + o.dy BETWEEN 0 AND 179
+            GROUP BY 1, 2
         """,
         "cell_assignment": f"""
             WITH frac AS (
