@@ -137,6 +137,11 @@ def distance_clusters(ds, *, radius: float, id_col: str = "pid",
     labels = ds.map_batches(
         lambda b: pa.table({"id": b[id_col], "lab": b[id_col]}),
         batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # no pairs within radius: every point is its own cluster
+        return labels.map_batches(
+            lambda t: pa.table({id_col: t["id"], "cluster": t["lab"]}),
+            batch_format="pyarrow")
     for _ in range(max_rounds):
         lab_b = labels.map_batches(
             lambda t: pa.table({"b": t["id"], "lab_b": t["lab"]}),
