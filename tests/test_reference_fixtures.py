@@ -182,3 +182,27 @@ def test_sfdem_surface_pipeline():
         for dx in (-1, 0, 1):
             core &= valid[1 + dy : 477 - 1 + dy, 1 + dx : 634 - 1 + dx]
     np.testing.assert_allclose(got[1:-1, 1:-1][core], expect[core], atol=1e-9)
+
+
+def test_sfdem_line_of_sight():
+    """LOS over the real DEM: valley observers see little; a summit
+    observer with a tower sees more; the synthetic-wall unit test
+    proves exactness — this guards realistic behavior."""
+    from opengxt_ray.raster.geotiff import geotiff_to_tiles, read_geotiff
+    from opengxt_ray.raster.interpolate import linear_los
+
+    dense, _ = read_geotiff(BASE + "sfdem.tif")
+    tiles, meta = geotiff_to_tiles(BASE + "sfdem.tif", tile_size=128)
+    tiles = tiles.materialize()
+    r, c = np.unravel_index(np.nanargmax(dense), dense.shape)
+    summit = (meta.origin_x + (c + 0.5) * 30, meta.origin_y - (r + 0.5) * 30)
+    valley_r, valley_c = np.unravel_index(np.nanargmin(dense), dense.shape)
+    valley = (meta.origin_x + (valley_c + 0.5) * 30,
+              meta.origin_y - (valley_r + 0.5) * 30)
+    tgt = (meta.origin_x + 50 * 30, meta.origin_y - 50 * 30)
+    from_summit = linear_los(tiles, meta, summit, tgt,
+                             observer_height=30.0).to_pandas()
+    from_valley = linear_los(tiles, meta, valley, tgt,
+                             observer_height=2.0).to_pandas()
+    assert from_summit.visible.mean() > from_valley.visible.mean()
+    assert from_summit.visible.iloc[0] and from_valley.visible.iloc[0]
