@@ -382,13 +382,36 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_minhash_dedup(sf_dir: str):
+    """MinHash near-dup clusters, exact-verified at Jaccard ≥ 0.5 —
+    SQL-oracled via brute-force shingle Jaccard + recursive-CTE
+    connected components (the corpus' true near-dup pairs all sit at
+    J ≥ 0.9, where 128-perm/16-band LSH recall is ≈ 1)."""
     import ray
 
     from opengxt_ray.textops.dedup import minhash_dedup
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return minhash_dedup(ds)
+    return minhash_dedup(ds, verify_threshold=0.5)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    """LSH candidates + exact shingle-Jaccard verify ≥ 0.5 →
+    (a, b, jacc6). Brute-force pair SQL oracle."""
+    import ray
+
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.textops.dedup import minhash_verified_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = minhash_verified_pairs(ds, threshold=0.5)
+    return out.map_batches(
+        lambda b: pa.table({
+            "a": b["a"], "b": b["b"],
+            "jacc6": pa.array(format_round(b["jacc"].to_numpy(), 6)),
+        }),
+        batch_format="pyarrow")
 
 
 def _q_simhash(sf_dir: str):
@@ -796,8 +819,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standardized_scores": _q_standardized_scores,
         "ols": _q_ols,
         "pearson": _q_pearson,
-        # rows-only (no SQL oracle): model/heuristic & LSH ops
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        # rows-only (no SQL oracle): model/heuristic & LSH ops
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "kmeans": _q_kmeans,
@@ -1007,6 +1031,48 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY 1, 2
         """,
         "exact_dedup": "SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text",
+        # brute-force k=3 word-shingle Jaccard; identical shingle rule
+        # (lower().split on single spaces) and IEEE op order
+        # i/(ca+cb-i) as textops.dedup._verify_pairs
+        "minhash_pairs": """
+            WITH sh AS (SELECT DISTINCT doc_id,
+                               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                       for i in range(1, len(ws) - 1)]) AS s
+                        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                              FROM documents)),
+            sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT a, b, round(CAST(i AS DOUBLE) / (sa.c + sb.c - i), 6) AS jacc6
+            FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.5
+        """,
+        # connected components of the true J≥0.5 graph via recursive
+        # transitive closure; rep = component min doc_id
+        "minhash_dedup": """
+            WITH RECURSIVE
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  for i in range(1, len(ws) - 1)]) AS s
+                   FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                         FROM documents)),
+            sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2),
+            ed AS (SELECT a, b FROM inter
+                   JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+                   WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.5),
+            edges AS (SELECT a AS u, b AS v FROM ed
+                      UNION ALL SELECT b AS u, a AS v FROM ed),
+            reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+            )
+            SELECT node AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY node
+        """,
         "token_count": r"""
             SELECT doc_id,
                    CAST(length(list_filter(string_split_regex(text, '\s+'),

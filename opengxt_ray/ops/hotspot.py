@@ -170,6 +170,13 @@ def neighbor_sums(ds, value_col: str, *, id_col: str, band: float | None,
     Returns a Dataset (id, val, local_sum, wij_sum, wij2_sum, nn).
     """
     exact = band is None
+    if not exact:
+        band_res = hexgrid.res_for_band(band)
+        if hexgrid.hex_size(band_res) < 2.0 * band:
+            # band wider than the coarsest grid supports (res 0, s=45):
+            # the 1-ring halo would silently drop true neighbors — fall
+            # back to the exact single-group path (ADVICE round-1 #2)
+            exact = True
 
     def _slim(batch: pa.Table) -> pa.Table:
         x = batch[xcol].to_numpy()
@@ -190,7 +197,7 @@ def neighbor_sums(ds, value_col: str, *, id_col: str, band: float | None,
             if v2 is not None:
                 cols["val2"] = pa.array(v2)
             return pa.table(cols)
-        res = hexgrid.res_for_band(band)
+        res = band_res
         cells = hexgrid.hex_cell(x, y, res)
         disks = hexgrid.disk_per_row(cells, 1)  # (n, 7)
         m = disks.shape[1]
