@@ -293,6 +293,9 @@ class NearestJoiner:
     (haversine meters, standing in for GeodeticCalculator).
     """
 
+    BRUTE_MAX = 8192      # join sides up to this size use the BLAS path
+    CHUNK = 512           # row chunk bounding the (chunk × m) temporaries
+
     def __init__(self, bundle_ref, *, radius=0.0, how="left",
                  dedup="skip", right_cols=None, geodesic=False,
                  emit_dist: str | None = None):
@@ -301,6 +304,23 @@ class NearestJoiner:
         self._cx, self._cy = cx, cy
         self.index = GridPointIndex(cx, cy)
         self._point_only = bool((self.bundle.fg.types == _wkb.POINT).all())
+        m = len(cx)
+        self._brute = m <= self.BRUTE_MAX
+        if self._brute and m:
+            self._S = np.ascontiguousarray(np.column_stack([cx, cy]).T)
+            self._n2 = cx * cx + cy * cy
+        if not self._point_only:
+            # per-geometry envelope radius around the centroid — the
+            # exactness bound for phase-2 candidate expansion (a geometry
+            # can only beat distance d if its centroid is within d + rg)
+            rg = np.zeros(m)
+            for gi in range(m):
+                pts = self.bundle.fg.geom_coords(gi)
+                if len(pts):
+                    rg[gi] = float(np.max(np.hypot(pts[:, 0] - cx[gi],
+                                                   pts[:, 1] - cy[gi])))
+            self._rg = rg
+            self._rg_max = float(rg.max()) if m else 0.0
         self.radius = float(radius)
         self.how = how
         self.dedup = dedup
@@ -309,25 +329,126 @@ class NearestJoiner:
         self.emit_dist = emit_dist
         self._name_map = None
 
+    def _geom_dists_flat(self, px, py, rws, gms):
+        """Exact point→geometry boundary distances for flat (row, geom)
+        candidate pairs — vectorized over points per geometry."""
+        d = np.empty(len(rws))
+        for g in np.unique(gms):
+            msk = gms == g
+            d[msk] = geomops.points_to_geom_dist(
+                px[rws[msk]], py[rws[msk]], self.bundle.fg, int(g))
+        return d
+
+    def _nearest_brute(self, px, py):
+        """Vectorized nearest for broadcast sides ≤ BRUTE_MAX: BLAS
+        centroid matmul for candidates, exact refine, and for non-point
+        geometries a phase-2 expansion over every geometry whose
+        centroid is within best + rg — EXACT (ADVICE round-1 #3: the
+        truly nearest large/elongated geometry may not be among the 6
+        nearest centroids)."""
+        c = len(px)
+        m = len(self._cx)
+        P = np.column_stack([px, py])
+        d2a = (px * px + py * py)[:, None] + self._n2[None, :] \
+            - 2.0 * (P @ self._S)
+        head = min(m, 8)
+        if head < m:
+            part = np.sort(np.argpartition(d2a, head - 1, axis=1)[:, :head],
+                           axis=1)
+        else:
+            part = np.broadcast_to(np.arange(m), (c, m)).copy()
+        rows = np.arange(c)
+        if self._point_only:
+            # exact d² on candidates; part is index-ascending so the
+            # first min breaks ties by smallest geometry index
+            dx = px[:, None] - self._cx[part]
+            dy = py[:, None] - self._cy[part]
+            sub = dx * dx + dy * dy
+            bi = np.argmin(sub, axis=1)
+            return part[rows, bi].astype(np.int64), np.sqrt(sub[rows, bi])
+        # phase 1: exact boundary distance on the head candidates
+        flat_r = np.repeat(rows, head)
+        flat_g = part.ravel()
+        d1 = self._geom_dists_flat(px, py, flat_r, flat_g).reshape(c, head)
+        bi = np.argmin(d1, axis=1)
+        best = part[rows, bi].astype(np.int64)
+        dbest = d1[rows, bi]
+        # phase 2: every geometry whose centroid could still beat dbest
+        thr = (dbest[:, None] + self._rg[None, :]) * (1.0 + 1e-9) + 1e-12
+        mask = d2a <= thr * thr
+        mask[rows, best] = False
+        rws, gms = np.nonzero(mask)
+        all_r = np.concatenate([rows, rws])
+        all_g = np.concatenate([best, gms.astype(np.int64)])
+        all_d = np.concatenate(
+            [dbest, self._geom_dists_flat(px, py, rws, gms)]) \
+            if len(rws) else np.concatenate([dbest, np.empty(0)])
+        # per row: min by (distance, geometry index)
+        order = np.lexsort((all_g, all_d, all_r))
+        first = np.unique(all_r[order], return_index=True)[1]
+        sel = order[first]
+        out = np.full(c, -1, dtype=np.int64)
+        dist = np.full(c, np.inf)
+        out[all_r[sel]] = all_g[sel]
+        dist[all_r[sel]] = all_d[sel]
+        return out, dist
+
+    def _nearest_grid(self, px, py):
+        """Fallback for very large broadcast sides: per-row grid ring
+        search (phase 1) + exact radius re-query (phase 2)."""
+        n = len(px)
+        out = np.full(n, -1, dtype=np.int64)
+        dist = np.full(n, np.inf)
+        for i in range(n):
+            ii, dd = self.index.query_knn(float(px[i]), float(py[i]),
+                                          k=1 if self._point_only else 6)
+            if len(ii) == 0:
+                continue
+            if self._point_only:
+                dxc = px[i] - self._cx[ii]
+                dyc = py[i] - self._cy[ii]
+                d2c = dxc * dxc + dyc * dyc
+                j = int(ii[np.lexsort((ii, d2c))[0]])
+                out[i] = j
+                dist[i] = float(np.sqrt(d2c.min()))
+                continue
+            dmin, bestg = np.inf, -1
+            for j in sorted(int(v) for v in ii):
+                d = float(geomops.points_to_geom_dist(
+                    px[i : i + 1], py[i : i + 1], self.bundle.fg, j)[0])
+                if d < dmin:
+                    dmin, bestg = d, j
+            # exact phase 2: all geometries whose centroid is within
+            # dmin + rg_max can still beat the candidate
+            cand = self.index.query_radius(float(px[i]), float(py[i]),
+                                           dmin + self._rg_max + 1e-12)
+            for j in sorted(int(v) for v in cand):
+                if j == bestg:
+                    continue
+                if np.hypot(px[i] - self._cx[j], py[i] - self._cy[j]) \
+                        > dmin + self._rg[j] + 1e-12:
+                    continue
+                d = float(geomops.points_to_geom_dist(
+                    px[i : i + 1], py[i : i + 1], self.bundle.fg, j)[0])
+                if d < dmin or (d == dmin and j < bestg):
+                    dmin, bestg = d, j
+            out[i], dist[i] = bestg, dmin
+        return out, dist
+
     def _nearest(self, px, py):
         n = len(px)
         out = np.full(n, -1, dtype=np.int64)
         dist = np.full(n, np.inf)
-        k = 1 if self._point_only else 6
-        for i in range(n):
-            ii, dd = self.index.query_knn(float(px[i]), float(py[i]), k=k)
-            if len(ii) == 0:
-                continue
-            if self._point_only:
-                out[i], dist[i] = ii[0], dd[0]
-            else:
-                dmin, best = np.inf, -1
-                for j in ii:
-                    d = float(geomops.points_to_geom_dist(
-                        px[i : i + 1], py[i : i + 1], self.bundle.fg, int(j))[0])
-                    if d < dmin:
-                        dmin, best = d, int(j)
-                out[i], dist[i] = best, dmin
+        if n == 0 or len(self._cx) == 0:
+            return out, dist
+        if self._brute:
+            for s in range(0, n, self.CHUNK):
+                e = min(n, s + self.CHUNK)
+                o, d = self._nearest_brute(px[s:e], py[s:e])
+                out[s:e] = o
+                dist[s:e] = d
+        else:
+            out, dist = self._nearest_grid(px, py)
         if self.geodesic:
             ok = out >= 0
             dist[ok] = geomops.haversine(px[ok], py[ok],

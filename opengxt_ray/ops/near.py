@@ -318,6 +318,11 @@ def self_nn_distance(ds, *, id_col="id", xcol="lon", ycol="lat",
 
         found = all_halo.groupby("gcell").map_groups(
             _group_nn, batch_format="pyarrow").materialize()
+        if found.count() == 0:
+            # nothing resolved this round (isolated points) — coarsen
+            # and retry; joining an empty dataset loses its schema
+            res -= 1
+            continue
         resolved.append(found)
         # anti-join: remaining ⟕ found on id, keep unmatched (no Python
         # sets shipped to tasks)
@@ -358,6 +363,10 @@ def self_nn_distance(ds, *, id_col="id", xcol="lon", ycol="lat",
             lambda b: pa.table({"id": b["id"], "nn_dist": b["min(nn_dist)"]}),
             batch_format="pyarrow").materialize())
 
+    if not resolved:
+        return ray.data.from_arrow(pa.table({
+            "id": pa.array([], pa.int64()),
+            "nn_dist": pa.array([], pa.float64())}))
     out = resolved[0]
     for r in resolved[1:]:
         out = out.union(r)

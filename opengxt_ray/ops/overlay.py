@@ -158,26 +158,40 @@ class OverlayClipper:
                     # erase: subtract every overlay candidate in turn
                     # (Greiner–Hormann difference; input holes are
                     # carried but not themselves re-clipped — exact for
-                    # hole-free inputs, documented)
-                    from ..core.polyclip import polygon_difference
+                    # hole-free inputs, documented). Overlay HOLES are
+                    # not part of the overlay, so the input∩hole pieces
+                    # are re-added (ADVICE round-1 #4: they were being
+                    # erased along with the shell).
+                    from ..core.polyclip import (polygon_difference,
+                                                 polygon_intersection)
 
                     pieces = []
                     for r, sflag in fg.rings(i):
                         if sflag and len(r) >= 4:
                             pieces.append((r, []))
                     for g in cands:
-                        clip_shell = None
+                        # candidate rings → [(shell, [holes])]; holes
+                        # follow their shell in WKB ring order
+                        cparts = []
                         for cr, cs in self.bundle.fg.rings(int(g)):
                             if cs:
-                                clip_shell = cr
-                                break
-                        if clip_shell is None:
-                            continue
-                        nxt = []
-                        for shell, holes in pieces:
-                            rings = polygon_difference(shell, clip_shell)
-                            nxt.extend(_classify_rings(rings, holes))
-                        pieces = nxt
+                                cparts.append((cr, []))
+                            elif cparts:
+                                cparts[-1][1].append(cr)
+                        for clip_shell, clip_holes in cparts:
+                            nxt = []
+                            for shell, holes in pieces:
+                                rings = polygon_difference(shell, clip_shell)
+                                nxt.extend(_classify_rings(rings, holes))
+                                for hr in clip_holes:
+                                    if len(hr) < 4:
+                                        continue
+                                    hccw = hr if geomops.ring_area(hr) > 0 \
+                                        else hr[::-1]
+                                    for rr in polygon_intersection(shell, hccw):
+                                        if len(rr) >= 4:
+                                            nxt.append((rr, list(holes)))
+                            pieces = nxt
                     if pieces:
                         take.append(i)
                         geoms.append(_wkb.encode_polygon(*pieces[0])

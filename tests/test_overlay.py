@@ -186,3 +186,28 @@ def test_intersect_identity_update():
     upd = update_features(ds, over).to_pandas()
     fg = _wkb.decode(upd.geom.tolist())
     assert geomops.areas(fg).sum() == pytest.approx(75.0 + 100.0, abs=1e-9)
+
+
+def test_erase_overlay_hole_readded():
+    """ADVICE round-1 #4: input inside an overlay HOLE must survive an
+    erase (the hole is not part of the overlay)."""
+    from opengxt_ray.ops.overlay import erase_features
+
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[3, 3], [3, 7], [7, 7], [7, 3]], float)
+    ov = pa.table({"geom": pa.array([_wkb.encode_polygon(shell, [hole])],
+                                    pa.binary())})
+    inp = pa.table({"id": pa.array([1]), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[2, 2], [8, 2], [8, 8], [2, 8]],
+                                      float))], pa.binary())})
+    out = erase_features(ray.data.from_arrow(inp), ov).to_pandas()
+    fg = _wkb.decode(out.geom.tolist())
+    assert geomops.areas(fg).sum() == pytest.approx(16.0, abs=1e-9)
+
+    # straddling input: the part outside the shell survives too
+    inp2 = pa.table({"id": pa.array([1]), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[8, 4], [12, 4], [12, 6], [8, 6]],
+                                      float))], pa.binary())})
+    out2 = erase_features(ray.data.from_arrow(inp2), ov).to_pandas()
+    fg2 = _wkb.decode(out2.geom.tolist())
+    assert geomops.areas(fg2).sum() == pytest.approx(4.0, abs=1e-9)
