@@ -653,6 +653,56 @@ def _q_intersect_area(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_union_area(sf_dir: str):
+    """2-layer Union overlay (UnionProcess): A = distinct inset 0.5°
+    cells derived from customer points, B = nation zones with the top
+    band dropped (n_nationkey < 20) so all three legs are non-trivially
+    exercised — A∩B cells, A−B cells (dropped band), B−A zone
+    remainders (zone minus its covered cells). Areas SQL-exact."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from opengxt_ray.core import wkb as _wkb
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.overlay import union_features
+    from opengxt_ray.sources import tpch_geo
+    from opengxt_ray.stages.transforms import calculate_area
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    lon, lat = tpch_geo.point_lonlat(cust["c_custkey"].to_numpy())
+    cq = np.unique(np.stack([np.floor(lon / 0.5).astype(np.int64),
+                             np.floor(lat / 0.5).astype(np.int64)], axis=1),
+                   axis=0)
+    geoms = [_wkb.encode_polygon(np.array(
+        [[qx * 0.5 + 0.005, qy * 0.5 + 0.005],
+         [qx * 0.5 + 0.495, qy * 0.5 + 0.005],
+         [qx * 0.5 + 0.495, qy * 0.5 + 0.495],
+         [qx * 0.5 + 0.005, qy * 0.5 + 0.495]]))
+        for qx, qy in cq]
+    a_table = pa.table({"qx": pa.array(cq[:, 0]), "qy": pa.array(cq[:, 1]),
+                        "geom": pa.array(geoms, pa.binary())})
+    import pyarrow.compute as pc
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    zones = tpch_geo.nation_zones_table(nation)
+    keep = pc.less(pc.cast(zones["n_nationkey"], pa.int64()), 20)
+    zones = zones.filter(keep).select(["n_nationkey", "geom"])
+    zones = zones.set_column(0, "n_nationkey",
+                             zones["n_nationkey"].cast(pa.int64()))
+    out = union_features(ray.data.from_arrow(a_table), zones, a_table,
+                         ray.data.from_arrow(zones),
+                         right_cols=["n_nationkey"])
+    out = out.map_batches(lambda b: calculate_area(b, out_col="__a"),
+                          batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({
+            "qx": b["qx"], "qy": b["qy"],
+            "n_nationkey": b["n_nationkey"],
+            "area6": pa.array(format_round(b["__a"].to_numpy(), 6)),
+        }),
+        batch_format="pyarrow")
+
+
 def _q_point_statistics(sf_dir: str):
     from opengxt_ray.ops.pip import point_statistics
 
@@ -807,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "spatial_clump": _q_spatial_clump,
         "intersect_area": _q_intersect_area,
+        "union_area": _q_union_area,
         "point_statistics": _q_point_statistics,
         "near_radius": _q_near_radius,
         "neighbor_count": _q_neighbor_count,
@@ -1223,6 +1274,41 @@ def oracle_sql() -> dict[str, str]:
                  > GREATEST(p.x - 1.5, z.zx0)
              AND LEAST(p.y + 1.0, z.zy0 + 36.0)
                  > GREATEST(p.y - 1.0, z.zy0)
+        """,
+        "union_area": f"""
+            WITH pts AS (
+                SELECT {lon_c} AS x, {lat_c} AS y FROM customer
+            ),
+            cells AS (
+                SELECT DISTINCT CAST(floor(x / 0.5) AS BIGINT) AS qx,
+                                CAST(floor(y / 0.5) AS BIGINT) AS qy
+                FROM pts
+            ),
+            zones AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                       -180.0 + 72.0 * (n_nationkey % 5) AS zx0,
+                       -90.0 + 36.0 * (n_nationkey // 5) AS zy0
+                FROM nation WHERE n_nationkey < 20
+            ),
+            cz AS (
+                SELECT c.qx, c.qy, z.n_nationkey FROM cells c
+                LEFT JOIN zones z
+                  ON c.qx * 0.5 + 0.005 >= z.zx0
+                 AND c.qx * 0.5 + 0.495 <= z.zx0 + 72.0
+                 AND c.qy * 0.5 + 0.005 >= z.zy0
+                 AND c.qy * 0.5 + 0.495 <= z.zy0 + 36.0
+            )
+            SELECT qx, qy, n_nationkey,
+                   round((0.495 - 0.005) * (0.495 - 0.005), 6) AS area6
+            FROM cz
+            UNION ALL
+            SELECT NULL AS qx, NULL AS qy, z.n_nationkey,
+                   round(72.0 * 36.0 - COALESCE(k.cnt, 0)
+                         * ((0.495 - 0.005) * (0.495 - 0.005)), 6) AS area6
+            FROM zones z LEFT JOIN (
+                SELECT n_nationkey, count(*) AS cnt FROM cz
+                WHERE n_nationkey IS NOT NULL GROUP BY 1
+            ) k USING (n_nationkey)
         """,
         "point_statistics": f"""
             SELECT n.n_nationkey,

@@ -511,6 +511,44 @@ def symdifference_features(ds_a, overlay_b: pa.Table, a_table: pa.Table,
     return merge_features(a_minus, b_minus)
 
 
+def union_features(ds_a, overlay_b: pa.Table, a_table: pa.Table, ds_b,
+                   *, geom_col="geom", right_cols=None):
+    """UnionProcess — full overlay union of two polygon layers
+    (GT/operations/UnionProcess; the 2-layer Union from the ArcGIS
+    overlay family the reference mirrors):
+
+    - A∩B pieces carry BOTH attribute sets (B columns ``_N``-deduped,
+      IntersectFeatureCollection.java:131-156);
+    - A−B pieces carry A attrs, B attrs null;
+    - B−A pieces carry B attrs, A attrs null.
+
+    ``overlay_b``/``a_table`` are the broadcast (driver-side) tables of
+    each layer; ``ds_a``/``ds_b`` the streamed sides — same calling
+    convention as :func:`symdifference_features`.
+    """
+    from .join import _dedup_names
+
+    inter = intersect_features(ds_a, overlay_b, geom_col=geom_col,
+                               right_cols=right_cols)
+    a_only = erase_features(ds_a, overlay_b, geom_col=geom_col)
+    b_only = erase_features(ds_b, a_table, geom_col=geom_col)
+    # rename B's columns exactly as IntersectEmitter does so the three
+    # legs align column-wise in merge_features
+    a_names = [n for n in (ds_a.schema().names)]
+    b_names = [n for n in (right_cols or ds_b.schema().names)
+               if n != geom_col]
+    name_map = dict(_dedup_names(a_names, b_names, "suffix"))
+
+    def _rename_b(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for n in batch.column_names:
+            cols[name_map.get(n, n)] = batch[n]
+        return pa.table(cols)
+
+    b_only = b_only.map_batches(_rename_b, batch_format="pyarrow")
+    return merge_features(merge_features(inter, a_only), b_only)
+
+
 def update_features(ds, overlay: pa.Table, *, geom_col="geom"):
     """UpdateProcess — overlay features replace the overlapping parts
     of the input: (input − overlay) ∪ overlay."""

@@ -135,6 +135,9 @@ def _populate() -> None:
       "GT/operations (Identity overlay)")
     E("SymDifference", "join", OV.symdifference_features,
       "GT/operations (SymDifference overlay)")
+    E("Union", "join", OV.union_features,
+      "GT/operations (Union overlay: A∩B + A−B + B−A, "
+      "IntersectFeatureCollection.java:131-156 column dedup)")
     E("Update", "join", OV.update_features,
       "GT/operations (Update overlay)")
 

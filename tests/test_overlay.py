@@ -211,3 +211,32 @@ def test_erase_overlay_hole_readded():
     out2 = erase_features(ray.data.from_arrow(inp2), ov).to_pandas()
     fg2 = _wkb.decode(out2.geom.tolist())
     assert geomops.areas(fg2).sum() == pytest.approx(4.0, abs=1e-9)
+
+
+def test_union_overlay_two_layers():
+    """UnionProcess: A∩B pieces carry both attrs, A−B carries A only,
+    B−A carries B only; areas partition |A ∪ B|."""
+    from opengxt_ray.ops.overlay import union_features
+
+    at = pa.table({"pid": pa.array([1]), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[0, 0], [10, 0], [10, 10], [0, 10]]))],
+        pa.binary())})
+    bt = pa.table({"zid": pa.array([7], pa.int64()), "geom": pa.array(
+        [_wkb.encode_polygon(np.array([[5, 5], [15, 5], [15, 15], [5, 15]]))],
+        pa.binary())})
+    out = union_features(ray.data.from_arrow(at), bt, at,
+                         ray.data.from_arrow(bt),
+                         right_cols=["zid"]).to_pandas()
+    fg = _wkb.decode(out.geom.tolist())
+    areas = geomops.areas(fg)
+    assert areas.sum() == pytest.approx(100.0 + 100.0 - 25.0, abs=1e-9)
+    both = out[out.pid.notna() & out.zid.notna()]
+    a_only = out[out.pid.notna() & out.zid.isna()]
+    b_only = out[out.pid.isna() & out.zid.notna()]
+    assert len(both) == 1 and len(a_only) == 1 and len(b_only) == 1
+    assert geomops.areas(_wkb.decode(both.geom.tolist()))[0] == \
+        pytest.approx(25.0, abs=1e-9)
+    assert geomops.areas(_wkb.decode(a_only.geom.tolist()))[0] == \
+        pytest.approx(75.0, abs=1e-9)
+    assert geomops.areas(_wkb.decode(b_only.geom.tolist()))[0] == \
+        pytest.approx(75.0, abs=1e-9)
