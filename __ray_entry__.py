@@ -703,6 +703,44 @@ def _q_union_area(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_rasterize_roundtrip(sf_dir: str):
+    """Vector→raster→vector round trip: nation zones burned into a
+    0.7° grid (cell-center coverage), vectorized back per value; the
+    per-zone polygon area must equal (covered-cell count × cell²),
+    which SQL computes independently by center-in-zone floor
+    arithmetic."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.raster.rasterize import rasterize_features
+    from opengxt_ray.raster.tiles import RasterMeta
+    from opengxt_ray.raster.vectorize import raster_to_polygon
+    from opengxt_ray.sources import tpch_geo
+    from opengxt_ray.stages.transforms import calculate_area
+
+    meta = RasterMeta(-180.0, 90.0, 0.7,
+                      int(np.ceil(360.0 / 0.7)), int(np.ceil(180.0 / 0.7)),
+                      tile_size=64)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    zones = tpch_geo.nation_zones_table(nation).select(
+        ["n_nationkey", "geom"])
+    zones = zones.set_column(0, "n_nationkey",
+                             zones["n_nationkey"].cast(pa.float64()))
+    tiles = rasterize_features(ray.data.from_arrow(zones), meta,
+                               value_col="n_nationkey", assign="max")
+    polys = raster_to_polygon(tiles, meta)
+    out = polys.map_batches(lambda b: calculate_area(b, out_col="__a"),
+                            batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({
+            "n_nationkey": b["value"].cast(pa.int64()),
+            "area6": pa.array(format_round(b["__a"].to_numpy(), 6)),
+        }),
+        batch_format="pyarrow")
+
+
 def _q_point_statistics(sf_dir: str):
     from opengxt_ray.ops.pip import point_statistics
 
@@ -858,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_clump": _q_spatial_clump,
         "intersect_area": _q_intersect_area,
         "union_area": _q_union_area,
+        "rasterize_roundtrip": _q_rasterize_roundtrip,
         "point_statistics": _q_point_statistics,
         "near_radius": _q_near_radius,
         "neighbor_count": _q_neighbor_count,
@@ -1309,6 +1348,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT n_nationkey, count(*) AS cnt FROM cz
                 WHERE n_nationkey IS NOT NULL GROUP BY 1
             ) k USING (n_nationkey)
+        """,
+        "rasterize_roundtrip": """
+            WITH cols AS (SELECT CAST(c AS BIGINT) AS c FROM range(0, 515) t(c)),
+            rws AS (SELECT CAST(r AS BIGINT) AS r FROM range(0, 258) t(r)),
+            centers AS (SELECT -180.0 + (c + 0.5) * 0.7 AS x,
+                               90.0 - (r + 0.5) * 0.7 AS y
+                        FROM cols, rws),
+            zones AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                             -180.0 + 72.0 * (n_nationkey % 5) AS zx0,
+                             -90.0 + 36.0 * (n_nationkey // 5) AS zy0
+                      FROM nation),
+            cnt AS (SELECT z.n_nationkey, count(*) AS c FROM centers p
+                    JOIN zones z
+                      ON p.x >= z.zx0 AND p.x < z.zx0 + 72.0
+                     AND p.y >= z.zy0 AND p.y < z.zy0 + 36.0
+                    GROUP BY 1)
+            SELECT n_nationkey, round(c * (0.7 * 0.7), 6) AS area6 FROM cnt
         """,
         "point_statistics": f"""
             SELECT n.n_nationkey,

@@ -80,6 +80,8 @@ def _populate() -> None:
     from .raster import interpolate as RI
     from .raster import geometry as RG2
     from .raster import geotiff as GT2
+    from .raster import rasterize as RRZ
+    from .raster import vectorize as RVZ
     from .sources import textfile as TF
     from .sources import geojson as GJ
     from .sources import shapefile as SF
@@ -331,6 +333,16 @@ def _populate() -> None:
       "GT/gridcoverage/RasterPointsToRasterOperation.java")
     E("RasterToPoint", "raster", RT.raster_to_points,
       "GT/transformation/CoverageToPointFeatureCollection.java:58-90")
+    E("FeaturesToRaster", "raster", RRZ.rasterize_features,
+      "GT/gridcoverage/RasterFeaturesToRasterOperation.java (assoc. "
+      "max/min/sum/count assigns; cell-center coverage)")
+    E("GeometryToRaster", "raster", RRZ.geometry_to_raster,
+      "GT/gridcoverage/GeometryToRasterOperation.java")
+    E("RasterToPolygon", "raster", RVZ.raster_to_polygon,
+      "GT/gridcoverage/RasterToPolygonOperation.java (per-tile edge "
+      "cancellation + cross-tile groupby(value) merge)")
+    E("RasterToGridPolygon", "raster", RVZ.raster_to_grid_polygon,
+      "GT/gridcoverage (RasterToGridPolygon)")
     E("ExtractValuesToPoints", "raster", RT.extract_values_to_points,
       "GT/gridcoverage/RasterExtractValuesToPointsOperation.java:54-78")
     E("RasterProfile", "raster", RT.raster_profile,
