@@ -741,6 +741,41 @@ def _q_rasterize_roundtrip(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_line_density(sf_dir: str):
+    """LineDensity over horizontal 4° segments anchored at supplier
+    points — cells touched by a horizontal segment are a contiguous
+    run in one row, so the burned raster (and the binary-kernel window
+    sum) is SQL-enumerable."""
+    import ray
+
+    from opengxt_ray.core import wkb as _wkb
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.raster import raster_to_points
+    from opengxt_ray.raster.density import line_density
+    from opengxt_ray.sources import tpch_geo
+
+    def _segs(batch: pa.Table) -> pa.Table:
+        lon, lat = tpch_geo.point_lonlat(batch["s_suppkey"].to_numpy())
+        geoms = [
+            _wkb.encode_linestring(np.array([[x, y], [x + 4.0, y]]))
+            for x, y in zip(lon, lat)
+        ]
+        return pa.table({"s_suppkey": batch["s_suppkey"],
+                         "geom": pa.array(geoms, pa.binary())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey"]).map_batches(
+        _segs, batch_format="pyarrow")
+    tiles = line_density(ds, _kd_meta(), search_radius=3.0)
+    cells = raster_to_points(tiles, _kd_meta(), drop_zero=True)
+    return cells.map_batches(
+        lambda b: pa.table({
+            "col": b["col"], "row": b["row"],
+            "ld6": pa.array(format_round(b["val"].to_numpy(), 6)),
+        }),
+        batch_format="pyarrow")
+
+
 def _q_point_statistics(sf_dir: str):
     from opengxt_ray.ops.pip import point_statistics
 
@@ -897,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_area": _q_intersect_area,
         "union_area": _q_union_area,
         "rasterize_roundtrip": _q_rasterize_roundtrip,
+        "line_density": _q_line_density,
         "point_statistics": _q_point_statistics,
         "near_radius": _q_near_radius,
         "neighbor_count": _q_neighbor_count,
@@ -1194,6 +1230,32 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p, offs o
             WHERE p.col + o.dx BETWEEN 0 AND 359
               AND p.row + o.dy BETWEEN 0 AND 179
+            GROUP BY 1, 2
+        """,
+        "line_density": f"""
+            WITH segs AS (
+                SELECT CAST(floor((({lon_s}) + 180.0) / 1.0) AS BIGINT) AS c0,
+                       CAST(floor((({lon_s}) + 4.0 + 180.0) / 1.0) AS BIGINT) AS c1,
+                       CAST(floor((90.0 - ({lat_s})) / 1.0) AS BIGINT) AS row
+                FROM supplier
+            ),
+            burn AS (
+                SELECT s.c0 + t.i AS col, s.row
+                FROM segs s, range(0, 5) t(i)
+                WHERE s.c0 + t.i BETWEEN 0 AND 359
+                  AND s.row BETWEEN 0 AND 179
+            ),
+            offs AS (
+                SELECT dx.r AS dx, dy.r AS dy, 1.0 / 29.0 AS kv
+                FROM (SELECT unnest(range(-3, 4)) AS r) dx,
+                     (SELECT unnest(range(-3, 4)) AS r) dy
+                WHERE dx.r*dx.r + dy.r*dy.r <= 9
+            )
+            SELECT b.col + o.dx AS col, b.row + o.dy AS row,
+                   round(SUM(o.kv), 6) AS ld6
+            FROM burn b, offs o
+            WHERE b.col + o.dx BETWEEN 0 AND 359
+              AND b.row + o.dy BETWEEN 0 AND 179
             GROUP BY 1, 2
         """,
         "zonal_stats": f"""

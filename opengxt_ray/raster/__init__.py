@@ -12,5 +12,5 @@ origin_y − row·cell]`` — row 0 at the top, like GridCoverage2D.
 """
 
 from .tiles import RasterMeta, points_to_raster, raster_to_points, raster_statistics  # noqa: F401
-from .density import kernel_density  # noqa: F401
+from .density import kernel_density, line_density  # noqa: F401
 from .zonal import zonal_statistics  # noqa: F401

@@ -119,3 +119,60 @@ def point_density(ds, meta: RasterMeta, *, search_radius: float,
     return kernel_density(ds, meta, search_radius=search_radius,
                           kernel="binary", weight_col=weight_col,
                           xcol=xcol, ycol=ycol)
+
+
+def line_density(ds, meta: RasterMeta, *, search_radius: float,
+                 weight_col: str | None = None, geographic: bool = True,
+                 geom_col: str = "geom"):
+    """LineDensity (GT/gridcoverage/RasterLineDensityOperation.java:
+    lineToRaster 1.1px additive stroke + binary neighborhood kernel,
+    scaleArea/1000 on projected CRS) → tile Dataset.
+
+    Ray-native: per feature, cells TOUCHED by the line are burned with
+    the feature weight (densified traversal stands in for the Java2D
+    stroke), and because convolution is linear the binary kernel window
+    is scattered per burned cell directly — one additive COO shuffle
+    total, no intermediate raster materialization.
+    """
+    from ..core import wkb as _wkb
+    from .rasterize import _covered_cells
+
+    r = int(np.floor(search_radius / meta.cell_size))
+    K, valid = kernel_matrix(r, "binary")
+    scale_area = valid * meta.cell_size * meta.cell_size
+    if not geographic:
+        scale_area /= 1000.0
+    krows, kcols = np.nonzero(K)
+    kdr = krows - r
+    kdc = kcols - r
+    kvals = K[krows, kcols] / scale_area
+
+    def _scatter(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        bboxes = fg.bboxes()
+        w = (batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+             if weight_col else np.ones(len(fg)))
+        rows_l, cols_l, vals_l = [], [], []
+        for i in range(len(fg)):
+            rr, cc = _covered_cells(fg, i, meta, bboxes)
+            # burn only in-extent cells (the reference's raster stops at
+            # the grid extent; an outside burned cell must not leak
+            # kernel mass back in)
+            ok = ((cc >= 0) & (cc < meta.width)
+                  & (rr >= 0) & (rr < meta.height))
+            rr, cc = rr[ok], cc[ok]
+            if len(rr) == 0:
+                continue
+            rows_l.append((rr[:, None] + kdr[None, :]).ravel())
+            cols_l.append((cc[:, None] + kdc[None, :]).ravel())
+            vals_l.append((np.full(len(rr), w[i])[:, None]
+                           * kvals[None, :]).ravel())
+        if not rows_l:
+            return pa.table({"tkey": pa.array([], pa.int64()),
+                             "data": pa.array([], pa.binary())})
+        return partials_from_coo(meta, np.concatenate(rows_l),
+                                 np.concatenate(cols_l),
+                                 np.concatenate(vals_l))
+
+    partials = ds.map_batches(_scatter, batch_format="pyarrow")
+    return reduce_tiles(partials)

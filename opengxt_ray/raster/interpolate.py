@@ -242,3 +242,78 @@ def radial_los(tiles, meta: RasterMeta, observer, *, radius: float,
         outs.append(t.append_column(
             "bearing_deg", pa.array(np.full(t.num_rows, b))))
     return pa.concat_tables(outs)
+
+
+def tin_interpolation(points_ds, meta: RasterMeta, *, value_col: str,
+                      xcol: str = "lon", ycol: str = "lat",
+                      concurrency=None, parallelism: int = 8,
+                      max_samples: int = 50_000):
+    """TIN surface (GT/gridcoverage/RasterInterpolationTINOperation.java
+    ~194 LoC): Delaunay triangulation of the SAMPLE points (driver-side
+    — samples are the small broadcast side, same convention as tps/idw),
+    then barycentric linear interpolation per tile. Cells outside the
+    convex hull are nodata (NaN).
+
+    Linear interpolation reproduces linear fields exactly and equals
+    the sample value at every sample location.
+    """
+    from ..ops.tessellation import delaunay_triangles
+
+    n = points_ds.count()
+    if n > max_samples:
+        raise ValueError(
+            f"tin_interpolation: {n} samples exceeds max_samples="
+            f"{max_samples}; TIN builds the triangulation on the driver "
+            "(samples are the broadcast side) — thin the samples or "
+            "raise max_samples explicitly")
+    pdf = points_ds.select_columns([xcol, ycol, value_col]).to_pandas()
+    pts = pdf[[xcol, ycol]].to_numpy().astype(np.float64)
+    vals = pdf[value_col].to_numpy().astype(np.float64)
+    tris = delaunay_triangles(pts)
+    tb = np.empty((len(tris), 4))
+    if len(tris):
+        tx_ = pts[:, 0][tris]
+        ty_ = pts[:, 1][tris]
+        tb[:, 0] = tx_.min(axis=1)
+        tb[:, 1] = ty_.min(axis=1)
+        tb[:, 2] = tx_.max(axis=1)
+        tb[:, 3] = ty_.max(axis=1)
+    ref = ray.put((pts, vals, tris, tb))
+
+    def _eval(state, x, y):
+        sp, sv, st, stb = state
+        out = np.full(len(x), np.nan)
+        if len(st) == 0:
+            return out
+        x0, x1 = x.min(), x.max()
+        y0, y1 = y.min(), y.max()
+        cand = np.nonzero((stb[:, 0] <= x1) & (stb[:, 2] >= x0)
+                          & (stb[:, 1] <= y1) & (stb[:, 3] >= y0))[0]
+        for ti in cand:
+            a, b, c = st[ti]
+            ax, ay = sp[a]
+            bx, by = sp[b]
+            cx, cy = sp[c]
+            d = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+            if abs(d) < 1e-300:
+                continue
+            sel = np.nonzero(np.isnan(out)
+                             & (x >= stb[ti, 0]) & (x <= stb[ti, 2])
+                             & (y >= stb[ti, 1]) & (y <= stb[ti, 3]))[0]
+            if len(sel) == 0:
+                continue
+            l1 = ((by - cy) * (x[sel] - cx) + (cx - bx) * (y[sel] - cy)) / d
+            l2 = ((cy - ay) * (x[sel] - cx) + (ax - cx) * (y[sel] - cy)) / d
+            l3 = 1.0 - l1 - l2
+            eps = -1e-12
+            ins = (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+            if ins.any():
+                out[sel[ins]] = (l1[ins] * sv[a] + l2[ins] * sv[b]
+                                 + l3[ins] * sv[c])
+        return out
+
+    tiles = _all_tiles_ds(meta, parallelism)
+    return tiles.map_batches(
+        _TileEvaluator, fn_constructor_args=([ref], meta, _eval),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency())

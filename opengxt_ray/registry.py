@@ -327,6 +327,9 @@ def _populate() -> None:
       "GT/gridcoverage/RasterKernelDensityOperation.java")
     E("PointDensity", "raster", RD.point_density,
       "GT/gridcoverage/RasterPointDensityOperation.java")
+    E("LineDensity", "raster", RD.line_density,
+      "GT/gridcoverage/RasterLineDensityOperation.java (additive line "
+      "burn + binary neighborhood kernel, scaleArea/1000 projected)")
     E("ZonalStatistics", "raster", RZ.zonal_statistics,
       "GT/gridcoverage/RasterZonalOperation.java:69-224")
     E("PointsToRaster", "raster", RT.points_to_raster,
@@ -383,6 +386,9 @@ def _populate() -> None:
       "GT/gridcoverage/RasterSurfaceAreaOperation.java")
     E("IDWInterpolation", "raster", RI.idw,
       "GT/gridcoverage/RasterInterpolationIDWOperation.java")
+    E("TINInterpolation", "raster", RI.tin_interpolation,
+      "GT/gridcoverage/RasterInterpolationTINOperation.java (Delaunay "
+      "+ barycentric per tile)")
     E("TPSInterpolation", "raster", RI.tps,
       "GT/gridcoverage/ThinPlateSplineInterpolator.java")
     E("EuclideanDistance", "raster", RI.euclidean_distance,

@@ -133,3 +133,43 @@ def test_nearest_join_radius_modes():
     inner = nearest_join(_points_ds(px, py, [0, 1, 2]), jt, radius=5.0,
                          how="inner").take_all()
     assert sorted(r["id"] for r in inner) == [0, 1]
+
+
+def test_self_knn_links_vs_brute():
+    from opengxt_ray.ops.near import self_knn_links
+
+    rs = np.random.RandomState(17)
+    n, k = 400, 6
+    x = rs.uniform(0, 50, n)
+    y = rs.uniform(0, 50, n)
+    ids = np.arange(n)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "lon": pa.array(x), "lat": pa.array(y)}))
+    out = self_knn_links(ds, k=k, id_col="id").take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["src"], []).append(r["dst"])
+    # brute oracle with (exact d2, id) tie-break
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    for i in range(n):
+        o = np.lexsort((ids, d2[i]))[:k]
+        assert sorted(got[i]) == sorted(ids[o].tolist()), i
+    assert len(got) == n
+
+
+def test_self_knn_links_small_n():
+    from opengxt_ray.ops.near import self_knn_links
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "lon": pa.array([0.0, 1.0, 5.0]),
+        "lat": pa.array([0.0, 0.0, 0.0])}))
+    out = self_knn_links(ds, k=8, id_col="id").take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["src"], set()).add(r["dst"])
+    assert got == {0: {1, 2}, 1: {0, 2}, 2: {0, 1}}
