@@ -155,3 +155,356 @@ def resample(tiles, meta: RasterMeta, *, cell_size: float,
     out = ray.data.range(n, override_num_blocks=parallelism).map_batches(
         _gen, batch_format="pyarrow")
     return out, new_meta
+
+
+def clip_by_circle(tiles, meta: RasterMeta, *, cx: float, cy: float,
+                   radius: float, inside: bool = True):
+    """RasterClip by circle — NaN-out cells whose center falls outside
+    (inside=True) / inside (inside=False) the circle; tiles with no
+    surviving cell are dropped (GT/gridcoverage/RasterClipOperation)."""
+    r2 = radius * radius
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        keep_idx, out = [], []
+        for i, (tx, ty) in enumerate(zip(batch["tx"].to_numpy(),
+                                         batch["ty"].to_numpy())):
+            h, w = meta.tile_shape(int(tx), int(ty))
+            cols = np.arange(tx * meta.tile_size, tx * meta.tile_size + w)
+            rows = np.arange(ty * meta.tile_size, ty * meta.tile_size + h)
+            px, py = meta.cell_center(*np.meshgrid(cols, rows))
+            d2 = (px - cx) ** 2 + (py - cy) ** 2
+            mask = d2 <= r2 if inside else d2 > r2
+            if not mask.any():
+                continue
+            arr = np.frombuffer(batch["data"][i].as_py(),
+                                np.float64).reshape(h, w)
+            keep_idx.append(i)
+            out.append(np.where(mask, arr, np.nan).tobytes())
+        kept = batch.take(pa.array(keep_idx)) if keep_idx else batch.slice(0, 0)
+        if len(kept):
+            kept = kept.set_column(kept.column_names.index("data"), "data",
+                                   pa.array(out, pa.binary()))
+        return kept
+
+    return tiles.map_batches(_clip, batch_format="pyarrow")
+
+
+def clip_by_features(tiles, meta: RasterMeta, feature_table, *,
+                     geom_col: str = "geom", inside: bool = True):
+    """RasterClip by polygon features — cell-center containment against
+    the broadcast feature set (bbox-index candidates per tile)."""
+    import ray
+
+    from ..core import geomops, wkb as _wkb
+    from ..core.gridindex import BBoxIndex
+
+    fg = _wkb.decode(feature_table[geom_col].to_pylist())
+    ref = ray.put(fg)
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        fg_ = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        index = BBoxIndex(fg_.bboxes())
+        keep_idx, out = [], []
+        for i, (tx, ty) in enumerate(zip(batch["tx"].to_numpy(),
+                                         batch["ty"].to_numpy())):
+            h, w = meta.tile_shape(int(tx), int(ty))
+            cols = np.arange(tx * meta.tile_size, tx * meta.tile_size + w)
+            rows = np.arange(ty * meta.tile_size, ty * meta.tile_size + h)
+            px, py = meta.cell_center(*np.meshgrid(cols, rows))
+            tb = np.array([px.min() - meta.cell_size, py.min() - meta.cell_size,
+                           px.max() + meta.cell_size, py.max() + meta.cell_size])
+            cands = index.query_bbox(tb)
+            mask = np.zeros(px.shape, dtype=bool)
+            for g in cands:
+                mask |= geomops.points_in_geom(px.ravel(), py.ravel(),
+                                               fg_, int(g)).reshape(px.shape)
+            if not inside:
+                mask = ~mask
+            if not mask.any():
+                continue
+            arr = np.frombuffer(batch["data"][i].as_py(),
+                                np.float64).reshape(h, w)
+            keep_idx.append(i)
+            out.append(np.where(mask, arr, np.nan).tobytes())
+        kept = batch.take(pa.array(keep_idx)) if keep_idx else batch.slice(0, 0)
+        if len(kept):
+            kept = kept.set_column(kept.column_names.index("data"), "data",
+                                   pa.array(out, pa.binary()))
+        return kept
+
+    return tiles.map_batches(_clip, batch_format="pyarrow")
+
+
+def clip_by_geometry(tiles, meta: RasterMeta, geom_wkb: bytes, *,
+                     inside: bool = True):
+    """RasterClip by a single geometry."""
+    import pyarrow as pa_
+
+    tab = pa_.table({"geom": pa_.array([geom_wkb], pa_.binary())})
+    return clip_by_features(tiles, meta, tab, inside=inside)
+
+
+def mirror(tiles, meta: RasterMeta):
+    """RasterMirrorOperation — horizontal mirror."""
+    return flip(tiles, meta, axis="horizontal")
+
+
+def _inverse_map_resample(tiles, meta: RasterMeta, new_meta: RasterMeta,
+                          inv_fn, *, method: str = "nearest",
+                          parallelism: int = 8):
+    """Generate the target grid by inverse-mapping each target cell
+    center into the source grid (nearest / bilinear). Source raster is
+    broadcast dense (driver gather — documented small/medium path, same
+    convention as resample)."""
+    import ray
+
+    dense = _gather_dense(tiles, meta)
+    ref = ray.put(dense)
+    n = new_meta.tiles_x * new_meta.tiles_y
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        src = ray.get(ref)
+        ids = batch["id"].to_numpy()
+        out_tx, out_ty, out_d = [], [], []
+        for tid in ids:
+            tx = int(tid % new_meta.tiles_x)
+            ty = int(tid // new_meta.tiles_x)
+            h, w = new_meta.tile_shape(tx, ty)
+            cols = np.arange(tx * new_meta.tile_size,
+                             tx * new_meta.tile_size + w)
+            rows = np.arange(ty * new_meta.tile_size,
+                             ty * new_meta.tile_size + h)
+            x, y = new_meta.cell_center(*np.meshgrid(cols, rows))
+            sx, sy = inv_fn(x.ravel(), y.ravel())
+            fc = (sx - meta.origin_x) / meta.cell_size - 0.5
+            fr = (meta.origin_y - sy) / meta.cell_size - 0.5
+            inb = ((fc > -0.5) & (fc < meta.width - 0.5)
+                   & (fr > -0.5) & (fr < meta.height - 0.5))
+            if method == "nearest":
+                sc = np.clip(np.round(fc).astype(np.int64), 0, meta.width - 1)
+                sr = np.clip(np.round(fr).astype(np.int64), 0, meta.height - 1)
+                vals = src[sr, sc]
+            else:
+                c0 = np.clip(np.floor(fc).astype(np.int64), 0, meta.width - 1)
+                r0 = np.clip(np.floor(fr).astype(np.int64), 0, meta.height - 1)
+                c1 = np.clip(c0 + 1, 0, meta.width - 1)
+                r1 = np.clip(r0 + 1, 0, meta.height - 1)
+                wc = np.clip(fc - c0, 0, 1)
+                wr = np.clip(fr - r0, 0, 1)
+                vals = (src[r0, c0] * (1 - wr) * (1 - wc)
+                        + src[r0, c1] * (1 - wr) * wc
+                        + src[r1, c0] * wr * (1 - wc)
+                        + src[r1, c1] * wr * wc)
+            vals = np.where(inb, vals, np.nan)
+            out_tx.append(tx)
+            out_ty.append(ty)
+            out_d.append(vals.astype(np.float64).tobytes())
+        return pa.table({"tx": pa.array(out_tx, pa.int32()),
+                         "ty": pa.array(out_ty, pa.int32()),
+                         "data": pa.array(out_d, pa.binary())})
+
+    out = ray.data.range(n, override_num_blocks=parallelism).map_batches(
+        _gen, batch_format="pyarrow")
+    return out, new_meta
+
+
+def rotate(tiles, meta: RasterMeta, *, angle_deg: float,
+           anchor: tuple[float, float] | None = None,
+           method: str = "nearest", parallelism: int = 8):
+    """RasterRotateOperation — rotate around an anchor (default raster
+    center); output grid = axis-aligned bbox of the rotated extent at
+    the same cell size, values by inverse-mapping."""
+    if anchor is None:
+        anchor = (meta.origin_x + meta.width * meta.cell_size / 2.0,
+                  meta.origin_y - meta.height * meta.cell_size / 2.0)
+    ax, ay = anchor
+    th = np.radians(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    corners = np.array([
+        [meta.origin_x, meta.origin_y],
+        [meta.origin_x + meta.width * meta.cell_size, meta.origin_y],
+        [meta.origin_x, meta.origin_y - meta.height * meta.cell_size],
+        [meta.origin_x + meta.width * meta.cell_size,
+         meta.origin_y - meta.height * meta.cell_size],
+    ])
+    rx = ax + (corners[:, 0] - ax) * c - (corners[:, 1] - ay) * s
+    ry = ay + (corners[:, 0] - ax) * s + (corners[:, 1] - ay) * c
+    new_meta = RasterMeta(
+        float(rx.min()), float(ry.max()), meta.cell_size,
+        int(np.ceil((rx.max() - rx.min()) / meta.cell_size)),
+        int(np.ceil((ry.max() - ry.min()) / meta.cell_size)),
+        meta.tile_size, meta.nodata)
+
+    def _inv(x, y):
+        # inverse rotation of target centers into the source frame
+        ix = ax + (x - ax) * c + (y - ay) * s
+        iy = ay - (x - ax) * s + (y - ay) * c
+        return ix, iy
+
+    return _inverse_map_resample(tiles, meta, new_meta, _inv,
+                                 method=method, parallelism=parallelism)
+
+
+_EARTH_R = 6378137.0
+
+
+def reproject_raster(tiles, meta: RasterMeta, *, src: str = "EPSG:4326",
+                     dst: str = "EPSG:3857", cell_size: float | None = None,
+                     method: str = "nearest", parallelism: int = 8):
+    """RasterReprojectOperation for the web pair 4326↔3857 (analytic
+    spherical mercator — same scope note as stages.transforms
+    make_reproject: full PROJ pipelines need pyproj, not in this
+    container). Returns (tiles, new_meta)."""
+    key = (src.upper(), dst.upper())
+
+    def _fwd(x, y):  # 4326 → 3857
+        return (np.radians(x) * _EARTH_R,
+                np.log(np.tan(np.pi / 4 + np.radians(y) / 2)) * _EARTH_R)
+
+    def _inv(x, y):  # 3857 → 4326
+        return (np.degrees(x / _EARTH_R),
+                np.degrees(2 * np.arctan(np.exp(y / _EARTH_R)) - np.pi / 2))
+
+    if key == ("EPSG:4326", "EPSG:3857"):
+        fwd, inv = _fwd, _inv
+    elif key == ("EPSG:3857", "EPSG:4326"):
+        fwd, inv = _inv, _fwd
+    else:
+        raise ValueError(f"unsupported CRS pair {src} → {dst}")
+    # target extent = forward-mapped source corners (clamped mercator)
+    x0, y0 = meta.origin_x, meta.origin_y - meta.height * meta.cell_size
+    x1, y1 = meta.origin_x + meta.width * meta.cell_size, meta.origin_y
+    if key[1] == "EPSG:3857":
+        y0 = max(y0, -85.06)
+        y1 = min(y1, 85.06)
+    cx0, cy0 = fwd(np.array([x0]), np.array([y0]))
+    cx1, cy1 = fwd(np.array([x1]), np.array([y1]))
+    if cell_size is None:
+        cell_size = float(cx1[0] - cx0[0]) / meta.width
+    new_meta = RasterMeta(
+        float(cx0[0]), float(cy1[0]), cell_size,
+        int(np.ceil((cx1[0] - cx0[0]) / cell_size)),
+        int(np.ceil((cy1[0] - cy0[0]) / cell_size)),
+        meta.tile_size, meta.nodata)
+    return _inverse_map_resample(tiles, meta, new_meta,
+                                 lambda x, y: inv(x, y),
+                                 method=method, parallelism=parallelism)
+
+
+def high_low_points(tiles, meta: RasterMeta, *, which: str = "both"):
+    """RasterHighLowPointsOperation — point(s) at the global max (H)
+    and/or min (L) cells. Per-tile partial extrema → driver reduce;
+    every cell EQUAL to the extremum is emitted (reference collects a
+    point list per extremum). Returns a pyarrow Table
+    (type, col, row, x, y, val)."""
+    rows_out = {"H": [], "L": []}
+    best = {"H": -np.inf, "L": np.inf}
+    for row in tiles.iter_rows():
+        tx, ty = row["tx"], row["ty"]
+        h, w = meta.tile_shape(tx, ty)
+        arr = np.frombuffer(row["data"], np.float64).reshape(h, w)
+        fin = np.isfinite(arr)
+        if not np.isnan(meta.nodata):
+            fin &= arr != meta.nodata
+        if not fin.any():
+            continue
+        for typ, red in (("H", np.max), ("L", np.min)):
+            v = float(red(arr[fin]))
+            better = v > best[typ] if typ == "H" else v < best[typ]
+            if better:
+                best[typ] = v
+                rows_out[typ] = []
+            if v == best[typ]:
+                rr, cc = np.nonzero(fin & (arr == v))
+                gr = rr + ty * meta.tile_size
+                gc = cc + tx * meta.tile_size
+                px, py = meta.cell_center(gc, gr)
+                rows_out[typ].extend(
+                    (typ, int(ci), int(ri), float(xi), float(yi), v)
+                    for ci, ri, xi, yi in zip(gc, gr, px, py))
+    want = {"both": ("H", "L"), "high": ("H",), "low": ("L",)}[which]
+    flat = [r for t in want for r in rows_out[t]]
+    return pa.table({
+        "type": pa.array([r[0] for r in flat]),
+        "col": pa.array([r[1] for r in flat], pa.int64()),
+        "row": pa.array([r[2] for r in flat], pa.int64()),
+        "x": pa.array([r[3] for r in flat], pa.float64()),
+        "y": pa.array([r[4] for r in flat], pa.float64()),
+        "val": pa.array([r[5] for r in flat], pa.float64()),
+    })
+
+
+def raster_fuzzy(tiles, meta: RasterMeta, *, function: str = "linear",
+                 fuzzy_values=(None, None, None, None),
+                 decreasing: bool = False, max_range: float = 1.0):
+    """RasterFuzzyOperation — fuzzy membership per cell.
+
+    fuzzy_values = (min, mid1, mid2, max) with mid1/mid2 optional
+    (None), replicating getFuzzyValue's 2/3/4-variable branches
+    (RasterFuzzyOperation.java:118-206); function ∈ {linear, sigmoidal,
+    jshaped}; decreasing flips membership; result scaled by max_range.
+    When min/max are None they are taken from the raster's global
+    min/max (two-pass).
+    """
+    mn, m1, m2, mx = fuzzy_values
+    if mn is None or mx is None:
+        from .tiles import raster_statistics
+
+        tiles = tiles.materialize()   # consumed twice: stats + transform
+        st = raster_statistics(tiles, meta)
+        mn = st["min"] if mn is None else mn
+        mx = st["max"] if mx is None else mx
+
+    def _g(dx, dw):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = np.where(dw == 0, 0.0, dx / np.where(dw == 0, 1.0, dw))
+            if function == "linear":
+                v = u
+            elif function == "sigmoidal":
+                v = np.sin(u * np.pi / 2.0) ** 2
+            elif function == "jshaped":
+                v = 1.0 / (1.0 + (1.0 - u) ** 2)
+            else:
+                raise ValueError(f"unknown fuzzy function {function}")
+        return np.where(dw == 0, 0.0, v)
+
+    def _fuzzy(arr):
+        out = np.zeros_like(arr)
+        if m1 is not None and m2 is not None:
+            out = np.where((arr >= m1) & (arr <= m2), 1.0, out)
+            inc = (arr > mn) & (arr < m1)
+            out = np.where(inc, _g(arr - mn, m1 - mn), out)
+            dec = (arr > m2) & (arr < mx)
+            # reference quirk (RasterFuzzyOperation.java:160-164):
+            # dX and dW are swapped on the 4-value decreasing branch
+            out = np.where(dec, 1.0 - _g(mx - m2, arr - m2), out)
+        elif m1 is not None:
+            out = np.where(arr == m1, 1.0, out)
+            inc = (arr > mn) & (arr < m1)
+            out = np.where(inc, _g(arr - mn, m1 - mn), out)
+            dec = (arr > m1) & (arr < mx)
+            out = np.where(dec, 1.0 - _g(arr - m1, mx - m1), out)
+        else:
+            if mx == mn:
+                out = np.ones_like(arr)
+            else:
+                out = np.where(arr <= mn, 0.0,
+                               np.where(arr >= mx, 1.0,
+                                        _g(arr - mn, mx - mn)))
+        if decreasing:
+            out = 1.0 - out
+        return out * max_range
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        out = []
+        for tx, ty, blob in zip(batch["tx"].to_numpy(),
+                                batch["ty"].to_numpy(), batch["data"]):
+            h, w = meta.tile_shape(int(tx), int(ty))
+            arr = np.frombuffer(blob.as_py(), np.float64).reshape(h, w)
+            fin = np.isfinite(arr)
+            res = np.where(fin, _fuzzy(arr), np.nan)
+            out.append(res.tobytes())
+        return pa.table({"tx": batch["tx"], "ty": batch["ty"],
+                         "data": pa.array(out, pa.binary())})
+
+    return tiles.map_batches(_apply, batch_format="pyarrow")

@@ -401,6 +401,24 @@ def _populate() -> None:
       "GT/gridcoverage/RasterShiftOperation.java")
     E("RasterResample", "raster", RG2.resample,
       "GT/gridcoverage/RasterResampleOperation.java")
+    E("RasterClipByCircle", "raster", RG2.clip_by_circle,
+      "GT/gridcoverage/RasterClipOperation.java (circle mask)")
+    E("RasterClipByFeatures", "raster", RG2.clip_by_features,
+      "GT/gridcoverage/RasterClipOperation.java (polygon mask)")
+    E("RasterClipByGeometry", "raster", RG2.clip_by_geometry,
+      "GT/gridcoverage/RasterClipOperation.java (geometry mask)")
+    E("RasterMirror", "raster", RG2.mirror,
+      "GT/gridcoverage/RasterMirrorOperation.java")
+    E("RasterRotate", "raster", RG2.rotate,
+      "GT/gridcoverage/RasterRotateOperation.java (inverse mapping)")
+    E("RasterReproject", "raster", RG2.reproject_raster,
+      "GT/gridcoverage/RasterReprojectOperation.java (4326<->3857 "
+      "analytic; full PROJ needs pyproj, out of container scope)")
+    E("RasterHighLowPoints", "raster", RG2.high_low_points,
+      "GT/gridcoverage/RasterHighLowPointsOperation.java")
+    E("RasterFuzzy", "raster", RG2.raster_fuzzy,
+      "GT/gridcoverage/RasterFuzzyOperation.java:118-206 (2/3/4-value "
+      "branches incl. the swapped-dX/dW decreasing quirk)")
     E("GeoTiffRead", "raster", GT2.geotiff_to_tiles,
       "GS/ppio/GeoTiffWithParamsPPIO.java (decode side)")
     E("RasterLinearLOS", "raster", RI.linear_los,
