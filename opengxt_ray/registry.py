@@ -62,6 +62,7 @@ def _populate() -> None:
     from .ops import classify as CL
     from .ops import cluster as CU
     from .ops import distribution as DI
+    from .ops import gam as GAM
     from .ops import hotspot as HS
     from .ops import join as J
     from .ops import near as NE
@@ -179,6 +180,12 @@ def _populate() -> None:
       "GT/autocorrelation/LocalLeesLOperation.java:85-140")
     E("GlobalLeesL", "hotspot", HS.global_lees_l,
       "GT/autocorrelation/GlobalLeesLOperation.java:55-115")
+    E("ClusterGAM", "hotspot", GAM.cluster_gam,
+      "GT/pattern/ClusterGAMOperation.java:209 (lattice circles + "
+      "Poisson fitness, FitnessFunction.java:79-120)")
+    E("ClusterBesagNewell", "hotspot", GAM.cluster_besag_newell,
+      "GT/pattern/ClusterBesagNewellOperation.java:176 (kNN-radius "
+      "circles per case point)")
     E("FocalLQ", "hotspot", HS.focal_lq,
       "GT/autocorrelation/FocalLQOperation.java:67-150")
     E("LocalRogersonR", "hotspot", HS.local_rogerson_r,
