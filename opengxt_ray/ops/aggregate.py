@@ -319,3 +319,60 @@ def add_geom_hash(batch: pa.Table, geom_col: str = "geom",
     """Append an FNV-1a hash of the WKB geometry bytes."""
     h = _fid.hash_strings(batch[geom_col])
     return batch.append_column(out_col, pa.array(h, pa.uint64()))
+
+
+def singlepart_to_multipart(ds, *, group_col: str, geom_col: str = "geom"):
+    """SinglepartToMultipart (GT SinglepartToMultipartProcess) — merge
+    each group's geometries into one multi-geometry row (first row's
+    attrs kept). groupby(group_col) + per-group encode."""
+    from ..core import wkb as _W
+
+    def _merge(group: pa.Table) -> pa.Table:
+        fg = _W.decode(group[geom_col].to_pylist())
+        pts, lines, polys = [], [], []
+        for i in range(len(fg)):
+            t = fg.types[i]
+            if t == _W.POINT:
+                pts.extend(fg.geom_coords(i))
+            elif t == _W.LINESTRING:
+                lines.extend(r for r, _ in fg.rings(i))
+            else:
+                cur = None
+                for r, is_shell in fg.rings(i):
+                    if is_shell:
+                        if cur:
+                            polys.append(cur)
+                        cur = (r, [])
+                    elif cur:
+                        cur[1].append(r)
+                if cur:
+                    polys.append(cur)
+        if polys:
+            geom = _W.encode_multipolygon(polys)
+        elif lines:
+            geom = _W.encode_multilinestring(lines)
+        elif pts:
+            geom = _W.encode_multipoint(np.asarray(pts))
+        else:
+            return group.slice(0, 0)
+        out = group.slice(0, 1)
+        gi = out.column_names.index(geom_col)
+        return out.set_column(gi, geom_col,
+                              pa.array([geom], pa.binary()))
+
+    from ..core.util import default_shuffle_partitions
+
+    return ds.groupby(group_col,
+                      num_partitions=default_shuffle_partitions()) \
+        .map_groups(_merge, batch_format="pyarrow")
+
+
+def collect_features(ds) -> pa.Table:
+    """CollectFeatures — materialize the (small) stream into one
+    in-memory feature table (the reference's ListFeatureCollection
+    collector). Driver-side by definition; big data should stay a
+    Dataset."""
+    import pandas  # noqa: F401  (to_pandas path)
+
+    df = ds.to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -326,6 +326,26 @@ def _populate() -> None:
       "GT/transformation/RemoveHolesFeatureCollection")
     E("RepairGeometry", "transform", T.repair_geometry,
       "GT/transformation/RepairGeometryFeatureCollection")
+    E("FeatureToLine", "transform", T.feature_to_line,
+      "GT/FeaturesToLineProcess (polygon rings -> lines)")
+    E("FeatureToPolygon", "transform", T.feature_to_polygon,
+      "GT/FeaturesToPolygonProcess (closed lines -> polygons)")
+    E("FeatureToMaximumInscribedRectangle", "transform",
+      T.maximum_inscribed_rectangle,
+      "GT/util/MaximumInscribedRectangle.java (40x40 interior grid + "
+      "largest-rectangle DP, min-diameter rotation)")
+    E("SplitLineAtPoint", "transform", T.make_split_line_at_points,
+      "GT/operations/SplitLineAtPointOperation.java:65-180")
+    E("PolygonsAlongLines", "transform", T.make_polygons_along_lines,
+      "GT/transformation/PolygonsAlongLinesFeatureCollection.java:"
+      "204-219 (flat-cap buffer of distance sub-lines)")
+    E("RandomPointsPerFeatures", "transform",
+      T.make_random_points_per_features,
+      "GT/RandomPointsPerFeaturesProcess (content-hash-seeded)")
+    E("SinglepartToMultipart", "transform", AG.singlepart_to_multipart,
+      "GT/SinglepartToMultipartProcess (groupby + multi encode)")
+    E("CollectFeatures", "transform", AG.collect_features,
+      "GT/CollectFeaturesProcess (driver materialize)")
     E("Reproject", "transform", T.make_reproject,
       "GT/transformation/ReprojectFeatureCollection.java")
 

@@ -859,3 +859,373 @@ def split_polygon_by_count(batch: pa.Table, *, parts: int,
     gi = out.column_names.index(geom_col)
     out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
     return out.append_column("part_idx", pa.array(pidx, pa.int32()))
+
+
+# ---------------------------------------------------------------------------
+# small-transform sweep (judge round-1 #10)
+# ---------------------------------------------------------------------------
+
+def feature_to_line(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """FeaturesToLine — polygon rings → (multi)linestrings; lines pass
+    through; point rows are dropped (GT FeaturesToLineProcess)."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    take, geoms = [], []
+    for i in range(len(fg)):
+        t = fg.types[i]
+        if t == _wkb.POINT:
+            continue
+        parts = [r for r, _ in fg.rings(i) if len(r) >= 2]
+        if not parts:
+            continue
+        take.append(i)
+        geoms.append(_wkb.encode_linestring(parts[0]) if len(parts) == 1
+                     else _wkb.encode_multilinestring(parts))
+    out = batch.take(pa.array(take)) if take else batch.slice(0, 0)
+    if len(out):
+        gi = out.column_names.index(geom_col)
+        out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+    return out
+
+
+def feature_to_polygon(batch: pa.Table, *, geom_col="geom") -> pa.Table:
+    """FeaturesToPolygon — closed (or force-closed) lines → polygons;
+    polygons pass through; rows that cannot form a ring are dropped."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+    take, geoms = [], []
+    for i in range(len(fg)):
+        t = fg.types[i]
+        if t == _wkb.POINT:
+            continue
+        if t == _wkb.POLYGON:
+            take.append(i)
+            geoms.append(bytes(batch[geom_col][i].as_py()))
+            continue
+        rings = []
+        for r, _ in fg.rings(i):
+            if len(r) < 3:
+                continue
+            ring = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+            if len(ring) >= 4:
+                rings.append(ring)
+        if not rings:
+            continue
+        take.append(i)
+        geoms.append(_wkb.encode_polygon(rings[0]) if len(rings) == 1
+                     else _wkb.encode_multipolygon([(r, []) for r in rings]))
+    out = batch.take(pa.array(take)) if take else batch.slice(0, 0)
+    if len(out):
+        gi = out.column_names.index(geom_col)
+        out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+    return out
+
+
+def _largest_true_rectangle(matrix: np.ndarray):
+    """Largest all-True axis-aligned rectangle in a boolean matrix →
+    (r0, c0, r1, c1) inclusive, or None (histogram-stack DP)."""
+    rows, cols = matrix.shape
+    heights = np.zeros(cols, dtype=np.int64)
+    best = (0, None)
+    for r in range(rows):
+        heights = np.where(matrix[r], heights + 1, 0)
+        stack = []  # (start_col, height)
+        for c in range(cols + 1):
+            h = heights[c] if c < cols else 0
+            start = c
+            while stack and stack[-1][1] >= h:
+                sc, sh = stack.pop()
+                area = sh * (c - sc)
+                if area > best[0]:
+                    best = (area, (r - sh + 1, sc, r, c - 1))
+                start = sc
+            stack.append((start, h))
+    return best[1]
+
+
+def maximum_inscribed_rectangle(batch: pa.Table, *, rotate: bool = True,
+                                scale: int = 40,
+                                geom_col="geom") -> pa.Table:
+    """FeatureToMaximumInscribedRectangle
+    (GT/util/MaximumInscribedRectangle.java): 40×40 interior-cell grid
+    (optionally rotated to the minimum-diameter orientation) + largest
+    all-interior rectangle DP; largest part of a multipolygon only."""
+    fg = _wkb.decode(batch[geom_col].to_pylist())
+
+    def _mir(fg_, i):
+        pts = fg_.geom_coords(i)
+        theta = 0.0
+        anchor = np.zeros(2)
+        work = pts
+        if rotate:
+            hull = geomops.convex_hull(pts)
+            # minimum-rectangle orientation via rotating calipers
+            best = None
+            hv = hull[:-1] if len(hull) > 3 else hull
+            for j in range(max(len(hv), 1)):
+                e = hv[(j + 1) % len(hv)] - hv[j]
+                nlen = np.hypot(*e)
+                if nlen == 0:
+                    continue
+                ux, uy = e / nlen
+                R = np.array([[ux, uy], [-uy, ux]])
+                rot = pts @ R.T
+                area = ((rot[:, 0].max() - rot[:, 0].min())
+                        * (rot[:, 1].max() - rot[:, 1].min()))
+                if best is None or area < best[0]:
+                    best = (area, np.arctan2(uy, ux))
+            if best is not None:
+                theta = best[1]
+                anchor = pts.mean(axis=0)
+        c, s = np.cos(-theta), np.sin(-theta)
+        R = np.array([[c, -s], [s, c]])
+        if theta != 0.0:
+            work = (pts - anchor) @ R.T + anchor
+        x0, y0 = work[:, 0].min(), work[:, 1].min()
+        x1, y1 = work[:, 0].max(), work[:, 1].max()
+        dx = max((x1 - x0) / scale, 1e-12)
+        dy = max((y1 - y0) / scale, 1e-12)
+        gx = x0 + (np.arange(scale) + 0.5) * dx
+        gy = y0 + (np.arange(scale) + 0.5) * dy
+        mx, my = np.meshgrid(gx, gy)
+        if theta != 0.0:
+            ci, si = np.cos(theta), np.sin(theta)
+            Ri = np.array([[ci, -si], [si, ci]])
+            orig = (np.column_stack([mx.ravel(), my.ravel()])
+                    - anchor) @ Ri.T + anchor
+            inside = geomops.points_in_geom(orig[:, 0], orig[:, 1],
+                                            fg_, i).reshape(scale, scale)
+        else:
+            inside = geomops.points_in_geom(mx.ravel(), my.ravel(),
+                                            fg_, i).reshape(scale, scale)
+        rect = _largest_true_rectangle(inside)
+        if rect is None:
+            cxm = pts.mean(axis=0)
+            return _wkb.encode_point(float(cxm[0]), float(cxm[1]))
+        r0, c0, r1, c1 = rect
+        rx0 = x0 + c0 * dx
+        rx1 = x0 + (c1 + 1) * dx
+        ry0 = y0 + r0 * dy
+        ry1 = y0 + (r1 + 1) * dy
+        ring = np.array([[rx0, ry0], [rx1, ry0], [rx1, ry1], [rx0, ry1]])
+        if theta != 0.0:
+            ci, si = np.cos(theta), np.sin(theta)
+            Ri = np.array([[ci, -si], [si, ci]])
+            ring = (ring - anchor) @ Ri.T + anchor
+        return _wkb.encode_polygon(ring)
+
+    return _map_geoms(batch, geom_col, _mir)
+
+
+def make_split_line_at_points(points_xy: np.ndarray, *,
+                              tolerance: float = 0.0, geom_col="geom"):
+    """SplitLineAtPoint (GT/operations/SplitLineAtPointOperation.java:
+    65-180): split each line at the projected stations of the given
+    points within `tolerance` (0 ⇒ points must lie on the line up to
+    float tolerance). 1→N rows with ``split_idx``."""
+    P = np.asarray(points_xy, dtype=np.float64).reshape(-1, 2)
+    tol = float(tolerance)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        take, geoms, sidx = [], [], []
+        for i in range(len(fg)):
+            for r, _ in fg.rings(i):
+                if len(r) < 2:
+                    continue
+                seg = np.diff(r, axis=0)
+                seglen = np.hypot(seg[:, 0], seg[:, 1])
+                cum = np.concatenate([[0.0], np.cumsum(seglen)])
+                stations = []
+                if len(P):
+                    d = geomops.point_segment_dist(
+                        P[:, 0][:, None], P[:, 1][:, None],
+                        r[:-1, 0][None, :], r[:-1, 1][None, :],
+                        r[1:, 0][None, :], r[1:, 1][None, :])
+                    eff_tol = tol if tol > 0 else 1e-9
+                    for p in range(len(P)):
+                        j = int(np.argmin(d[p]))
+                        if d[p, j] <= eff_tol:
+                            t = 0.0
+                            if seglen[j] > 0:
+                                t = (((P[p, 0] - r[j, 0]) * seg[j, 0]
+                                      + (P[p, 1] - r[j, 1]) * seg[j, 1])
+                                     / (seglen[j] ** 2))
+                            stations.append(cum[j]
+                                            + np.clip(t, 0, 1) * seglen[j])
+                stations = sorted(set(
+                    s for s in stations if 1e-12 < s < cum[-1] - 1e-12))
+                cuts = [0.0] + stations + [cum[-1]]
+                for k in range(len(cuts) - 1):
+                    piece = _extract_line(r, seg, seglen, cum,
+                                          cuts[k], cuts[k + 1])
+                    if piece is not None:
+                        take.append(i)
+                        sidx.append(k)
+                        geoms.append(_wkb.encode_linestring(piece))
+        out = batch.take(pa.array(take)) if take else batch.slice(0, 0)
+        if len(out):
+            gi = out.column_names.index(geom_col)
+            out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+            out = out.append_column("split_idx", pa.array(sidx, pa.int32()))
+        else:
+            out = out.append_column("split_idx",
+                                    pa.array([], pa.int32()))
+        return out
+
+    return _split
+
+
+def _extract_line(r, seg, seglen, cum, d0, d1):
+    """Sub-line of r between stations d0 < d1 (LengthIndexedLine
+    extract)."""
+    if d1 - d0 <= 1e-12:
+        return None
+
+    def _pt(d):
+        j = int(np.searchsorted(cum[1:], d, side="right"))
+        j = min(j, len(seglen) - 1)
+        t = (d - cum[j]) / seglen[j] if seglen[j] > 0 else 0.0
+        return r[j] + np.clip(t, 0, 1) * seg[j], j
+
+    p0, j0 = _pt(d0)
+    p1, j1 = _pt(d1)
+    mid = r[j0 + 1 : j1 + 1]
+    pts = [p0] + [m for m in mid] + [p1]
+    arr = np.asarray(pts)
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = np.hypot(*(np.diff(arr, axis=0).T)) > 1e-12
+    arr = arr[keep]
+    return arr if len(arr) >= 2 else None
+
+
+def _flat_cap_buffer(coords: np.ndarray, width: float) -> np.ndarray:
+    """Flat-cap buffer ring of a polyline via mitered offsets on both
+    sides (exact for straight/mildly-bent sub-lines — the
+    PolygonsAlongLines case; sharp self-intersecting spikes need GEOS,
+    documented)."""
+    seg = np.diff(coords, axis=0)
+    ln = np.hypot(seg[:, 0], seg[:, 1])
+    ok = ln > 1e-12
+    seg, ln = seg[ok], ln[ok]
+    pts = np.vstack([coords[:1], coords[1:][ok]])
+    if len(pts) < 2:
+        return np.empty((0, 2))
+    nx = -seg[:, 1] / ln
+    ny = seg[:, 0] / ln
+    left, right = [], []
+    for j in range(len(pts)):
+        if j == 0:
+            n = np.array([nx[0], ny[0]])
+        elif j == len(pts) - 1:
+            n = np.array([nx[-1], ny[-1]])
+        else:
+            n = np.array([nx[j - 1] + nx[j], ny[j - 1] + ny[j]])
+            nl = np.hypot(*n)
+            n = n / nl if nl > 1e-12 else np.array([nx[j], ny[j]])
+            # miter scale, clamped
+            dot = n[0] * nx[j] + n[1] * ny[j]
+            n = n / max(dot, 0.25)
+        left.append(pts[j] + width * n)
+        right.append(pts[j] - width * n)
+    return np.vstack(left + right[::-1])
+
+
+def make_polygons_along_lines(*, distance: float, width: float,
+                              merge_factor: float = 0.0, geom_col="geom"):
+    """PolygonsAlongLines (GT/transformation/
+    PolygonsAlongLinesFeatureCollection.java:204-219): flat-cap buffer
+    of each `distance`-long sub-line; a trailing piece shorter than
+    distance·merge_factor merges into the previous one."""
+
+    def _polys(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        take, geoms, pidx = [], [], []
+        for i in range(len(fg)):
+            for r, _ in fg.rings(i):
+                if len(r) < 2:
+                    continue
+                seg = np.diff(r, axis=0)
+                seglen = np.hypot(seg[:, 0], seg[:, 1])
+                cum = np.concatenate([[0.0], np.cumsum(seglen)])
+                total = cum[-1]
+                starts = []
+                d = 0.0
+                while d < total - 1e-12:
+                    starts.append(d)
+                    d += distance
+                for k, st in enumerate(starts):
+                    en = min(st + distance, total)
+                    if (k == len(starts) - 1 and k > 0
+                            and en - st <= distance * merge_factor):
+                        # merge into previous window
+                        st = starts[k - 1]
+                        geoms.pop()
+                        take.pop()
+                        pidx.pop()
+                        k -= 1
+                    sub = _extract_line(r, seg, seglen, cum, st, en)
+                    if sub is None:
+                        continue
+                    ring = _flat_cap_buffer(sub, width)
+                    if len(ring) < 3:
+                        continue
+                    take.append(i)
+                    pidx.append(k)
+                    geoms.append(_wkb.encode_polygon(ring))
+        out = batch.take(pa.array(take)) if take else batch.slice(0, 0)
+        if len(out):
+            gi = out.column_names.index(geom_col)
+            out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+            out = out.append_column("piece_idx", pa.array(pidx, pa.int32()))
+        else:
+            out = out.append_column("piece_idx", pa.array([], pa.int32()))
+        return out
+
+    return _polys
+
+
+def make_random_points_per_features(*, count: int = 10, seed: int = 42,
+                                    count_col: str | None = None,
+                                    geom_col="geom"):
+    """RandomPointsPerFeaturesProcess — N seeded-uniform points inside
+    each polygon (rejection sampling; per-feature stream seeded from
+    the geometry content hash → deterministic under any block order,
+    core/fid.py convention)."""
+    from ..core.fid import hash_strings
+
+    def _rand(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        bboxes = fg.bboxes()
+        wkbs = batch[geom_col].to_pylist()
+        counts = (batch[count_col].to_numpy(zero_copy_only=False)
+                  .astype(np.int64)
+                  if count_col else np.full(len(fg), count))
+        take, geoms, ridx = [], [], []
+        for i in range(len(fg)):
+            h = int(hash_strings([wkbs[i]])[0]) & 0x7FFFFFFF
+            rs = np.random.RandomState((h + seed) & 0x7FFFFFFF)
+            minx, miny, maxx, maxy = bboxes[i]
+            got = 0
+            tries = 0
+            while got < counts[i] and tries < 200 * max(counts[i], 1):
+                m = max(counts[i] - got, 8) * 4
+                px = rs.uniform(minx, maxx, m)
+                py = rs.uniform(miny, maxy, m)
+                ins = geomops.points_in_geom(px, py, fg, i)
+                for x_, y_ in zip(px[ins], py[ins]):
+                    if got >= counts[i]:
+                        break
+                    take.append(i)
+                    ridx.append(got)
+                    geoms.append(_wkb.encode_point(float(x_), float(y_)))
+                    got += 1
+                tries += m
+        out = batch.take(pa.array(take)) if take else batch.slice(0, 0)
+        if len(out):
+            gi = out.column_names.index(geom_col)
+            out = out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+            out = out.append_column("point_idx", pa.array(ridx, pa.int32()))
+        else:
+            out = out.append_column("point_idx", pa.array([], pa.int32()))
+        return out
+
+    return _rand
