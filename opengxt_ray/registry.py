@@ -274,6 +274,14 @@ def _populate() -> None:
       "GT/SelectFeaturesProcess.java:76-91")
     E("Buffer", "transform", T.make_buffer,
       "GT/transformation/BufferExpressionFeatureCollection.java")
+    E("SingleSidedBuffer", "transform", T.make_single_sided_buffer,
+      "GT/transformation/SingleSidedBufferFeatureCollection.java:"
+      "137-175 (offset-curve side polygon)")
+    E("VariableBuffer", "transform", T.make_variable_buffer,
+      "GT/transformation/VariableBufferFeatureCollection.java (JTS "
+      "VariableBuffer: arc-length interpolated distance)")
+    E("WedgeBuffer", "transform", T.make_wedge_buffer,
+      "GT/transformation/WedgeBufferFeatureCollection.java:264-340")
     E("MultipleRingBuffer", "transform", T.make_multiple_ring_buffer,
       "GT/transformation/MultipleBufferFeatureCollection.java")
     E("FeatureToPoint", "transform", T.feature_to_point,
