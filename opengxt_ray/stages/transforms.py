@@ -251,9 +251,12 @@ def make_buffer(distance, *, geom_col="geom", quadrant_segs=8,
                 geodesic=False):
     """BufferExpression — buffer by constant or per-row column value.
 
-    Points buffer to n-gon circles (JTS default 8 segs/quadrant);
-    lines/polygons to the convex hull of per-vertex circles
-    (a documented approximation — exact offset curves need GEOS).
+    Points buffer to n-gon circles (JTS default 8 segs/quadrant).
+    Lines buffer via mitered offset curves on both sides + round end
+    caps (exact for non-self-intersecting offsets; sharp spikes need
+    GEOS — documented, a large upgrade over the round-1
+    hull-of-circles). Polygons keep the convex hull of per-vertex
+    circles (exact only for convex shells, documented).
     Geodesic mode converts meters to degrees at the row's latitude
     (GT/util/GeodeticBuilder.java:92-140 equivalent within tolerance).
     """
@@ -264,6 +267,7 @@ def make_buffer(distance, *, geom_col="geom", quadrant_segs=8,
             dist = batch[distance].to_numpy(zero_copy_only=False).astype(np.float64)
         else:
             dist = np.full(len(fg), float(distance))
+        # constant-distance line buffer = variable buffer d→d
         out = []
         for i in range(len(fg)):
             pts = fg.geom_coords(i)
@@ -275,6 +279,12 @@ def make_buffer(distance, *, geom_col="geom", quadrant_segs=8,
                 ring = geomops.circle_ring(float(pts[0, 0]), float(pts[0, 1]),
                                            r, quadrant_segs)
                 out.append(_wkb.encode_polygon(ring))
+            elif fg.types[i] == _wkb.LINESTRING:
+                sub = pa.table({geom_col: pa.array(
+                    [bytes(batch[geom_col][i].as_py())], pa.binary())})
+                buf = make_variable_buffer(r, r, geom_col=geom_col,
+                                           quadrant_segs=quadrant_segs)(sub)
+                out.append(bytes(buf[geom_col][0].as_py()))
             else:
                 allc = []
                 for px, py in pts:
