@@ -689,7 +689,11 @@ def _q_union_area(sf_dir: str):
     zones = zones.filter(keep).select(["n_nationkey", "geom"])
     zones = zones.set_column(0, "n_nationkey",
                              zones["n_nationkey"].cast(pa.int64()))
-    out = union_features(ray.data.from_arrow(a_table), zones, a_table,
+    # split A into blocks — a single-table from_arrow is ONE block and
+    # serializes the overlay actor pool
+    a_blocks = [a_table.slice(i, 1024)
+                for i in range(0, a_table.num_rows, 1024)]
+    out = union_features(ray.data.from_arrow(a_blocks), zones, a_table,
                          ray.data.from_arrow(zones),
                          right_cols=["n_nationkey"])
     out = out.map_batches(lambda b: calculate_area(b, out_col="__a"),

@@ -202,6 +202,67 @@ def bench_salted_copart(sf_dir):
     return out.count()
 
 
+def bench_union_overlay(sf_dir):
+    """Round-2: 2-layer Union overlay (derived cells × nation zones)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from opengxt_ray.core import wkb as _wkb
+    from opengxt_ray.ops.overlay import union_features
+    from opengxt_ray.sources import tpch_geo
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    lon, lat = tpch_geo.point_lonlat(cust["c_custkey"].to_numpy())
+    cq = np.unique(np.stack([np.floor(lon / 0.5).astype(np.int64),
+                             np.floor(lat / 0.5).astype(np.int64)], axis=1),
+                   axis=0)
+    geoms = [_wkb.encode_polygon(np.array(
+        [[qx * 0.5 + 0.005, qy * 0.5 + 0.005],
+         [qx * 0.5 + 0.495, qy * 0.5 + 0.005],
+         [qx * 0.5 + 0.495, qy * 0.5 + 0.495],
+         [qx * 0.5 + 0.005, qy * 0.5 + 0.495]]))
+        for qx, qy in cq]
+    a_table = pa.table({"qx": pa.array(cq[:, 0]), "qy": pa.array(cq[:, 1]),
+                        "geom": pa.array(geoms, pa.binary())})
+    zones = tpch_geo.nation_zones_table(
+        pq.read_table(f"{sf_dir}/nation.parquet")).select(
+        ["n_nationkey", "geom"])
+    # split A into blocks — a single-table from_arrow is ONE block and
+    # serializes the overlay actor pool
+    a_blocks = [a_table.slice(i, 1024)
+                for i in range(0, a_table.num_rows, 1024)]
+    out = union_features(ray.data.from_arrow(a_blocks), zones, a_table,
+                         ray.data.from_arrow(zones),
+                         right_cols=["n_nationkey"])
+    return out.count()
+
+
+def bench_raster_vectorize(sf_dir):
+    """Round-2: zones → 0.2° raster → RasterToPolygon round trip."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from opengxt_ray.raster.rasterize import rasterize_features
+    from opengxt_ray.raster.tiles import RasterMeta
+    from opengxt_ray.raster.vectorize import raster_to_polygon
+    from opengxt_ray.sources import tpch_geo
+
+    meta = RasterMeta(-180.0, 90.0, 0.2, 1800, 900, tile_size=128)
+    zones = tpch_geo.nation_zones_table(
+        pq.read_table(f"{sf_dir}/nation.parquet")).select(
+        ["n_nationkey", "geom"])
+    import pyarrow as pa
+
+    zones = zones.set_column(0, "n_nationkey",
+                             zones["n_nationkey"].cast(pa.float64()))
+    tiles = rasterize_features(ray.data.from_arrow(zones), meta,
+                               value_col="n_nationkey", assign="max")
+    return raster_to_polygon(tiles, meta).count()
+
+
 BENCHES = {
     "pip_join": bench_pip_join,
     "copart_join": bench_copart_join,
@@ -213,6 +274,8 @@ BENCHES = {
     "events_window": bench_window,
     "kernel_density": bench_kernel_density,
     "salted_copart": bench_salted_copart,
+    "union_overlay": bench_union_overlay,
+    "raster_vectorize": bench_raster_vectorize,
 }
 
 

@@ -58,6 +58,20 @@ class PolygonBundle:
     def build_index(self) -> BBoxIndex:
         return BBoxIndex(self.bboxes)
 
+    def convex_flags(self) -> list:
+        """Per-geometry all-shells-convex flags, computed ONCE (driver
+        side in put_bundle) and shipped with the bundle — recomputing
+        per actor over a large broadcast side costs seconds per actor
+        (measured on a 15k-cell overlay bundle)."""
+        if getattr(self, "_convex", None) is None:
+            from .overlay import _is_convex
+
+            self._convex = [
+                all(_is_convex(r) for r, sflag in self.fg.rings(g) if sflag)
+                for g in range(len(self.fg))
+            ]
+        return self._convex
+
     def ring_stack(self):
         """(G, m, 2) stacked rings when EVERY geometry is a single-ring
         polygon with the same vertex count (rect/hex zone grids — the
@@ -78,7 +92,9 @@ class PolygonBundle:
 
 def put_bundle(table: pa.Table, geom_col: str = "geom") -> "ray.ObjectRef":
     """Build + broadcast a PolygonBundle once (driver side)."""
-    return ray.put(PolygonBundle(table, geom_col))
+    bundle = PolygonBundle(table, geom_col)
+    bundle.convex_flags()   # precompute before the put (see method doc)
+    return ray.put(bundle)
 
 
 def _resolve_bundle(bundle_ref) -> PolygonBundle:

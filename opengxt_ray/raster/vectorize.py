@@ -34,24 +34,49 @@ from .tiles import RasterMeta
 def _cells_to_edges(rows: np.ndarray, cols: np.ndarray):
     """Cell (row, col) set → surviving directed boundary unit edges in
     GRID-NODE integer coordinates (CCW per cell in world orientation:
-    TL→BL→BR→TR)."""
-    count: dict = defaultdict(int)
-    # per cell, corners as (node_row, node_col)
-    cell_edges = (
-        ((0, 0), (1, 0)),  # TL -> BL  (left side, going down in rows)
-        ((1, 0), (1, 1)),  # BL -> BR
-        ((1, 1), (0, 1)),  # BR -> TR
-        ((0, 1), (0, 0)),  # TR -> TL
-    )
-    for r, c in zip(rows.tolist(), cols.tolist()):
-        for (ar, ac), (br, bc) in cell_edges:
-            a = (r + ar, c + ac)
-            b = (r + br, c + bc)
-            if count[(b, a)] > 0:
-                count[(b, a)] -= 1
-            else:
-                count[(a, b)] += 1
-    return [(a, b) for (a, b), n in count.items() for _ in range(n)]
+    TL→BL→BR→TR).
+
+    Vectorized: internal edges vanish where a 4-neighbor is also set
+    (mask diff against the padded occupancy grid), so only O(boundary)
+    edges are materialized — no per-cell Python loop."""
+    if len(rows) == 0:
+        return []
+    r0, c0 = int(rows.min()), int(cols.min())
+    h = int(rows.max()) - r0 + 1
+    w = int(cols.max()) - c0 + 1
+    m = np.zeros((h + 2, w + 2), dtype=bool)
+    m[rows - r0 + 1, cols - c0 + 1] = True
+    core = m[1:-1, 1:-1]
+    edges = []
+
+    def _emit(rr, cc, d):
+        # rr, cc are LOCAL cell coords (0-based in core)
+        gr = rr + r0
+        gc = cc + c0
+        if d == "left":       # TL -> BL
+            a = np.stack([gr, gc], 1)
+            b = np.stack([gr + 1, gc], 1)
+        elif d == "bottom":   # BL -> BR
+            a = np.stack([gr + 1, gc], 1)
+            b = np.stack([gr + 1, gc + 1], 1)
+        elif d == "right":    # BR -> TR
+            a = np.stack([gr + 1, gc + 1], 1)
+            b = np.stack([gr, gc + 1], 1)
+        else:                 # TR -> TL
+            a = np.stack([gr, gc + 1], 1)
+            b = np.stack([gr, gc], 1)
+        edges.extend(((int(x1), int(y1)), (int(x2), int(y2)))
+                     for (x1, y1), (x2, y2) in zip(a, b))
+
+    rr, cc = np.nonzero(core & ~m[1:-1, :-2])    # no left neighbor
+    _emit(rr, cc, "left")
+    rr, cc = np.nonzero(core & ~m[2:, 1:-1])     # no below neighbor
+    _emit(rr, cc, "bottom")
+    rr, cc = np.nonzero(core & ~m[1:-1, 2:])     # no right neighbor
+    _emit(rr, cc, "right")
+    rr, cc = np.nonzero(core & ~m[:-2, 1:-1])    # no above neighbor
+    _emit(rr, cc, "top")
+    return edges
 
 
 def _cancel_edges(edges):

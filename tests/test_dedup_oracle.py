@@ -202,3 +202,29 @@ def test_ivf_recall_vs_brute(sf_dir):
     # cluster cosine ≈ 0.02), so recall tracks ~nprobe/nlist; 12/16
     # measured ≈ 0.93 — assert a margin under that
     assert _recall(12) >= 0.85
+
+
+def test_connected_components_distributed_matches_driver():
+    """The distributed min-label loop (used beyond the small-graph
+    threshold) must agree with the driver union-find fast path."""
+    from opengxt_ray.textops.dedup import connected_components
+
+    rs = np.random.RandomState(33)
+    # random chains + rings over 300 nodes
+    pairs = []
+    nodes = np.arange(300)
+    rs.shuffle(nodes)
+    for i in range(0, 280, 7):
+        chain = nodes[i:i + 7]
+        pairs.extend((int(chain[j]), int(chain[j + 1]))
+                     for j in range(len(chain) - 1))
+    src = [a for a, b in pairs] + [b for a, b in pairs]
+    dst = [b for a, b in pairs] + [a for a, b in pairs]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+    drv = {r["node"]: r["rep"]
+           for r in connected_components(edges).take_all()}
+    dist = {r["node"]: r["rep"]
+            for r in connected_components(
+                edges, small_graph_threshold=0).take_all()}
+    assert drv == dist and len(drv) > 0
