@@ -644,3 +644,43 @@ def utm_lengths(fg: "_wkb.FlatGeoms") -> np.ndarray:
             total += float(np.sum(np.hypot(d[:, 0], d[:, 1])))
         out[i] = total
     return out
+
+
+def utm_inverse(x, y, lon0: float, *, k0: float = 0.9996,
+                false_easting: float = 500_000.0,
+                false_northing: float = 0.0):
+    """Ellipsoidal WGS84 transverse-Mercator INVERSE projection
+    (Snyder 1987 eqs. 8-17..8-25 footpoint-latitude method) — the
+    reverse of :func:`utm_forward`, enabling full UTM-zone CRS pairs
+    (EPSG:326xx/327xx) without PROJ."""
+    a = WGS84_A
+    f = WGS84_F
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    x = np.asarray(x, dtype=np.float64) - false_easting
+    y = np.asarray(y, dtype=np.float64) - false_northing
+    M = y / k0
+    mu = M / (a * (1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256))
+    phi1 = (mu
+            + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+            + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+            + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+    sin1 = np.sin(phi1)
+    cos1 = np.cos(phi1)
+    C1 = ep2 * cos1 ** 2
+    T1 = np.tan(phi1) ** 2
+    N1 = a / np.sqrt(1 - e2 * sin1 ** 2)
+    R1 = a * (1 - e2) / (1 - e2 * sin1 ** 2) ** 1.5
+    D = x / (N1 * k0)
+    phi = phi1 - (N1 * np.tan(phi1) / R1) * (
+        D ** 2 / 2
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1 ** 2 - 9 * ep2) * D ** 4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1 ** 2 - 252 * ep2
+           - 3 * C1 ** 2) * D ** 6 / 720)
+    lam = np.radians(lon0) + (
+        D - (1 + 2 * T1 + C1) * D ** 3 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1 ** 2 + 8 * ep2 + 24 * T1 ** 2)
+        * D ** 5 / 120) / cos1
+    return np.degrees(lam), np.degrees(phi)

@@ -639,12 +639,33 @@ def repair_geometry(batch: pa.Table, *, geom_col="geom") -> pa.Table:
 # reprojection (EPSG:4326 ↔ EPSG:3857 + force-CRS metadata)
 # ---------------------------------------------------------------------------
 
+def _parse_utm_epsg(code: str):
+    """EPSG:326xx / EPSG:327xx → (lon0, false_northing) or None."""
+    code = code.upper()
+    if not code.startswith("EPSG:") or len(code) != 10:
+        return None
+    num = code[5:]
+    if num[:3] == "326":
+        south = False
+    elif num[:3] == "327":
+        south = True
+    else:
+        return None
+    zone = int(num[3:])
+    if not 1 <= zone <= 60:
+        return None
+    return -183.0 + 6.0 * zone, 10_000_000.0 if south else 0.0
+
+
 def make_reproject(src: str, dst: str, *, geom_col="geom"):
-    """ReprojectFeatureCollection for the web pair 4326↔3857.
+    """ReprojectFeatureCollection for the web pair 4326↔3857 AND the
+    UTM-zone family 4326↔EPSG:326xx/327xx (hand-rolled Snyder
+    transverse Mercator, geomops.utm_forward/utm_inverse — round-trip
+    ≤ 3 cm; reference auto-reprojects any pair via GeoTools,
+    SpatialJoinOperation.java:97-102).
 
     Full PROJ pipelines are out of scope without pyproj; the engine's
-    CRS convention stores the code in schema metadata and supports the
-    spherical-mercator pair analytically.
+    CRS convention stores the code in schema metadata.
     """
 
     def fwd(c):  # 4326 → 3857
@@ -658,10 +679,25 @@ def make_reproject(src: str, dst: str, *, geom_col="geom"):
         return np.column_stack([lon, lat])
 
     key = (src.upper(), dst.upper())
+    utm_dst = _parse_utm_epsg(key[1])
+    utm_src = _parse_utm_epsg(key[0])
     if key == ("EPSG:4326", "EPSG:3857"):
         f = fwd
     elif key == ("EPSG:3857", "EPSG:4326"):
         f = inv
+    elif key[0] == "EPSG:4326" and utm_dst is not None:
+        lon0, fn = utm_dst
+
+        def f(c, lon0=lon0, fn=fn):
+            x, y = geomops.utm_forward(c[:, 0], c[:, 1], lon0)
+            return np.column_stack([x, y + fn])
+    elif key[1] == "EPSG:4326" and utm_src is not None:
+        lon0, fn = utm_src
+
+        def f(c, lon0=lon0, fn=fn):
+            lon, lat = geomops.utm_inverse(c[:, 0], c[:, 1], lon0,
+                                           false_northing=fn)
+            return np.column_stack([lon, lat])
     elif src.upper() == dst.upper():
         f = lambda c: c
     else:

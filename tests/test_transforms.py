@@ -191,3 +191,39 @@ def test_split_polygon_by_count_concave():
     assert len(a) == 3
     np.testing.assert_allclose(a, 1.0, atol=1e-6)
     assert out["part_idx"].to_pylist() == [0, 1, 2]
+
+
+def test_reproject_utm_zone_roundtrip():
+    """4326 ↔ EPSG:32652 (UTM 52N, the reference's home zone) via the
+    hand-rolled Snyder TM pair; round trip ≤ 1e-6 deg (~10 cm)."""
+    from opengxt_ray.stages.transforms import make_reproject
+
+    rs = np.random.RandomState(8)
+    lon = rs.uniform(126, 130, 50)
+    lat = rs.uniform(33, 39, 50)
+    batch = pa.table({"geom": pa.array(
+        [_wkb.encode_point(float(x), float(y)) for x, y in zip(lon, lat)],
+        pa.binary())})
+    utm = make_reproject("EPSG:4326", "EPSG:32652")(batch)
+    fg = _wkb.decode(utm["geom"].to_pylist())
+    xs = np.array([fg.geom_coords(i)[0, 0] for i in range(len(fg))])
+    assert (xs > 100_000).all() and (xs < 900_000).all()
+    back = make_reproject("EPSG:32652", "EPSG:4326")(utm)
+    fgb = _wkb.decode(back["geom"].to_pylist())
+    for i in range(len(fgb)):
+        p = fgb.geom_coords(i)[0]
+        assert abs(p[0] - lon[i]) < 1e-6 and abs(p[1] - lat[i]) < 1e-6
+    # southern zone: false northing applied
+    latS = -lat
+    bS = pa.table({"geom": pa.array(
+        [_wkb.encode_point(float(x), float(y)) for x, y in zip(lon, latS)],
+        pa.binary())})
+    utmS = make_reproject("EPSG:4326", "EPSG:32752")(bS)
+    fgS = _wkb.decode(utmS["geom"].to_pylist())
+    ys = np.array([fgS.geom_coords(i)[0, 1] for i in range(len(fgS))])
+    assert (ys > 0).all() and (ys < 10_000_000).all()
+    backS = make_reproject("EPSG:32752", "EPSG:4326")(utmS)
+    fgbS = _wkb.decode(backS["geom"].to_pylist())
+    for i in range(len(fgbS)):
+        p = fgbS.geom_coords(i)[0]
+        assert abs(p[0] - lon[i]) < 1e-6 and abs(p[1] - latS[i]) < 1e-6
