@@ -589,10 +589,15 @@ def _q_ivf_topk(sf_dir: str):
 
 
 def _q_spatial_clump(sf_dir: str):
+    """SpatialClump single-linkage components, SQL-oracled via
+    brute-force radius pairs + recursive-CTE transitive closure
+    (radius 1.5 keeps components ≤ ~10 members at sf0.1 — chains deep
+    enough to exercise the min-label propagation, closure small enough
+    for the oracle)."""
     from opengxt_ray.ops.cluster import distance_clusters
 
     pts = _read_pts(sf_dir, "customer", "c_custkey")
-    return distance_clusters(pts, radius=3.0, id_col="c_custkey")
+    return distance_clusters(pts, radius=1.5, id_col="c_custkey")
 
 
 def _q_cell_assignment(sf_dir: str):
@@ -1357,6 +1362,22 @@ def oracle_sql() -> dict[str, str]:
                                     THEN -r0 - s0 ELSE q0 END) - s0
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
+        """,
+        "spatial_clump": f"""
+            WITH RECURSIVE
+            pts AS (SELECT c_custkey AS id, {lon_c} AS x, {lat_c} AS y
+                    FROM customer),
+            ed AS (SELECT a.id AS u, b.id AS v FROM pts a JOIN pts b
+                   ON a.id <> b.id
+                  AND (a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y) <= 2.25),
+            reach(node, r) AS (
+                SELECT id, id FROM pts
+                UNION
+                SELECT e.u, reach.r FROM ed e JOIN reach ON reach.node = e.v
+            )
+            SELECT node AS c_custkey, MIN(r) AS cluster
+            FROM reach GROUP BY node
         """,
         "intersect_area": f"""
             WITH pts AS (

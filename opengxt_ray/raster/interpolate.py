@@ -68,9 +68,17 @@ class _TileEvaluator:
 
 def idw(points_ds, meta: RasterMeta, *, value_col: str, power: float = 2.0,
         xcol: str = "lon", ycol: str = "lat", concurrency=None,
-        parallelism: int = 8):
+        parallelism: int = 8, max_samples: int = 200_000):
     """IDW surface — full-sample weighting per cell (reference
-    semantics; at scale restrict samples per tile via cell bucketing)."""
+    semantics). Samples are the broadcast side; inputs beyond
+    ``max_samples`` raise instead of silently gathering the driver
+    (no-silent-caps rule) — thin the samples or raise the limit."""
+    n = points_ds.count()
+    if n > max_samples:
+        raise ValueError(
+            f"idw: {n} samples exceed max_samples={max_samples}; IDW "
+            "broadcasts the full sample set (reference full-sample "
+            "weighting) — thin the samples or raise max_samples")
     pdf = points_ds.select_columns([xcol, ycol, value_col]).to_pandas()
     ref = ray.put((pdf[xcol].to_numpy(), pdf[ycol].to_numpy(),
                    pdf[value_col].to_numpy().astype(np.float64), power))
