@@ -185,38 +185,56 @@ def _decode_one(buf: bytes, coords: list, ring_offsets: list, shell_flags: list)
     mv = memoryview(buf)
     pos = 0
 
+    def _type_dims(raw: int) -> tuple[int, int]:
+        """WKB type word → (base type, coordinate dims). Handles plain
+        2-D, EWKB Z/M flags and ISO 100x/200x/300x types (Z/M stripped
+        on decode — the engine's geometry model is XY)."""
+        dims = 2
+        if raw & 0x80000000:
+            dims += 1
+        if raw & 0x40000000:
+            dims += 1
+        raw &= 0x3FFFFFFF
+        if raw >= 1000:
+            k = raw // 1000
+            dims = 4 if k == 3 else 3
+            raw = raw % 1000
+        return raw, dims
+
     def parse(pos: int):
         little = mv[pos] == 1
-        gtype = _read_u32(mv, pos + 1, little) & 0xFF
+        gtype, dims = _type_dims(_read_u32(mv, pos + 1, little))
         pos += 5
         dt = "<f8" if little else ">f8"
+        stride = 8 * dims
         if gtype == POINT:
-            xy = np.frombuffer(mv[pos : pos + 16], dtype=dt).astype(np.float64)
-            coords.append(xy.reshape(1, 2))
+            xy = np.frombuffer(mv[pos : pos + stride],
+                               dtype=dt).astype(np.float64)
+            coords.append(xy[:2].reshape(1, 2))
             ring_offsets.append(1)
             shell_flags.append(True)
-            return POINT, 1, pos + 16
+            return POINT, 1, pos + stride
         if gtype == LINESTRING:
             npts = _read_u32(mv, pos, little)
             pos += 4
-            arr = np.frombuffer(mv[pos : pos + 16 * npts], dtype=dt).astype(np.float64)
-            coords.append(arr.reshape(npts, 2))
+            arr = np.frombuffer(mv[pos : pos + stride * npts],
+                                dtype=dt).astype(np.float64)
+            coords.append(arr.reshape(npts, dims)[:, :2])
             ring_offsets.append(npts)
             shell_flags.append(True)
-            return LINESTRING, 1, pos + 16 * npts
+            return LINESTRING, 1, pos + stride * npts
         if gtype == POLYGON:
             nrings = _read_u32(mv, pos, little)
             pos += 4
             for r in range(nrings):
                 npts = _read_u32(mv, pos, little)
                 pos += 4
-                arr = np.frombuffer(mv[pos : pos + 16 * npts], dtype=dt).astype(
-                    np.float64
-                )
-                coords.append(arr.reshape(npts, 2))
+                arr = np.frombuffer(mv[pos : pos + stride * npts],
+                                    dtype=dt).astype(np.float64)
+                coords.append(arr.reshape(npts, dims)[:, :2])
                 ring_offsets.append(npts)
                 shell_flags.append(r == 0)
-                pos += 16 * npts
+                pos += stride * npts
             return POLYGON, nrings, pos
         if gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
             nparts = _read_u32(mv, pos, little)
@@ -318,3 +336,76 @@ def encode_multipoint(coords: np.ndarray) -> bytes:
 
 def geom_type_name(code: int) -> str:
     return _TYPE_NAMES.get(int(code), "Unknown")
+
+
+def encode_z(fg: "FlatGeoms", i: int, z: float = 0.0) -> bytes:
+    """Re-encode geometry i as ISO WKB Z (100x types) with a constant
+    z — the ForceDimensionProcess 2D→3D conversion."""
+    t = int(fg.types[i])
+    rings = list(fg.rings(i))
+
+    def _pts(arr):
+        out = np.empty((len(arr), 3))
+        out[:, :2] = arr
+        out[:, 2] = z
+        return out.astype("<f8").tobytes()
+
+    if t == POINT:
+        pts = fg.geom_coords(i)
+        if len(pts) == 1:
+            return (b"\x01" + struct.pack("<I", 1001)
+                    + _pts(pts[:1]))
+        body = b"".join(b"\x01" + struct.pack("<I", 1001) + _pts(pts[j:j + 1])
+                        for j in range(len(pts)))
+        return (b"\x01" + struct.pack("<I", 1004)
+                + struct.pack("<I", len(pts)) + body)
+    if t == LINESTRING:
+        parts = [r for r, _ in rings]
+        bodies = [b"\x01" + struct.pack("<I", 1002)
+                  + struct.pack("<I", len(r)) + _pts(r) for r in parts]
+        if len(bodies) == 1:
+            return bodies[0]
+        return (b"\x01" + struct.pack("<I", 1005)
+                + struct.pack("<I", len(bodies)) + b"".join(bodies))
+    # polygon(s)
+    polys = []
+    for r, is_shell in rings:
+        if is_shell:
+            polys.append([r])
+        elif polys:
+            polys[-1].append(r)
+    bodies = []
+    for rs in polys:
+        b = (b"\x01" + struct.pack("<I", 1003)
+             + struct.pack("<I", len(rs)))
+        for r in rs:
+            b += struct.pack("<I", len(r)) + _pts(r)
+        bodies.append(b)
+    if len(bodies) == 1:
+        return bodies[0]
+    return (b"\x01" + struct.pack("<I", 1006)
+            + struct.pack("<I", len(bodies)) + b"".join(bodies))
+
+
+def reencode_2d(fg: "FlatGeoms", i: int) -> bytes:
+    """Re-encode geometry i as plain 2-D WKB (ForceDimension 3D→2D —
+    decode already strips Z, this writes the XY form back out)."""
+    t = int(fg.types[i])
+    rings = list(fg.rings(i))
+    if t == POINT:
+        pts = fg.geom_coords(i)
+        if len(pts) == 1:
+            return encode_point(float(pts[0, 0]), float(pts[0, 1]))
+        return encode_multipoint(pts)
+    if t == LINESTRING:
+        parts = [r for r, _ in rings]
+        return (encode_linestring(parts[0]) if len(parts) == 1
+                else encode_multilinestring(parts))
+    polys = []
+    for r, is_shell in rings:
+        if is_shell:
+            polys.append((r, []))
+        elif polys:
+            polys[-1][1].append(r)
+    return (encode_polygon(polys[0][0], polys[0][1]) if len(polys) == 1
+            else encode_multipolygon(polys))

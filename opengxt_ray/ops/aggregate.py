@@ -376,3 +376,8 @@ def collect_features(ds) -> pa.Table:
 
     df = ds.to_pandas()
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def count_features(ds) -> int:
+    """CountFeaturesProcess — `Dataset.count()` (streaming row count)."""
+    return ds.count()

@@ -240,3 +240,46 @@ def quadrat_analysis(ds, *, xcol: str = "lon", ycol: str = "lat",
         ks = max(ks, abs(cum_obs - cum_poi))
     return {"cells": total_cells, "mean": float(mean), "variance": var,
             "vmr": float(vmr), "ks_d": float(ks), "cell_size": cell_size}
+
+
+def circular_binning(ds, extent, *, radius: float,
+                     weight_col: str | None = None,
+                     xcol: str = "lon", ycol: str = "lat"):
+    """CircularBinning (GT/pattern/CircularBinningOperation) — circles
+    centered on a 2r-spaced grid; a point bins to its cell's circle
+    only if within `radius` of the center (corner gaps drop points,
+    matching the circle geometry). Output
+    (cell_id, cx, cy, val, count)."""
+    minx, miny, maxx, maxy = extent
+    cols = int(np.ceil((maxx - minx) / (2 * radius)))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        x = batch[xcol].to_numpy()
+        y = batch[ycol].to_numpy()
+        col = np.floor((x - minx) / (2 * radius)).astype(np.int64)
+        row = np.floor((y - miny) / (2 * radius)).astype(np.int64)
+        cx = minx + (col + 0.5) * 2 * radius
+        cy = miny + (row + 0.5) * 2 * radius
+        inside = (x - cx) ** 2 + (y - cy) ** 2 <= radius * radius
+        w = (batch[weight_col].to_numpy(zero_copy_only=False)
+             .astype(np.float64) if weight_col else np.ones(len(x)))
+        cell = row * np.int64(1 << 31) + col
+        return pa.table({
+            "cell_id": pa.array(cell[inside]),
+            "cx": pa.array(cx[inside]), "cy": pa.array(cy[inside]),
+            "w": pa.array(w[inside]),
+            "one": pa.array(np.ones(int(inside.sum()))),
+        })
+
+    import ray.data.aggregate as A
+
+    from ..core.util import default_shuffle_partitions
+
+    agg = ds.map_batches(_assign, batch_format="pyarrow").groupby(
+        "cell_id", num_partitions=default_shuffle_partitions()).aggregate(
+        A.Min("cx"), A.Min("cy"), A.Sum("w"), A.Sum("one"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "cell_id": b["cell_id"], "cx": b["min(cx)"], "cy": b["min(cy)"],
+            "val": b["sum(w)"], "count": b["sum(one)"]}),
+        batch_format="pyarrow")

@@ -894,3 +894,86 @@ def global_rogerson_r(ds, case_col: str, pop_col: str, *, id_col: str,
     return {"observed": float(observed), "expected": float(expected),
             "gof": float(agg["sum(gof)"]), "sa": float(agg["sum(sa)"]),
             "variance": 0.0}
+
+
+# ---------------------------------------------------------------------------
+# LocalSA composes (LocalSABinningProcess / LocalSAOverlayProcess)
+# ---------------------------------------------------------------------------
+
+_LOCAL_SA = None
+
+
+def _local_sa_dispatch(method: str):
+    m = method.lower()
+    if m in ("moran", "moransi", "local moran's i"):
+        return local_morans_i
+    if m in ("geary", "gearysc"):
+        return local_gearys_c
+    if m in ("g", "gi", "gistar", "getisordgi*"):
+        return local_gi_star
+    if m in ("lees", "leess"):
+        return local_lees_s
+    raise ValueError(f"unknown LocalSA method {method}")
+
+
+def local_sa_binning(ds, *, size: float, weight_col: str | None = None,
+                     grid: str = "hexagon", method: str = "moran",
+                     xcol: str = "lon", ycol: str = "lat", **sa_kwargs):
+    """LocalSABinningProcess (GT/LocalSABinningProcess.java:140-216):
+    bin the points (hexagon/rectangle/circle grid, weight sum = the
+    reference's AGG_FIELD "val"), then run the chosen local spatial
+    autocorrelation statistic on the bin values at the bin centers."""
+    from .binning import hex_binning, rect_binning
+
+    if grid.startswith("hex"):
+        bins = hex_binning(ds, size=size, weight_col=weight_col,
+                           xcol=xcol, ycol=ycol)
+        bins = bins.map_batches(
+            lambda b: pa.table({
+                "id": ((b["q"].to_numpy() + (1 << 30)) * np.int64(1 << 32)
+                       + (b["r"].to_numpy() + (1 << 30))),
+                "lon": b["cx"], "lat": b["cy"], "val": b["val"]}),
+            batch_format="pyarrow")
+    elif grid.startswith("rect"):
+        bins = rect_binning(ds, width=size, height=size,
+                            weight_col=weight_col, xcol=xcol, ycol=ycol)
+        bins = bins.map_batches(
+            lambda b: pa.table({
+                "id": (b["col"].to_numpy() * (1 << 31)
+                       + b["row"].to_numpy()),
+                "lon": pa.array(b["minx"].to_numpy() + size / 2),
+                "lat": pa.array(b["miny"].to_numpy() + size / 2),
+                "val": b["val"]}),
+            batch_format="pyarrow")
+    else:
+        raise ValueError(f"unknown grid {grid}")
+    stat = _local_sa_dispatch(method)
+    return stat(bins, "val", id_col="id", **sa_kwargs)
+
+
+def local_sa_overlay(points_ds, poly_table, *, poly_key: str,
+                     weight_col: str | None = None, method: str = "moran",
+                     **sa_kwargs):
+    """LocalSAOverlayProcess (GT/LocalSAOverlayProcess.java:127-150):
+    PIP-aggregate points into the polygons (count / weighted sum), then
+    run the chosen local statistic on the polygon values at the polygon
+    centroids."""
+    from ..core import geomops
+    from .pip import points_in_polygon
+
+    vals = points_in_polygon(points_ds, poly_table, poly_key=poly_key,
+                             weight_col=weight_col)
+    cx, cy = geomops.centroids(poly_table["geom"].to_pylist())
+    keys = poly_table[poly_key].to_numpy(zero_copy_only=False)
+    cent = {int(k): (float(a), float(b)) for k, a, b in zip(keys, cx, cy)}
+
+    def _attach(b: pa.Table) -> pa.Table:
+        ks = b[poly_key].to_numpy(zero_copy_only=False)
+        xs = np.asarray([cent[int(k)][0] for k in ks])
+        ys = np.asarray([cent[int(k)][1] for k in ks])
+        return pa.table({"id": b[poly_key], "lon": pa.array(xs),
+                         "lat": pa.array(ys), "val": b["val"]})
+
+    pts = vals.map_batches(_attach, batch_format="pyarrow")
+    stat = _local_sa_dispatch(method)
+    return stat(pts, "val", id_col="id", **sa_kwargs)

@@ -599,3 +599,13 @@ def update_features(ds, overlay: pa.Table, *, geom_col="geom"):
 
     outside = erase_features(ds, overlay, geom_col=geom_col)
     return merge_features(outside, _ray.data.from_arrow(overlay))
+
+
+def clip_with_geometry(ds, geom_wkb: bytes, *, geom_col="geom",
+                       predicate_only=False, concurrency=None):
+    """ClipWithGeometryProcess — single-geometry convenience over
+    :func:`clip_with_features`."""
+    tab = pa.table({"geom": pa.array([geom_wkb], pa.binary())})
+    return clip_with_features(ds, tab, geom_col=geom_col,
+                              predicate_only=predicate_only,
+                              concurrency=concurrency)

@@ -119,3 +119,17 @@ def raster_cut_fill(tiles_before, tiles_after, cell_area: float):
         A.Sum("cut"), A.Sum("fill"))
     return diff, {"cut_volume": agg["sum(cut)"] * cell_area,
                   "fill_volume": agg["sum(fill)"] * cell_area}
+
+
+def raster_extraction(tiles, cond_fn):
+    """RasterExtraction (GT/RasterExtractionProcess.java:88) — KEEP the
+    cells matching the filter, everything else nodata (the complement
+    of raster_set_null)."""
+    return raster_math(tiles, lambda a: np.where(cond_fn(a), a, np.nan))
+
+
+def raster_force_crs(tiles, meta, crs: str):
+    """RasterForceCRS — metadata-only: stamp a new CRS code without
+    transforming (the engine carries CRS in metadata, SURVEY §1.2).
+    Returns (tiles, meta, crs)."""
+    return tiles, meta, crs

@@ -124,6 +124,8 @@ def _populate() -> None:
       "GT/operations/IntersectionPointsOperation.java")
     E("SumLineLength", "join", LO.sum_line_length,
       "GT/operations/CalculateSumLineLengthOperation.java")
+    E("ClipWithGeometry", "join", OV.clip_with_geometry,
+      "GT/transformation/ClipWithGeometryFeatureCollection.java")
     E("ClipWithFeatures", "join", OV.clip_with_features,
       "GT/operations/ClipWithFeaturesOperation.java")
     E("Difference", "join", OV.erase_features,
@@ -186,6 +188,10 @@ def _populate() -> None:
     E("ClusterBesagNewell", "hotspot", GAM.cluster_besag_newell,
       "GT/pattern/ClusterBesagNewellOperation.java:176 (kNN-radius "
       "circles per case point)")
+    E("LocalSABinning", "hotspot", HS.local_sa_binning,
+      "GT/LocalSABinningProcess.java:140-216 (bin + local SA stat)")
+    E("LocalSAOverlay", "hotspot", HS.local_sa_overlay,
+      "GT/LocalSAOverlayProcess.java:127-150 (PIP + local SA stat)")
     E("FocalLQ", "hotspot", HS.focal_lq,
       "GT/autocorrelation/FocalLQOperation.java:67-150")
     E("LocalRogersonR", "hotspot", HS.local_rogerson_r,
@@ -245,6 +251,9 @@ def _populate() -> None:
       "GT/operations/RegularPointsOperation")
     E("TriangularGrid", "binning", TE.triangular_grid,
       "GT/operations/TriangularGridOperation")
+    E("CircularBinning", "binning", BN.circular_binning,
+      "GT/pattern/CircularBinningOperation (2r grid circles, corner "
+      "gaps drop points)")
     E("CircularGrid", "binning", TE.circular_grid,
       "GT/operations/CircularGridOperation")
 
@@ -352,6 +361,13 @@ def _populate() -> None:
       "GT/RandomPointsPerFeaturesProcess (content-hash-seeded)")
     E("SinglepartToMultipart", "transform", AG.singlepart_to_multipart,
       "GT/SinglepartToMultipartProcess (groupby + multi encode)")
+    E("CountFeatures", "transform", AG.count_features,
+      "GT/CountFeaturesProcess")
+    E("ForceDimension", "transform", T.make_force_dimension,
+      "GT/ForceDimensionProcess (ISO WKB Z encode; Z/M-stripping "
+      "decode)")
+    E("GeometryToFeatures", "transform", GJ.geometry_to_features,
+      "GT/GeometryToFeaturesProcess (WKT/WKB -> 1-row table)")
     E("CollectFeatures", "transform", AG.collect_features,
       "GT/CollectFeaturesProcess (driver materialize)")
     E("Reproject", "transform", T.make_reproject,
@@ -387,6 +403,12 @@ def _populate() -> None:
       "GT/gridcoverage/RasterProfileOperation")
     E("RasterDescribe", "raster", RT.raster_statistics,
       "GT/gridcoverage/RasterDescribeOperation.java")
+    E("RasterExtraction", "raster", RA.raster_extraction,
+      "GT/RasterExtractionProcess.java:88 (keep cells matching filter)")
+    E("RasterForceCRS", "raster", RA.raster_force_crs,
+      "GT/RasterForceCRSProcess (metadata-only CRS stamp)")
+    E("StatisticsGridCoverage", "raster", RT.raster_statistics,
+      "GT/StatisticsGridCoverageProcess (global cell stats)")
     E("RasterMath", "raster", RA.raster_math,
       "GT/gridcoverage/RasterMathOperation.java")
     E("RasterCon", "raster", RA.raster_con,

@@ -165,3 +165,66 @@ def wkb_to_wkt(buf: bytes) -> str:
         "(" + ", ".join(f"({ring_str(r)})" for r in poly) + ")"
         for poly in polys)
     return f"MULTIPOLYGON ({outer})"
+
+
+def wkt_to_wkb(text: str) -> bytes:
+    """Minimal WKT parser (POINT/LINESTRING/POLYGON/MULTIPOLYGON/
+    MULTILINESTRING/MULTIPOINT) → little-endian WKB — the decode side
+    of the reference's WKT PPIO (GS/ppio/WKTPPIO.java)."""
+    import re
+
+    import numpy as np
+
+    from ..core import wkb as _W
+
+    t = text.strip()
+    head = re.match(r"([A-Za-z ]+)\s*\(", t)
+    if not head:
+        raise ValueError(f"unparseable WKT: {text[:40]}")
+    kind = head.group(1).strip().upper().replace(" ", "")
+    body = t[head.end() - 1:]
+
+    def _coords(seg):
+        pts = []
+        for pair in seg.split(","):
+            xy = pair.split()
+            pts.append((float(xy[0]), float(xy[1])))
+        return np.asarray(pts)
+
+    def _rings(seg):
+        # "((...),(...))" → list of coord arrays
+        return [_coords(m) for m in re.findall(r"\(([^()]+)\)", seg)]
+
+    if kind == "POINT":
+        p = _coords(body.strip("() "))
+        return _W.encode_point(float(p[0, 0]), float(p[0, 1]))
+    if kind == "LINESTRING":
+        return _W.encode_linestring(_coords(body.strip("() ")))
+    if kind == "POLYGON":
+        rings = _rings(body)
+        return _W.encode_polygon(rings[0], rings[1:])
+    if kind == "MULTIPOINT":
+        return _W.encode_multipoint(_coords(body.replace("(", " ")
+                                            .replace(")", " ")))
+    if kind == "MULTILINESTRING":
+        return _W.encode_multilinestring(_rings(body))
+    if kind == "MULTIPOLYGON":
+        polys = []
+        for poly_seg in re.findall(r"\(\s*\([^)]*\)(?:\s*,\s*\([^)]*\))*\s*\)",
+                                   body[1:-1]):
+            rings = _rings(poly_seg)
+            polys.append((rings[0], rings[1:]))
+        return _W.encode_multipolygon(polys)
+    raise ValueError(f"unsupported WKT type {kind}")
+
+
+def geometry_to_features(geom, attrs: dict | None = None) -> "pa.Table":
+    """GeometryToFeaturesProcess — wrap a single geometry (WKB bytes or
+    WKT string) into a one-row feature table."""
+    import pyarrow as pa_
+
+    if isinstance(geom, str):
+        geom = wkt_to_wkb(geom)
+    cols = {k: pa_.array([v]) for k, v in (attrs or {}).items()}
+    cols["geom"] = pa_.array([geom], pa_.binary())
+    return pa_.table(cols)

@@ -1456,3 +1456,23 @@ def make_wedge_buffer(*, azimuth, wedge_angle, inner_radius=0.0,
         return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
 
     return _buf
+
+
+def make_force_dimension(dimension: int = 3, *, z: float = 0.0,
+                         geom_col="geom"):
+    """ForceDimensionProcess — convert geometries 2D↔3D: to 3D, ISO
+    WKB Z types with a constant z; to 2D, Z/M coordinates stripped
+    (the decoder reads EWKB flags and ISO 100x/200x/300x types)."""
+    if dimension not in (2, 3):
+        raise ValueError("dimension must be 2 or 3")
+
+    def _fd(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        if dimension == 3:
+            out = [_wkb.encode_z(fg, i, z) for i in range(len(fg))]
+        else:
+            out = [_wkb.reencode_2d(fg, i) for i in range(len(fg))]
+        idx = batch.column_names.index(geom_col)
+        return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
+
+    return _fd

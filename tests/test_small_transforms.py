@@ -125,3 +125,33 @@ def test_singlepart_to_multipart_and_collect():
     tab = collect_features(ray.data.from_arrow(pa.table({
         "a": pa.array([1, 2, 3])})))
     assert isinstance(tab, pa.Table) and tab.num_rows == 3
+
+
+def test_force_dimension_roundtrip():
+    from opengxt_ray.stages.transforms import make_force_dimension
+
+    pt = _wkb.encode_point(3.0, 4.0)
+    line = _wkb.encode_linestring(np.array([[0, 0], [5, 5], [9, 2]], float))
+    donut = _wkb.encode_polygon(
+        np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float),
+        [np.array([[3, 3], [3, 7], [7, 7], [7, 3]], float)])
+    batch = pa.table({"id": pa.array([1, 2, 3]),
+                      "geom": pa.array([pt, line, donut], pa.binary())})
+    up = make_force_dimension(3, z=7.5)(batch)
+    wkbs = up["geom"].to_pylist()
+    # ISO Z type codes present
+    import struct as _st
+    assert _st.unpack("<I", wkbs[0][1:5])[0] == 1001
+    assert _st.unpack("<I", wkbs[1][1:5])[0] == 1002
+    assert _st.unpack("<I", wkbs[2][1:5])[0] == 1003
+    # z value stored
+    assert _st.unpack("<d", wkbs[0][21:29])[0] == 7.5
+    # decoder strips z: geometry identical after the round trip
+    down = make_force_dimension(2)(up)
+    fg0 = _wkb.decode([pt, line, donut])
+    fg1 = _wkb.decode(down["geom"].to_pylist())
+    for i in range(3):
+        np.testing.assert_array_equal(fg0.geom_coords(i), fg1.geom_coords(i))
+    areas0 = geomops.areas(fg0)
+    areas1 = geomops.areas(fg1)
+    np.testing.assert_allclose(areas0, areas1)
