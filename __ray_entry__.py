@@ -785,6 +785,27 @@ def _q_line_density(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_circular_binning(sf_dir: str):
+    """CircularBinning over customer points (radius 5° circles on a
+    10°-spaced grid; corner gaps drop points) — SQL-exact floor-cell +
+    in-circle arithmetic."""
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.binning import circular_binning
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey",
+                    columns=["c_custkey", "c_acctbal"])
+    out = circular_binning(pts, (-180.0, -90.0, 180.0, 90.0), radius=5.0,
+                           weight_col="c_acctbal")
+    return out.map_batches(
+        lambda b: pa.table({
+            "cell_id": b["cell_id"],
+            "cx": b["cx"], "cy": b["cy"],
+            "val6": pa.array(format_round(b["val"].to_numpy(), 6)),
+            "cnt": b["count"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
 def _q_point_statistics(sf_dir: str):
     from opengxt_ray.ops.pip import point_statistics
 
@@ -938,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kernel_density_quartic": _q_kernel_density_quartic,
         "ivf_topk": _q_ivf_topk,
         "spatial_clump": _q_spatial_clump,
+        "circular_binning": _q_circular_binning,
         "intersect_area": _q_intersect_area,
         "union_area": _q_union_area,
         "rasterize_roundtrip": _q_rasterize_roundtrip,
@@ -1362,6 +1384,31 @@ def oracle_sql() -> dict[str, str]:
                                     THEN -r0 - s0 ELSE q0 END) - s0
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
+        """,
+        "circular_binning": f"""
+            WITH pts AS (
+                SELECT {lon_c} AS x, {lat_c} AS y, c_acctbal FROM customer
+            ),
+            assigned AS (
+                SELECT CAST(floor((x + 180.0) / 10.0) AS BIGINT) AS col,
+                       CAST(floor((y + 90.0) / 10.0) AS BIGINT) AS "row",
+                       x, y, c_acctbal
+                FROM pts
+            ),
+            cells AS (
+                SELECT col, "row",
+                       -180.0 + (col + 0.5) * 10.0 AS cx,
+                       -90.0 + ("row" + 0.5) * 10.0 AS cy,
+                       x, y, c_acctbal
+                FROM assigned
+            )
+            SELECT "row" * 2147483648 + col AS cell_id,
+                   MIN(cx) AS cx, MIN(cy) AS cy,
+                   round(SUM(c_acctbal), 6) AS val6,
+                   COUNT(*) AS cnt
+            FROM cells
+            WHERE (x - cx) * (x - cx) + (y - cy) * (y - cy) <= 25.0
+            GROUP BY 1
         """,
         "spatial_clump": f"""
             WITH RECURSIVE

@@ -228,3 +228,41 @@ def test_connected_components_distributed_matches_driver():
             for r in connected_components(
                 edges, small_graph_threshold=0).take_all()}
     assert drv == dist and len(drv) > 0
+
+
+def test_embedding_neardup_planted_duplicates():
+    """Planted near-duplicate vector pairs vs brute-force cosine:
+    every reported pair must be a true pair (precision 1 — the bucket
+    kernel verifies exact cosine), and recall over cos≥0.99 pairs must
+    clear the 12-bit hyperplane-LSH collision bound."""
+    from opengxt_ray.textops.dedup import embedding_neardup
+
+    rs = np.random.RandomState(15)
+    dim = 32
+    base = rs.standard_normal((60, dim))
+    vecs = [base]
+    # 60 planted twins: tiny perturbation → cos ≈ 0.999
+    vecs.append(base + 0.02 * rs.standard_normal((60, dim)))
+    vecs.append(rs.standard_normal((200, dim)))    # background
+    V = np.vstack(vecs)
+    ids = np.arange(len(V))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(V.astype(np.float32))),
+    }))
+    out = embedding_neardup(ds, id_col="vec_id", threshold=0.95).take_all()
+    got = {(r["a"], r["b"]) for r in out}
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    iu, ju = np.triu_indices(len(V), k=1)
+    true_pairs = {(int(a), int(b)) for a, b in
+                  zip(iu[S[iu, ju] >= 0.95], ju[S[iu, ju] >= 0.95])}
+    # precision: nothing reported that isn't true (float32 vs float64
+    # boundary slack for pairs within 1e-6 of the threshold)
+    near_thr = {(int(a), int(b)) for a, b in
+                zip(iu[S[iu, ju] >= 0.95 - 1e-5],
+                    ju[S[iu, ju] >= 0.95 - 1e-5])}
+    assert got <= near_thr
+    assert len(true_pairs) >= 55            # the twins are planted
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.5, recall            # 12-bit LSH collision bound
