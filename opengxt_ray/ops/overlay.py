@@ -267,17 +267,43 @@ class OverlayClipper:
         return out
 
 
+_OVERLAY_CACHE: dict = {}
+
+
+def _tasks_map(ds, ref, cls, kwargs):
+    """Stateless-tasks execution with a per-worker-process stage cache
+    (same pattern as join._cached_pip_joiner): no actor-pool spin-up,
+    the bundle index/flags still built once per worker. This is the
+    default — overlay bundles are broadcast sides and the per-stage
+    pools were measured to oversubscribe multi-leg DAGs (union)."""
+    key = (ref.hex(), cls.__name__,
+           tuple(sorted((k, str(v)) for k, v in kwargs.items())))
+
+    def _task(batch: pa.Table) -> pa.Table:
+        st = _OVERLAY_CACHE.get(key)
+        if st is None:
+            st = cls([ref], **kwargs)
+            _OVERLAY_CACHE[key] = st
+        return st(batch)
+
+    return ds.map_batches(_task, batch_format="pyarrow")
+
+
 def clip_with_features(ds, overlay: pa.Table, *, geom_col="geom",
                        predicate_only=False, concurrency=None):
     """Keep the parts of each input inside the overlay polygons."""
     ref = put_bundle(overlay)
+    if concurrency is None:
+        return _tasks_map(ds, ref, OverlayClipper,
+                          dict(mode="clip", geom_col=geom_col,
+                               predicate_only=predicate_only))
     return ds.map_batches(
         OverlayClipper,
         fn_constructor_kwargs=dict(bundle_ref=[ref], mode="clip",
                                    geom_col=geom_col,
                                    predicate_only=predicate_only),
         batch_format="pyarrow",
-        concurrency=concurrency or default_concurrency())
+        concurrency=concurrency)
 
 
 def erase_features(ds, overlay: pa.Table, *, geom_col="geom",
@@ -285,13 +311,17 @@ def erase_features(ds, overlay: pa.Table, *, geom_col="geom",
     """Difference — keep the parts outside the overlay
     (DifferenceFeatureCollection)."""
     ref = put_bundle(overlay)
+    if concurrency is None:
+        return _tasks_map(ds, ref, OverlayClipper,
+                          dict(mode="erase", geom_col=geom_col,
+                               predicate_only=predicate_only))
     return ds.map_batches(
         OverlayClipper,
         fn_constructor_kwargs=dict(bundle_ref=[ref], mode="erase",
                                    geom_col=geom_col,
                                    predicate_only=predicate_only),
         batch_format="pyarrow",
-        concurrency=concurrency or default_concurrency())
+        concurrency=concurrency)
 
 
 def merge_features(ds_a, ds_b):
@@ -518,12 +548,17 @@ def intersect_features(ds, overlay: pa.Table, *, geom_col="geom",
                        right_cols=None, concurrency=None):
     """Intersect overlay join with geometry output (1-to-many)."""
     ref = put_bundle(overlay)
+    if concurrency is None:
+        return _tasks_map(ds, ref, IntersectEmitter,
+                          dict(geom_col=geom_col,
+                               right_cols=tuple(right_cols)
+                               if right_cols else None))
     return ds.map_batches(
         IntersectEmitter,
         fn_constructor_kwargs=dict(bundle_ref=[ref], geom_col=geom_col,
                                    right_cols=right_cols),
         batch_format="pyarrow",
-        concurrency=concurrency or default_concurrency())
+        concurrency=concurrency)
 
 
 def identity_features(ds, overlay: pa.Table, *, geom_col="geom",
@@ -563,11 +598,10 @@ def union_features(ds_a, overlay_b: pa.Table, a_table: pa.Table, ds_b,
     from ..core.util import default_concurrency
     from .join import _dedup_names
 
-    # three actor-pool stages run in ONE streaming DAG — split the CPU
-    # budget across them or the pools oversubscribe the cluster
-    # (measured 33 s → ~9 s at sf0.1/32 CPUs)
-    if concurrency is None:
-        concurrency = max(2, default_concurrency() // 3)
+    # the three legs default to the cached-tasks execution path — three
+    # ACTOR pools in one streaming DAG oversubscribed the cluster
+    # (measured 33 s → ~9 s at sf0.1/32 CPUs with a /3 split; tasks
+    # avoid the pools entirely)
     inter = intersect_features(ds_a, overlay_b, geom_col=geom_col,
                                right_cols=right_cols,
                                concurrency=concurrency)
