@@ -283,6 +283,8 @@ def _tasks_map(ds, ref, cls, kwargs):
         st = _OVERLAY_CACHE.get(key)
         if st is None:
             st = cls([ref], **kwargs)
+            if len(_OVERLAY_CACHE) >= 8:   # bounded per-worker cache
+                _OVERLAY_CACHE.pop(next(iter(_OVERLAY_CACHE)))
             _OVERLAY_CACHE[key] = st
         return st(batch)
 
