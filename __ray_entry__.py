@@ -806,6 +806,21 @@ def _q_circular_binning(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_token_count_bpe(sf_dir: str):
+    """BPE-ish (word/punct regex) token counting — the second tokenizer
+    mode; SQL oracle via regexp_extract_all."""
+    import ray
+
+    from opengxt_ray.textops.quality import token_count_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: token_count_batch(b, mode="bpe"), batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
+
+
 def _q_point_statistics(sf_dir: str):
     from opengxt_ray.ops.pip import point_statistics
 
@@ -960,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "spatial_clump": _q_spatial_clump,
         "circular_binning": _q_circular_binning,
+        "token_count_bpe": _q_token_count_bpe,
         "intersect_area": _q_intersect_area,
         "union_area": _q_union_area,
         "rasterize_roundtrip": _q_rasterize_roundtrip,
@@ -1384,6 +1400,12 @@ def oracle_sql() -> dict[str, str]:
                                     THEN -r0 - s0 ELSE q0 END) - s0
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\w+|[^\w\s]'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
         """,
         "circular_binning": f"""
             WITH pts AS (
