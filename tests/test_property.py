@@ -216,3 +216,50 @@ def test_gh_partition_identity(seed):
         for h in holes:
             diff -= abs(geomops.ring_area(np.vstack([h, h[:1]])))
     assert inter + diff == pytest.approx(a_area, rel=1e-6, abs=1e-9)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=0, max_value=2**63 - 1),
+       st.integers(min_value=2, max_value=12))
+def test_cells_to_rings_area_preserved(seed, side):
+    """Random occupancy masks (incl. diagonal contacts and holes):
+    the signed areas of the chained boundary rings must sum to exactly
+    the number of occupied cells."""
+    from opengxt_ray.raster.vectorize import _cells_to_edges, _chain_rings
+
+    rs = np.random.RandomState(seed % (2**32))
+    mask = rs.rand(side, side) < 0.5
+    rows, cols = np.nonzero(mask)
+    if len(rows) == 0:
+        return
+    rings = _chain_rings(_cells_to_edges(rows, cols))
+    total = 0.0
+    for ch in rings:
+        # grid nodes (r, c) → world (x=c, y=−r): CCW shells positive
+        arr = np.array([[c, -r] for r, c in ch], dtype=np.float64)
+        total += geomops.ring_area(arr)
+    assert total == float(mask.sum())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_wkt_wkb_roundtrip_polygon(seed):
+    """WKT → WKB → WKT → WKB is stable and area-preserving for random
+    simple (convex-hull) polygons."""
+    from opengxt_ray.sources.geojson import wkb_to_wkt, wkt_to_wkb
+
+    rs = np.random.RandomState(seed % (2**32))
+    pts = rs.uniform(-50, 50, (rs.randint(3, 12), 2))
+    hull = geomops.convex_hull(pts)
+    if len(hull) < 4:
+        return
+    b1 = wkb.encode_polygon(hull)
+    txt = wkb_to_wkt(b1)
+    b2 = wkt_to_wkb(txt)
+    a1 = geomops.areas(wkb.decode([b1]))[0]
+    a2 = geomops.areas(wkb.decode([b2]))[0]
+    # wkb_to_wkt prints ~6 significant digits (WKT PPIO formatting)
+    assert a2 == pytest.approx(a1, rel=1e-3)
+    # and the parse itself is exact: WKT → WKB → WKT is a fixed point
+    from opengxt_ray.sources.geojson import wkb_to_wkt as _w
+    assert _w(b2) == _w(wkt_to_wkb(_w(b2)))
