@@ -994,12 +994,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pearson": _q_pearson,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_pairs": _q_minhash_pairs,
+        "lang_id": _q_lang_id,
         # rows-only (no SQL oracle): model/heuristic & LSH ops
         "simhash": _q_simhash,
-        "lang_id": _q_lang_id,
         "kmeans": _q_kmeans,
     }
 
+
+
+
+def _lang_id_sql() -> str:
+    """Generate the marker-count + first-max-argmax SQL replica of
+    textops.quality.LanguageId (non-overlapping substring counts via
+    replace-length arithmetic; dict-order tie-break = the classifier's
+    strict-greater update; zero score -> 'und' — the CJK script
+    fallback never fires on ASCII corpora)."""
+    from opengxt_ray.textops.quality import _LANG_MARKERS
+
+    def esc(m):
+        return m.replace("'", "''")
+
+    scores = []
+    for lang, marks in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, '{esc(m)}', '')))"
+            f" / length('{esc(m)}')"
+            for m in marks)
+        scores.append(f"({terms}) AS s_{lang}")
+    langs = list(_LANG_MARKERS)
+    gm = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + gm + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {gm} THEN '{l}'" for l in langs) + " END"
+    return f"""
+        WITH padded AS (
+            SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+        ),
+        sc AS (SELECT doc_id, {", ".join(scores)} FROM padded)
+        SELECT doc_id, {case} AS lang_pred FROM sc
+    """
 
 def oracle_sql() -> dict[str, str]:
     lon_c, lat_c = _lon("c_custkey"), _lat("c_custkey")
@@ -1401,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
         """,
+        "lang_id": _lang_id_sql(),
         "token_count_bpe": r"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '\w+|[^\w\s]'))
