@@ -266,3 +266,46 @@ def test_embedding_neardup_planted_duplicates():
     assert len(true_pairs) >= 55            # the twins are planted
     recall = len(got & true_pairs) / len(true_pairs)
     assert recall >= 0.5, recall            # 12-bit LSH collision bound
+
+
+def test_winnowing_fingerprints_properties():
+    """Winnowing invariants (MOSS): identical docs share all
+    fingerprints; a doc containing a long verbatim excerpt of another
+    shares most of the excerpt's fingerprints; unrelated docs share
+    ~none. Plus an exact check against a per-doc reference rolling-hash
+    implementation."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from opengxt_ray.textops.quality import fingerprint_batch
+
+    rs = np.random.RandomState(44)
+    vocab = [f"tok{i}" for i in range(300)]
+    a = " ".join(rs.choice(vocab, 300))
+    b = a  # identical
+    c = " ".join(rs.choice(vocab, 120)) + " " + a[200:900] + " " + \
+        " ".join(rs.choice(vocab, 120))   # contains an excerpt of a
+    d = " ".join(rs.choice(vocab, 300))   # unrelated
+    batch = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                      "text": pa.array([a, b, c, d])})
+    out = fingerprint_batch(batch)
+    fps = {}
+    for i in range(len(out)):
+        fps.setdefault(out["doc_id"][i].as_py(), set()).add(
+            out["fingerprint"][i].as_py())
+    assert fps[0] == fps[1]                       # identical docs
+    overlap_ac = len(fps[0] & fps[2]) / len(fps[0])
+    overlap_ad = len(fps[0] & fps[3]) / len(fps[0])
+    assert overlap_ac > 0.15                      # excerpt detected
+    assert overlap_ad < 0.02                      # unrelated ≈ disjoint
+
+    # exact reference check for one doc
+    k, window = 25, 16
+    data = np.frombuffer(a.encode(), dtype=np.uint8)
+    B = np.uint64(257)
+    with np.errstate(over="ignore"):
+        powers = B ** np.arange(k, dtype=np.uint64)
+        n = len(data) - k + 1
+        idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+        h = (data[idx].astype(np.uint64) * powers[None, ::-1]).sum(axis=1)
+    want = set(np.unique(sliding_window_view(h, window).min(axis=1)).tolist())
+    assert fps[0] == want
