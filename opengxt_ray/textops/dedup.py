@@ -397,29 +397,97 @@ def _lsh_candidate_pairs_ds(ds, *, num_perm, bands, shingle_k, text_col,
         .count().select_columns(["a", "b"])
 
 
+def attach_pair_texts(pairs, ds, *, id_col="doc_id", text_col="text",
+                      num_partitions: int = 16):
+    """(a, b) candidate pairs + (id, text) corpus → Dataset
+    (a, b, text_a, text_b).
+
+    Expressed as TWO union+groupby message-passing passes, NOT
+    Dataset.join: Ray's join materializes schema-less empty partitions
+    that break any downstream shuffle on the joined columns
+    (ArrowInvalid FieldRef), and two join operators in one streaming
+    DAG deadlock small CPU budgets. Inner-join semantics (pairs whose
+    id is missing from the corpus are dropped)."""
+    pairs = pairs.materialize()
+
+    def _prov(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "key": pc.cast(b[id_col], pa.int64()),
+            "other": pa.nulls(len(b), pa.int64()),
+            "carry": pa.nulls(len(b), pa.string()),
+            "text": pc.cast(b[text_col], pa.string()),
+        })
+
+    def _consA(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["a"], "other": b["b"],
+            "carry": pa.nulls(len(b), pa.string()),
+            "text": pa.nulls(len(b), pa.string()),
+        })
+
+    def _groupA(g: pa.Table) -> pa.Table:
+        txt = g["text"].combine_chunks()
+        valid = np.asarray(txt.is_valid())
+        cons = np.nonzero(~valid)[0]
+        if not valid.any() or len(cons) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "text_a": pa.array([], pa.string())})
+        ptext = txt[int(np.nonzero(valid)[0][0])].as_py()
+        keyv = g["key"].to_numpy(zero_copy_only=False)
+        otherv = g["other"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(keyv[cons].astype(np.int64)),
+            "b": pa.array(otherv[cons].astype(np.int64)),
+            "text_a": pa.array([ptext] * len(cons), pa.string()),
+        })
+
+    passA = ds.map_batches(_prov, batch_format="pyarrow").union(
+        pairs.map_batches(_consA, batch_format="pyarrow")).groupby(
+        "key", num_partitions=num_partitions).map_groups(
+        _groupA, batch_format="pyarrow")
+
+    def _consB(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["b"], "other": b["a"],
+            "carry": b["text_a"],
+            "text": pa.nulls(len(b), pa.string()),
+        })
+
+    def _groupB(g: pa.Table) -> pa.Table:
+        txt = g["text"].combine_chunks()
+        valid = np.asarray(txt.is_valid())
+        cons = np.nonzero(~valid)[0]
+        if not valid.any() or len(cons) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "text_a": pa.array([], pa.string()),
+                             "text_b": pa.array([], pa.string())})
+        ptext = txt[int(np.nonzero(valid)[0][0])].as_py()
+        keyv = g["key"].to_numpy(zero_copy_only=False)
+        otherv = g["other"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(otherv[cons].astype(np.int64)),
+            "b": pa.array(keyv[cons].astype(np.int64)),
+            "text_a": g["carry"].take(pa.array(cons)),
+            "text_b": pa.array([ptext] * len(cons), pa.string()),
+        })
+
+    return ds.map_batches(_prov, batch_format="pyarrow").union(
+        passA.map_batches(_consB, batch_format="pyarrow")).groupby(
+        "key", num_partitions=num_partitions).map_groups(
+        _groupB, batch_format="pyarrow")
+
+
 def _verify_pairs(pairs, ds, *, shingle_k, text_col, id_col,
                   num_partitions):
-    """Join texts onto candidate pairs and compute EXACT k-shingle
+    """Attach texts to candidate pairs and compute EXACT k-shingle
     Jaccard per pair → Dataset (a, b, jacc). Pairs ≪ docs, so the
-    per-pair set kernel runs on a tiny fraction of the corpus.
-
-    The pair table is materialized first: letting the MinHasher actor
-    pool run concurrently with the join's shuffle actors deadlocks a
-    small CPU budget (measured hang at 8 CPUs — pool of CPUs−2 + join
-    aggregators oversubscribe), and the (a, b) table is tiny anyway."""
-    pairs = pairs.materialize()
-    ta = ds.map_batches(
-        lambda b: pa.table({"a": b[id_col], "text_a": b[text_col]}),
-        batch_format="pyarrow")
-    tb = ds.map_batches(
-        lambda b: pa.table({"b": b[id_col], "text_b": b[text_col]}),
-        batch_format="pyarrow")
-    # materialize between the two joins — two join operators in one
-    # streaming DAG deadlock a 4-CPU session (shuffle-actor
-    # oversubscription); the intermediate holds text only for pairs
-    j = pairs.join(ta, join_type="inner", num_partitions=8,
-                   on=("a",)).materialize()
-    j = j.join(tb, join_type="inner", num_partitions=8, on=("b",))
+    per-pair set kernel runs on a tiny fraction of the corpus."""
+    j = attach_pair_texts(pairs, ds, id_col=id_col, text_col=text_col,
+                          num_partitions=num_partitions or 16)
 
     def _jacc(batch: pa.Table) -> pa.Table:
         a_txt = batch["text_a"].to_pylist()

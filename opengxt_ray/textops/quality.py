@@ -218,17 +218,11 @@ def ngram_jaccard_pairs(ds, pairs_ds, *, text_col="text", id_col="doc_id",
                         k: int = 3, num_partitions: int = 8):
     """Exact n-gram Jaccard for candidate pairs: joins texts to (a, b)
     pair rows then computes per-pair. pairs_ds: columns a, b."""
-    texts = ds.map_batches(
-        lambda b: pa.table({id_col: b[id_col], text_col: b[text_col]}),
-        batch_format="pyarrow")
-    a_join = pairs_ds.join(
-        texts.map_batches(lambda b: pa.table({"a": b[id_col], "text_a": b[text_col]}),
-                          batch_format="pyarrow"),
-        join_type="inner", num_partitions=num_partitions, on=("a",))
-    b_join = a_join.join(
-        texts.map_batches(lambda b: pa.table({"b": b[id_col], "text_b": b[text_col]}),
-                          batch_format="pyarrow"),
-        join_type="inner", num_partitions=num_partitions, on=("b",))
+    from .dedup import attach_pair_texts
+
+    b_join = attach_pair_texts(pairs_ds, ds, id_col=id_col,
+                               text_col=text_col,
+                               num_partitions=num_partitions)
 
     def _jac(batch: pa.Table) -> pa.Table:
         from .dedup import jaccard

@@ -309,3 +309,22 @@ def test_winnowing_fingerprints_properties():
         h = (data[idx].astype(np.uint64) * powers[None, ::-1]).sum(axis=1)
     want = set(np.unique(sliding_window_view(h, window).min(axis=1)).tolist())
     assert fps[0] == want
+
+
+def test_ngram_jaccard_pairs_exact():
+    from opengxt_ray.textops.dedup import jaccard
+    from opengxt_ray.textops.quality import ngram_jaccard_pairs
+
+    texts = {0: "a b c d e f g h", 1: "a b c d e f g x",
+             2: "p q r s t u v w", 3: "a b c d e f g h"}
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)])}))
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array([0, 0, 0], pa.int64()),
+        "b": pa.array([1, 2, 3], pa.int64())}))
+    out = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(ds, pairs).take_all()}
+    for (a, b), j in out.items():
+        assert j == pytest.approx(jaccard(texts[a], texts[b]), abs=1e-12)
+    assert out[(0, 3)] == 1.0 and out[(0, 2)] == 0.0
