@@ -143,3 +143,126 @@ def geotiff_to_tiles(path: str, *, tile_size: int = 256):
         "data": pa.array([r["data"] for r in rows], pa.binary()),
     })
     return ray.data.from_arrow(t), meta
+
+
+def write_geotiff(tiles, meta: RasterMeta, path: str, *,
+                  dtype: str = "float32", nodata: float | None = None,
+                  compress: bool = True):
+    """Minimal GeoTIFF WRITER — single band, striped, optional DEFLATE
+    (RasterExport: GT/RasterExportProcess; the reference writes via
+    GeoTools' GeoTIFF writer, we emit TIFF 6.0 + GeoTIFF tags directly).
+
+    NaN cells are written as ``nodata`` (default: NaN for float types,
+    which GDAL and this module's reader both honor via tag 42113).
+    Gathers the raster dense on the driver — the export path is for
+    fixture-sized rasters; big rasters stay Parquet tile tables
+    (SURVEY §2.1 interchange note)."""
+    from .geometry import _gather_dense
+
+    dense = _gather_dense(tiles, meta)
+    dt = np.dtype({"float32": "<f4", "float64": "<f8"}[dtype])
+    if nodata is None:
+        nodata = float("nan")
+    arr = np.where(np.isnan(dense), nodata, dense).astype(dt)
+
+    rows_per_strip = max(1, min(meta.height, 8192 // max(meta.width, 1) + 1))
+    strips = []
+    for y0 in range(0, meta.height, rows_per_strip):
+        raw = np.ascontiguousarray(
+            arr[y0 : y0 + rows_per_strip]).tobytes()
+        strips.append(zlib.compress(raw) if compress else raw)
+
+    bits = dt.itemsize * 8
+    nodata_ascii = (f"{nodata!r}" if nodata == nodata else "nan").encode() \
+        + b"\x00"
+    scale = struct.pack("<3d", meta.cell_size, meta.cell_size, 0.0)
+    tie = struct.pack("<6d", 0.0, 0.0, 0.0, meta.origin_x, meta.origin_y, 0.0)
+
+    # layout: header(8) | IFD | out-of-line tag data | strip data
+    tags = []  # (tag, type, count, value_bytes_or_int, is_offset_data)
+
+    def _short(v):
+        return struct.pack("<HH", v, 0)
+
+    def _long(v):
+        return struct.pack("<I", v)
+
+    ntags = 13
+    ifd_off = 8
+    ifd_size = 2 + ntags * 12 + 4
+    extra_off = ifd_off + ifd_size
+    extra = bytearray()
+
+    def _extra(buf: bytes) -> int:
+        off = extra_off + len(extra)
+        extra.extend(buf)
+        return off
+
+    nstrips = len(strips)
+    if nstrips == 1:
+        strip_off_val = None   # patched after extra is final
+        strip_cnt_val = _long(len(strips[0]))
+        off_inline = True
+    else:
+        off_inline = False
+
+    # out-of-line payloads first (offsets resolved as appended)
+    scale_off = _extra(scale)
+    tie_off = _extra(tie)
+    nod_off = _extra(nodata_ascii) if len(nodata_ascii) > 4 else None
+    if not off_inline:
+        offs_pos = _extra(b"\x00" * 4 * nstrips)   # patched later
+        cnts_off = _extra(struct.pack(f"<{nstrips}I",
+                                      *[len(s) for s in strips]))
+    data_off = extra_off + len(extra)
+    strip_offsets = []
+    p = data_off
+    for s_ in strips:
+        strip_offsets.append(p)
+        p += len(s_)
+    if not off_inline:
+        extra[offs_pos - extra_off : offs_pos - extra_off + 4 * nstrips] = \
+            struct.pack(f"<{nstrips}I", *strip_offsets)
+
+    sample_format = 3  # IEEE float
+    compression = 8 if compress else 1
+
+    def T(tag, typ, cnt, val4):
+        tags.append(struct.pack("<HHI", tag, typ, cnt) + val4)
+
+    T(256, 4, 1, _long(meta.width))
+    T(257, 4, 1, _long(meta.height))
+    T(258, 3, 1, _short(bits))
+    T(259, 3, 1, _short(compression))
+    T(262, 3, 1, _short(1))                       # photometric
+    if off_inline:
+        T(273, 4, 1, _long(strip_offsets[0]))
+    else:
+        T(273, 4, nstrips, _long(offs_pos))
+    T(277, 3, 1, _short(1))                       # samples/pixel
+    T(278, 4, 1, _long(rows_per_strip))
+    if off_inline:
+        T(279, 4, 1, strip_cnt_val)
+    else:
+        T(279, 4, nstrips, _long(cnts_off))
+    T(339, 3, 1, _short(sample_format))
+    T(33550, 12, 3, _long(scale_off))             # ModelPixelScale
+    T(33922, 12, 6, _long(tie_off))               # ModelTiepoint
+    if nod_off is not None:
+        T(42113, 2, len(nodata_ascii), _long(nod_off))
+    else:
+        T(42113, 2, len(nodata_ascii),
+          nodata_ascii.ljust(4, b"\x00")[:4])
+    tags.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    assert len(tags) == ntags, len(tags)
+
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, ifd_off))
+        f.write(struct.pack("<H", ntags))
+        for t_ in tags:
+            f.write(t_)
+        f.write(struct.pack("<I", 0))             # next IFD
+        f.write(bytes(extra))
+        for s_ in strips:
+            f.write(s_)
+    return path

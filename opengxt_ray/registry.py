@@ -405,6 +405,10 @@ def _populate() -> None:
       "GT/gridcoverage/RasterDescribeOperation.java")
     E("RasterExtraction", "raster", RA.raster_extraction,
       "GT/RasterExtractionProcess.java:88 (keep cells matching filter)")
+    E("RasterExport", "raster", GT2.write_geotiff,
+      "GT/RasterExportProcess (minimal GeoTIFF writer: striped, "
+      "DEFLATE, nodata tag, ModelPixelScale/Tiepoint; round-trips the "
+      "reference's sfdem.tif bit-exact)")
     E("RasterForceCRS", "raster", RA.raster_force_crs,
       "GT/RasterForceCRSProcess (metadata-only CRS stamp)")
     E("StatisticsGridCoverage", "raster", RT.raster_statistics,

@@ -160,3 +160,56 @@ def test_extract_values_and_profile(pts_ds):
     assert len(prof) == 10
     pc_, pr = META.world_to_cell(prof["lon"].to_numpy(), prof["lat"].to_numpy())
     np.testing.assert_allclose(prof["raster_val"].to_numpy(), dense[pr, pc_])
+
+
+def test_geotiff_writer_roundtrip(tmp_path):
+    """RasterExport: write_geotiff → read_geotiff round trip (values,
+    nodata, georeferencing), single- and multi-strip, DEFLATE."""
+    from opengxt_ray.raster.geotiff import read_geotiff, write_geotiff
+    from opengxt_ray.raster.tiles import RasterMeta
+
+    meta = RasterMeta(10.0, 60.0, 0.5, 37, 23, tile_size=8)
+    rs = np.random.RandomState(3)
+    dense = rs.uniform(-100, 100, (23, 37))
+    dense[2, 3] = np.nan
+    ts = meta.tile_size
+    rows = []
+    for ty in range(meta.tiles_y):
+        for tx in range(meta.tiles_x):
+            h, w = meta.tile_shape(tx, ty)
+            rows.append({"tx": tx, "ty": ty, "data": np.ascontiguousarray(
+                dense[ty * ts:ty * ts + h, tx * ts:tx * ts + w]).tobytes()})
+    t = pa.table({
+        "tx": pa.array([r["tx"] for r in rows], pa.int32()),
+        "ty": pa.array([r["ty"] for r in rows], pa.int32()),
+        "data": pa.array([r["data"] for r in rows], pa.binary())})
+    tiles = ray.data.from_arrow(t)
+    p = str(tmp_path / "rt.tif")
+    write_geotiff(tiles, meta, p, dtype="float64", nodata=-9999.0)
+    back, m2 = read_geotiff(p)
+    assert (m2.origin_x, m2.origin_y, m2.cell_size, m2.width, m2.height) \
+        == (10.0, 60.0, 0.5, 37, 23)
+    np.testing.assert_allclose(np.nan_to_num(back, nan=-1),
+                               np.nan_to_num(dense, nan=-1))
+
+
+def test_geotiff_writer_sfdem_roundtrip(tmp_path):
+    """Round-trip the reference's real sfdem.tif fixture through the
+    writer: values must survive bit-exact (float64 path)."""
+    import os
+
+    from opengxt_ray.raster.geotiff import (geotiff_to_tiles, read_geotiff,
+                                            write_geotiff)
+
+    src = "/root/reference/GeoTools/process-spatialstatistics/src/test/resources/org/geotools/process/spatialstatistics/test-data/sfdem.tif"
+    if not os.path.exists(src):
+        pytest.skip("sfdem fixture not present")
+    dense0, meta0 = read_geotiff(src)
+    tiles, meta = geotiff_to_tiles(src, tile_size=128)
+    p = str(tmp_path / "sfdem_rt.tif")
+    write_geotiff(tiles, meta, p, dtype="float64", nodata=-9999.0)
+    dense1, meta1 = read_geotiff(p)
+    assert (meta1.width, meta1.height) == (meta0.width, meta0.height)
+    assert meta1.cell_size == pytest.approx(meta0.cell_size)
+    np.testing.assert_array_equal(np.nan_to_num(dense1, nan=-1),
+                                  np.nan_to_num(dense0, nan=-1))
