@@ -490,6 +490,9 @@ def _populate() -> None:
       "GT/operations/TextfileToPointOperation.java:111-175")
     E("GeoJSONDecode", "transform", GJ.geojson_to_table,
       "GS/ppio/ApplicationGeoJSONPPIO.java:68-95")
+    E("ShapeExport", "transform", SF.write_shapefile,
+      "GT/ShapeExportProcess (minimal .shp/.shx/.dbf writer, ESRI ring "
+      "orientation; round-trips the reference's hexa.shp fixture)")
     E("ShapefileRead", "transform", SF.read_shapefile,
       "GT/storage/DataStoreFactory.java:64-90 (read side)")
     E("GeoJSONEncode", "transform", GJ.dataset_to_geojson,

@@ -155,3 +155,141 @@ def read_shapefile(path: str):
     import ray
 
     return ray.data.from_arrow(read_shapefile_table(path))
+
+
+# ---------------------------------------------------------------------------
+# Writer (ShapeExport)
+# ---------------------------------------------------------------------------
+
+def _shp_record(fg, i) -> tuple[int, bytes]:
+    """FlatGeoms geometry i → (shape_type, shp record content)."""
+    t = int(fg.types[i])
+    if t == _wkb.POINT:
+        pts = fg.geom_coords(i)
+        if len(pts) == 1:
+            return SHP_POINT, struct.pack("<i2d", SHP_POINT,
+                                          float(pts[0, 0]), float(pts[0, 1]))
+        # MultiPoint (shape type 8)
+        body = struct.pack("<i4d", 8,
+                           float(pts[:, 0].min()), float(pts[:, 1].min()),
+                           float(pts[:, 0].max()), float(pts[:, 1].max()))
+        body += struct.pack("<i", len(pts))
+        body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+        return 8, body
+    rings = [r for r, _ in fg.rings(i)]
+    if t == _wkb.LINESTRING:
+        stype = SHP_POLYLINE
+    else:
+        stype = SHP_POLYGON
+        # ESRI convention: outer rings CW, holes CCW
+        fixed = []
+        for r, is_shell in fg.rings(i):
+            area = 0.0
+            for j in range(len(r) - 1):
+                area += r[j, 0] * r[j + 1, 1] - r[j + 1, 0] * r[j, 1]
+            cw = area < 0
+            if is_shell != cw:
+                r = r[::-1]
+            fixed.append(r)
+        rings = fixed
+    allp = np.vstack(rings)
+    body = struct.pack("<i4d", stype,
+                       float(allp[:, 0].min()), float(allp[:, 1].min()),
+                       float(allp[:, 0].max()), float(allp[:, 1].max()))
+    body += struct.pack("<2i", len(rings), len(allp))
+    off = 0
+    for r in rings:
+        body += struct.pack("<i", off)
+        off += len(r)
+    body += np.ascontiguousarray(allp, dtype="<f8").tobytes()
+    return stype, body
+
+
+def _dbf_write(table: pa.Table, path: str):
+    """Write attributes as dBASE III (C strings, N numerics)."""
+    import datetime
+
+    names = [n for n in table.column_names if n != "geom"]
+    specs = []
+    texts: dict[str, list[str]] = {}
+    for n in names:
+        col = table[n]
+        vals = col.to_pylist()
+        if pa.types.is_floating(col.type):
+            strs = ["" if v is None else f"{v:.6f}" for v in vals]
+            flen = max(max((len(s) for s in strs), default=1), 1)
+            specs.append((n[:10], "N", min(flen, 30), 6))
+        elif pa.types.is_integer(col.type):
+            strs = ["" if v is None else str(v) for v in vals]
+            flen = max(max((len(s) for s in strs), default=1), 1)
+            specs.append((n[:10], "N", min(flen, 18), 0))
+        elif pa.types.is_boolean(col.type):
+            strs = ["" if v is None else ("T" if v else "F") for v in vals]
+            specs.append((n[:10], "L", 1, 0))
+        else:
+            strs = ["" if v is None else str(v) for v in vals]
+            flen = max(max((len(s) for s in strs), default=1), 1)
+            specs.append((n[:10], "C", min(flen, 254), 0))
+        texts[n] = strs
+    rec_len = 1 + sum(f for _, _, f, _ in specs)
+    header_len = 32 + 32 * len(specs) + 1
+    n_rec = table.num_rows
+    today = datetime.date(2026, 1, 1)  # fixed: deterministic output
+    out = bytearray()
+    out += struct.pack("<4Bi2h20x", 3, today.year - 1900, today.month,
+                       today.day, n_rec, header_len, rec_len)
+    for name, ftype, flen, fdec in specs:
+        out += name.encode("ascii").ljust(11, b"\x00")
+        out += ftype.encode("ascii")
+        out += b"\x00" * 4
+        out += bytes([flen, fdec])
+        out += b"\x00" * 14
+    out += b"\x0D"
+    for ri in range(n_rec):
+        out += b" "
+        for (name, ftype, flen, fdec), n in zip(specs, names):
+            s = texts[n][ri][:flen]
+            if ftype == "N":
+                out += s.rjust(flen).encode("latin-1")
+            else:
+                out += s.ljust(flen).encode("latin-1")
+    out += b"\x1A"
+    open(path, "wb").write(bytes(out))
+
+
+def write_shapefile(table: pa.Table, path: str, *, geom_col: str = "geom"):
+    """ShapeExport (GT/ShapeExportProcess) — write .shp/.shx/.dbf from a
+    feature table (Point/MultiPoint/PolyLine/Polygon; ESRI ring
+    orientation applied). Minimal, deterministic, round-trips through
+    this module's reader."""
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    fg = _wkb.decode(table[geom_col].to_pylist())
+    records = [_shp_record(fg, i) for i in range(len(fg))]
+    stype = records[0][0] if records else SHP_POINT
+    contents = bytearray()
+    shx = bytearray()
+    offset_words = 50
+    for idx, (st, body) in enumerate(records):
+        clen_words = len(body) // 2
+        contents += struct.pack(">2i", idx + 1, clen_words)
+        contents += body
+        shx += struct.pack(">2i", offset_words, clen_words)
+        offset_words += 4 + clen_words
+    allb = []
+    for i in range(len(fg)):
+        pts = fg.geom_coords(i)
+        if len(pts):
+            allb.append([pts[:, 0].min(), pts[:, 1].min(),
+                         pts[:, 0].max(), pts[:, 1].max()])
+    bb = (np.array(allb) if allb else np.zeros((1, 4)))
+    header = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    for payload, fname in ((contents, base + ".shp"), (shx, base + ".shx")):
+        flen_words = (100 + len(payload)) // 2
+        hdr = header + struct.pack(">i", flen_words)
+        hdr += struct.pack("<2i", 1000, stype)
+        hdr += struct.pack("<4d", float(bb[:, 0].min()), float(bb[:, 1].min()),
+                           float(bb[:, 2].max()), float(bb[:, 3].max()))
+        hdr += struct.pack("<4d", 0, 0, 0, 0)
+        open(fname, "wb").write(hdr + bytes(payload))
+    _dbf_write(table, base + ".dbf")
+    return base + ".shp"
