@@ -415,6 +415,10 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_simhash(sf_dir: str):
+    """64-bit SimHash fingerprints — SQL-oracled: FNV-1a replicated in
+    DuckDB via list_reduce over codepoints, bit votes as 64 aggregate
+    expressions (see _simhash_sql). Fingerprint emitted as VARCHAR on
+    both sides (uint64 doesn't survive the int64 canonicalization)."""
     import ray
 
     from opengxt_ray.textops.dedup import simhash_batch
@@ -422,8 +426,13 @@ def _q_simhash(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     out = ds.map_batches(simhash_batch, batch_format="pyarrow")
-    return out.map_batches(lambda b: b.select(["doc_id", "simhash"]),
-                           batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "simhash_str": pa.array(
+                [str(v) for v in b["simhash"].to_pylist()], pa.string()),
+        }),
+        batch_format="pyarrow")
 
 
 def _q_lang_id(sf_dir: str):
@@ -995,12 +1004,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "lang_id": _q_lang_id,
-        # rows-only (no SQL oracle): model/heuristic & LSH ops
         "simhash": _q_simhash,
+        # rows-only (no SQL oracle): model/heuristic & LSH ops
         "kmeans": _q_kmeans,
     }
 
 
+
+
+def _simhash_sql() -> str:
+    """SimHash oracle: FNV-1a (exact 64-bit wraparound arithmetic via
+    HUGEINT mod 2^64) folded over each 2-word shingle's codepoints with
+    list_reduce, then per-doc ±1 bit votes as 64 aggregates and the
+    sign bits packed back into the fingerprint."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    pack = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS HUGEINT) ELSE 0 END"
+        for b in range(64))
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest([ws[i] || ' ' || ws[i+1]
+                           for i in range(1, len(ws))]) AS s
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        ),
+        hashed AS (
+            SELECT doc_id, list_reduce(
+                list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                             [CAST(unicode(ch) AS HUGEINT)
+                              for ch in list_filter(
+                                  string_split_regex(s, ''),
+                                  x -> x <> '')]),
+                (acc, ch) -> (xor(acc, ch) * 1099511628211)
+                             % 18446744073709551616) AS h
+            FROM sh
+        ),
+        votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({pack} AS VARCHAR) AS simhash_str FROM votes
+    """
 
 
 def _lang_id_sql() -> str:
@@ -1434,6 +1478,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rounded
         """,
         "lang_id": _lang_id_sql(),
+        "simhash": _simhash_sql(),
         "token_count_bpe": r"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '\w+|[^\w\s]'))
