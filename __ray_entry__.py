@@ -590,7 +590,12 @@ def _q_ivf_topk(sf_dir: str):
     qm = np.stack(qtab["embedding"].to_numpy(zero_copy_only=False))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    out = ivf_topk(ds, qids, qm, k=10, nlist=16, nprobe=8)
+    # FULL probe (nprobe = nlist): exercises the whole IVF machinery
+    # (centroid training, bucket assignment, probe routing, per-bucket
+    # partial top-k, global merge) while being exactly equal to brute
+    # force — so the brute-force SQL oracle applies. Partial-probe
+    # recall is pytest-covered (tests/test_dedup_oracle.py).
+    out = ivf_topk(ds, qids, qm, k=10, nlist=16, nprobe=16)
     return out.map_batches(
         lambda b: pa.table({"query_id": b["query_id"], "vec_id": b["vec_id"],
                             "rank": b["rank"].cast(pa.int64())}),
@@ -981,7 +986,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "cell_assignment": _q_cell_assignment,
         "kernel_density_quartic": _q_kernel_density_quartic,
-        "ivf_topk": _q_ivf_topk,
         "spatial_clump": _q_spatial_clump,
         "circular_binning": _q_circular_binning,
         "token_count_bpe": _q_token_count_bpe,
@@ -1005,7 +1009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "lang_id": _q_lang_id,
         "simhash": _q_simhash,
-        # rows-only (no SQL oracle): model/heuristic & LSH ops
+        "ivf_topk": _q_ivf_topk,
+        # rows-only (no SQL oracle): iterative model ops
         "kmeans": _q_kmeans,
     }
 
@@ -1733,6 +1738,23 @@ def oracle_sql() -> dict[str, str]:
             FROM steps
         """,
         "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS score,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                                    DESC, e.vec_id) AS rank
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM scored WHERE rank <= 10
+        """,
+        "ivf_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                 ORDER BY vec_id LIMIT 5
