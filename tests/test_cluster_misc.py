@@ -152,3 +152,42 @@ def test_nni_and_ivf_recall():
         recall += len(e & a) / len(e)
     recall /= len(qids)
     assert recall >= 0.6  # nprobe 6/16 on random vectors
+
+
+def test_kmeans_matches_serial_lloyd():
+    """Distributed k-means vs a serial numpy Lloyd's run from the same
+    deterministic init: centers and assignments must agree."""
+    from opengxt_ray.ops.cluster import _init_centers, kmeans
+
+    rs = np.random.RandomState(31)
+    centers_true = np.array([[0, 0], [20, 0], [10, 17]], float)
+    pts = np.vstack([c + rs.normal(0, 1.5, (80, 2)) for c in centers_true])
+    t = pa.table({"lon": pa.array(pts[:, 0]), "lat": pa.array(pts[:, 1])})
+    ds = ray.data.from_arrow(t)
+    centers, assign = kmeans(ds, 3, max_iter=25)
+    # serial reference from the SAME init
+    c = _init_centers(ds, 3, "lon", "lat")
+    for _ in range(25):
+        d = np.hypot(pts[:, None, 0] - c[None, :, 0],
+                     pts[:, None, 1] - c[None, :, 1])
+        a = np.argmin(d, axis=1)
+        new = c.copy()
+        for j in range(3):
+            m = a == j
+            if m.any():
+                new[j] = pts[m].mean(axis=0)
+        shift = float(np.hypot(*(new - c).T).max())
+        c = new
+        if shift < 1e-6:
+            break
+    np.testing.assert_allclose(np.sort(centers, axis=0),
+                               np.sort(c, axis=0), atol=1e-6)
+    out = assign(t)
+    labels = out["cluster"].to_numpy()
+    d = np.hypot(pts[:, None, 0] - centers[None, :, 0],
+                 pts[:, None, 1] - centers[None, :, 1])
+    np.testing.assert_array_equal(labels, np.argmin(d, axis=1))
+    # each true cluster maps to one label
+    for g in range(3):
+        seg = labels[g * 80:(g + 1) * 80]
+        assert (seg == np.bincount(seg, minlength=3).argmax()).mean() > 0.95
