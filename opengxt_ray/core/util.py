@@ -38,3 +38,23 @@ def default_shuffle_partitions() -> int:
             if ray.is_initialized() else 8
     except Exception:
         return 8
+
+
+def default_join_partitions() -> int:
+    """Partition count for ``Dataset.join``: ~cluster CPUs, floor 8.
+
+    Measured lore (BASELINE.md): a join with 32 partitions stalls ≤4-CPU
+    sessions (each partition pair pins a task; too many tiny partitions
+    thrash the tiny object store), while a fixed 8 chokes a big cluster
+    into an 8-way funnel. Scale with CPUs, floor at the small-session-safe
+    8 — at 256 nodes this becomes one partition per core instead of a
+    hardcoded constant.
+    """
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pass
+    return 8

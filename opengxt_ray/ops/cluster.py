@@ -15,6 +15,8 @@ K-means execution: broadcast centers → map_batches assign partials
 
 from __future__ import annotations
 
+from ..core.util import default_join_partitions
+
 import numpy as np
 import pyarrow as pa
 
@@ -146,14 +148,14 @@ def distance_clusters(ds, *, radius: float, id_col: str = "pid",
         lab_b = labels.map_batches(
             lambda t: pa.table({"b": t["id"], "lab_b": t["lab"]}),
             batch_format="pyarrow")
-        prop = edges.join(lab_b, join_type="inner", num_partitions=8,
+        prop = edges.join(lab_b, join_type="inner", num_partitions=default_join_partitions(),
                           on=("b",))
         nbr_min = prop.groupby("a").aggregate(ray.data.aggregate.Min("lab_b"))
         nbr_min = nbr_min.map_batches(
             lambda t: pa.table({"id": t["a"], "nbr_lab": t["min(lab_b)"]}),
             batch_format="pyarrow")
         joined = labels.join(nbr_min, join_type="left_outer",
-                             num_partitions=8, on=("id",))
+                             num_partitions=default_join_partitions(), on=("id",))
 
         def _upd(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

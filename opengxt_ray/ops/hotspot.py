@@ -34,6 +34,8 @@ path (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+from ..core.util import default_join_partitions
+
 import numpy as np
 import pyarrow as pa
 
@@ -829,7 +831,7 @@ def local_rogerson_r(ds, case_col: str, pop_col: str, *, id_col: str,
         lambda b: pa.table({"id": b[id_col], "__ripi0": b["__ripi"],
                             "__pi0": b["__pi"], "__sqrtp0": b["__sqrtp"]}),
         batch_format="pyarrow")
-    joined = sums.join(own, join_type="inner", num_partitions=8, on=("id",))
+    joined = sums.join(own, join_type="inner", num_partitions=default_join_partitions(), on=("id",))
 
     def _finalize(batch: pa.Table) -> pa.Table:
         ls = batch["local_sum"].to_numpy()  # Σ aij·(rj−pj)/√pj incl self
@@ -874,7 +876,7 @@ def global_rogerson_r(ds, case_col: str, pop_col: str, *, id_col: str,
         lambda b: pa.table({"id": b[id_col], "__ripi0": b["__ripi"],
                             "__pi0": b["__pi"], "__sqrtp0": b["__sqrtp"]}),
         batch_format="pyarrow")
-    joined = sums.join(own, join_type="inner", num_partitions=8, on=("id",))
+    joined = sums.join(own, join_type="inner", num_partitions=default_join_partitions(), on=("id",))
 
     def _partial(batch: pa.Table) -> pa.Table:
         ls = batch["local_sum"].to_numpy()      # Σⱼ≠ᵢ aij (rj−pj)/√pj

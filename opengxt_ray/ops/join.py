@@ -691,10 +691,14 @@ def hot_cell_salts(points_ds, *, hot_threshold: int = 200_000,
 
 
 def slim_join_reattach(result_ds, payload_ds, *, key: str = "fid",
-                       num_partitions: int = 8,
+                       num_partitions: int | None = None,
                        payload_cols: list[str] | None = None):
     """Re-attach wide payload columns (html/text) to a slim join result
     by key — hash join, payload never entered the shuffle."""
+    from ..core.util import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     if payload_cols:
         payload_ds = payload_ds.select_columns([key] + payload_cols)
     return result_ds.join(payload_ds, join_type="inner",

@@ -19,6 +19,8 @@ machinery with segment clipping.
 
 from __future__ import annotations
 
+from ..core.util import default_join_partitions
+
 import numpy as np
 import pyarrow as pa
 
@@ -254,7 +256,7 @@ def sum_line_length(lines_ds, polys_table: pa.Table, *, poly_key: str,
                             "sum_length": b["sum(__len)"]}),
         batch_format="pyarrow")
     polys = ray.data.from_arrow(polys_table.drop_columns([geom_col]))
-    out = polys.join(agg, join_type="left_outer", num_partitions=8,
+    out = polys.join(agg, join_type="left_outer", num_partitions=default_join_partitions(),
                      on=(poly_key,))
     import pyarrow.compute as pc
 

@@ -17,6 +17,8 @@ tie-break (distance, then id).
 
 from __future__ import annotations
 
+from ..core.util import default_join_partitions
+
 import numpy as np
 import pyarrow as pa
 
@@ -575,7 +577,7 @@ def knn_circles(ds, nbr_ids, nbr_x, nbr_y, *, k: int = 8, id_col="id",
         lambda b: pa_.table({id_col: b[id_col], xcol: b[xcol],
                              ycol: b[ycol]}),
         batch_format="pyarrow")
-    joined = pts.join(radii, join_type="inner", num_partitions=8,
+    joined = pts.join(radii, join_type="inner", num_partitions=default_join_partitions(),
                       on=(id_col,))
 
     def _circle(batch: pa_.Table) -> pa_.Table:

@@ -22,6 +22,8 @@ The pair list then drives any hotspot statistic through
 
 from __future__ import annotations
 
+from ..core.util import default_join_partitions
+
 import numpy as np
 import pyarrow as pa
 
@@ -98,7 +100,7 @@ def contiguity_pairs(polys_ds, *, fid_col: str, mode: str = "queen",
             lambda b: pa.table({"src": b["src"], "dst": b["dst"],
                                 "__rook": pa.array([True] * len(b))}),
             batch_format="pyarrow")
-        j = pairs.join(rook_set, join_type="left_outer", num_partitions=8,
+        j = pairs.join(rook_set, join_type="left_outer", num_partitions=default_join_partitions(),
                        on=("src", "dst"))
         return j.filter(lambda r: r["__rook"] is None).map_batches(
             lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),

@@ -15,6 +15,8 @@ additive ⇒ associative, so partials combine exactly (SURVEY.md §2.7
 
 from __future__ import annotations
 
+from ..core.util import default_join_partitions
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -167,7 +169,7 @@ def points_to_raster(ds, meta: RasterMeta, *, assign: str = "count",
         counts.map_batches(lambda b: pa.table(
             {"tx": b["tx"], "ty": b["ty"], "cdata": b["data"]}),
             batch_format="pyarrow"),
-        join_type="inner", num_partitions=8, on=("tx", "ty"))
+        join_type="inner", num_partitions=default_join_partitions(), on=("tx", "ty"))
 
     def _div(batch: pa.Table) -> pa.Table:
         out = []

@@ -15,6 +15,8 @@ All stages are Ray-Data-native:
 
 from __future__ import annotations
 
+from ..core.util import default_join_partitions
+
 import numpy as np
 import pyarrow as pa
 
@@ -615,7 +617,7 @@ def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
 
     ids = ds.map_batches(lambda b: pa.table({"node": b[id_col]}),
                          batch_format="pyarrow")
-    out = ids.join(lab, join_type="left_outer", num_partitions=8, on=("node",))
+    out = ids.join(lab, join_type="left_outer", num_partitions=default_join_partitions(), on=("node",))
 
     def _final2(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
