@@ -953,6 +953,50 @@ def _q_sessionize(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_points_to_line(sf_dir: str):
+    """PointsToLine — customer points grouped into 40 tracks
+    (c_custkey % 40), chained in c_custkey order; gate compares per-line
+    vertex count, endpoints (exact doubles) and length (round 6 — the
+    sum is order-dependent)."""
+    import ray
+
+    from opengxt_ray.core import wkb as _W
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.lineops import points_to_line
+    from opengxt_ray.sources import tpch_geo
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+    ds = ds.map_batches(
+        lambda b: tpch_geo.add_point_geom(b, "c_custkey").append_column(
+            "line_id", pa.array(
+                (b["c_custkey"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64)) % 40)),
+        batch_format="pyarrow")
+    lines = points_to_line(ds, line_field="line_id", sort_field="c_custkey")
+
+    def _summ(b: pa.Table) -> pa.Table:
+        fg = _W.decode(b["geom"].to_pylist())
+        n = np.empty(len(fg), np.int64)
+        ends = np.empty((len(fg), 4), np.float64)
+        for i in range(len(fg)):
+            c = fg.geom_coords(i)
+            n[i] = len(c)
+            ends[i] = (c[0, 0], c[0, 1], c[-1, 0], c[-1, 1])
+        return pa.table({
+            "line_id": b["line_id"],
+            "n_vertices": pa.array(n),
+            "x_first": pa.array(ends[:, 0]),
+            "y_first": pa.array(ends[:, 1]),
+            "x_last": pa.array(ends[:, 2]),
+            "y_last": pa.array(ends[:, 3]),
+            "length6": pa.array(format_round(
+                b["length"].to_numpy(zero_copy_only=False), 6)),
+        })
+
+    return lines.map_batches(_summ, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -1010,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "simhash": _q_simhash,
         "ivf_topk": _q_ivf_topk,
+        "points_to_line": _q_points_to_line,
         # rows-only (no SQL oracle): iterative model ops
         "kmeans": _q_kmeans,
     }
@@ -1770,6 +1815,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
             FROM scored WHERE rank <= 10
+        """,
+        "points_to_line": f"""
+            WITH pts AS (
+                SELECT c_custkey, CAST(c_custkey % 40 AS BIGINT) AS line_id,
+                       {lon_c} AS x, {lat_c} AS y
+                FROM customer
+            ),
+            lagged AS (
+                SELECT *, lag(x) OVER w AS px, lag(y) OVER w AS py
+                FROM pts WINDOW w AS (PARTITION BY line_id ORDER BY c_custkey)
+            ),
+            dedup AS (
+                SELECT * FROM lagged
+                WHERE px IS NULL OR x <> px OR y <> py
+            ),
+            seg AS (
+                SELECT line_id, x, y, c_custkey,
+                       lag(x) OVER w2 AS qx, lag(y) OVER w2 AS qy
+                FROM dedup
+                WINDOW w2 AS (PARTITION BY line_id ORDER BY c_custkey)
+            )
+            SELECT line_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                   arg_min(x, c_custkey) AS x_first,
+                   arg_min(y, c_custkey) AS y_first,
+                   arg_max(x, c_custkey) AS x_last,
+                   arg_max(y, c_custkey) AS y_last,
+                   round(SUM(CASE WHEN qx IS NULL THEN 0.0
+                             ELSE sqrt((x - qx) * (x - qx)
+                                       + (y - qy) * (y - qy)) END),
+                         6) AS length6
+            FROM seg GROUP BY line_id HAVING COUNT(*) > 1
         """,
         "standardized_scores": """
             WITH m AS (

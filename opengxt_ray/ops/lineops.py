@@ -360,3 +360,191 @@ def trim_line(batch: pa.Table, *, length: float,
     return out.set_column(gi, geom_col,
                           pa.array([g for g in geoms if g is not None],
                                    pa.binary()))
+
+
+# ---------------------------------------------------------------------------
+# PointsToLine
+# ---------------------------------------------------------------------------
+
+def _quadratic_bezier_chain(coords: np.ndarray, *, quality: int = 24,
+                            offset_degree: float = 25.0,
+                            fraction: float = 0.75) -> np.ndarray:
+    """Segment-wise quadratic Bezier smoothing of a vertex chain.
+
+    Mirrors GT/util/BezierCurve.java:98-117 (useSegment=true): each
+    segment p0→p1 gets a control point at angle(p0,p1)+offset_degree,
+    radius len*fraction from p0, and is replaced by `quality` samples at
+    t = 0, 1/q, …, (q-1)/q (the reference's loop excludes t=1, so the
+    curve ends at the last sample of the final segment, not at p1).
+    """
+    if len(coords) < 2:
+        return coords
+    p0 = coords[:-1]
+    p1 = coords[1:]
+    d = p1 - p0
+    seg_len = np.hypot(d[:, 0], d[:, 1])
+    ang = np.arctan2(d[:, 1], d[:, 0]) + np.deg2rad(offset_degree)
+    cx = p0[:, 0] + np.cos(ang) * seg_len * fraction
+    cy = p0[:, 1] + np.sin(ang) * seg_len * fraction
+    t = (np.arange(quality, dtype=np.float64) / quality)[None, :]  # (1, q)
+    # (nseg, q) sample grids, quadratic Bezier basis
+    bx = ((1 - t) ** 2 * p0[:, 0:1] + (2 - 2 * t) * t * cx[:, None]
+          + t * t * p1[:, 0:1])
+    by = ((1 - t) ** 2 * p0[:, 1:2] + (2 - 2 * t) * t * cy[:, None]
+          + t * t * p1[:, 1:2])
+    out = np.column_stack([bx.ravel(), by.ravel()])
+    keep = np.ones(len(out), dtype=bool)
+    keep[1:] = np.any(out[1:] != out[:-1], axis=1)
+    return out[keep]
+
+
+def _geodesic_chain(coords: np.ndarray, *, num_points: int = 100) -> np.ndarray:
+    """Replace each lon/lat segment with a great-circle path.
+
+    Reference: GT/util/GeodeticBuilder.java:146-186 (getGeodeticPath,
+    numPoints=100 default) — the reference walks the ellipsoid with
+    GeodeticCalculator; this is the spherical great-circle equivalent
+    (slerp between unit vectors), endpoints exact.
+    """
+    if len(coords) < 2:
+        return coords
+    pieces = []
+    lam = np.deg2rad(coords[:, 0])
+    phi = np.deg2rad(coords[:, 1])
+    v = np.column_stack([np.cos(phi) * np.cos(lam),
+                         np.cos(phi) * np.sin(lam),
+                         np.sin(phi)])
+    for i in range(len(coords) - 1):
+        a, b = v[i], v[i + 1]
+        omega = np.arccos(np.clip(np.dot(a, b), -1.0, 1.0))
+        if omega < 1e-12:
+            pieces.append(coords[i:i + 1])
+            continue
+        t = np.linspace(0.0, 1.0, num_points + 2)[:-1, None]  # drop dup end
+        p = (np.sin((1 - t) * omega) * a + np.sin(t * omega) * b) / np.sin(omega)
+        lon = np.rad2deg(np.arctan2(p[:, 1], p[:, 0]))
+        lat = np.rad2deg(np.arcsin(np.clip(p[:, 2] / np.linalg.norm(p, axis=1),
+                                           -1.0, 1.0)))
+        seg = np.column_stack([lon, lat])
+        seg[0] = coords[i]  # endpoints exact
+        pieces.append(seg)
+    pieces.append(coords[-1:])
+    out = np.concatenate(pieces)
+    keep = np.ones(len(out), dtype=bool)
+    keep[1:] = np.any(out[1:] != out[:-1], axis=1)
+    return out[keep]
+
+
+def points_to_line(ds, *, line_field: str | None = None,
+                   sort_field: str | None = None, close_line: bool = False,
+                   use_bezier: bool = False, geodesic: bool = False,
+                   geom_col: str = "geom", bezier_quality: int = 24,
+                   bezier_offset_degree: float = 25.0,
+                   bezier_fraction: float = 0.75,
+                   geodesic_num_points: int = 100):
+    """PointsToLine — connect point features into one line per group.
+
+    Reference: GT/operations/PointsToLineOperation.java:92-233 +
+    GT/PointsToLineProcess.java. Semantics replicated:
+
+    - group by ``line_field`` (features with a NULL group value are
+      skipped, :92-160 getUniqueValues); no line_field → single line;
+    - within a group, ascending sort by ``sort_field`` (stable);
+    - each feature contributes its FIRST coordinate
+      (``geometry.getCoordinate()``, :188); empty geometries skipped;
+    - consecutive duplicate coordinates collapsed
+      (``CoordinateList.add(c, false)``, :188);
+    - groups with ≤1 coords — or <3 when ``close_line`` — emit nothing
+      (:194);
+    - ``close_line`` appends the first coordinate when the chain is open
+      and emits a Polygon (:200-223); otherwise a LineString;
+    - optional segment-wise quadratic Bezier smoothing (ignored when
+      ``geodesic``, :207) and great-circle densification (:212);
+    - output schema: geom + line_field + ``length`` (geometry length —
+      ring perimeter for the closed case, :230).
+
+    Ray shape: hash-shuffle ``groupby(line_field).map_groups`` — each
+    group is one output row, so the shuffle moves only (group key, sort
+    key, first-coord) triples' worth of payload per point. Scale note:
+    a single group's points must fit in one map_groups task (a GPS
+    track, not the whole corpus).
+    """
+    import pyarrow.compute as pc
+
+    from ..core.util import default_shuffle_partitions
+
+    if line_field is not None:
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.is_valid(b[line_field])),
+            batch_format="pyarrow")
+
+    def _empty(group: pa.Table) -> pa.Table:
+        arrs = [pa.array([], pa.binary())]
+        names = [geom_col]
+        if line_field is not None:
+            arrs.append(group[line_field].slice(0, 0).combine_chunks())
+            names.append(line_field)
+        arrs.append(pa.array([], pa.float64()))
+        names.append("length")
+        return pa.table(arrs, names=names)
+
+    def _build(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty(group)
+        if sort_field is not None:
+            order = np.argsort(
+                group[sort_field].to_numpy(zero_copy_only=False),
+                kind="stable")
+            group = group.take(pa.array(order))
+        fg = _wkb.decode(group[geom_col].to_pylist())
+        po, ro = fg.part_offsets, fg.ring_offsets
+        start = ro[po[:-1]]
+        end = ro[po[1:]]
+        valid = end > start
+        coords = fg.coords[start[valid]]
+        if len(coords):
+            keep = np.ones(len(coords), dtype=bool)
+            keep[1:] = np.any(coords[1:] != coords[:-1], axis=1)
+            coords = coords[keep]
+        if len(coords) <= 1 or (close_line and len(coords) < 3):
+            return _empty(group)
+        if close_line and np.any(coords[0] != coords[-1]):
+            coords = np.vstack([coords, coords[:1]])
+        if use_bezier and not geodesic:
+            coords = _quadratic_bezier_chain(
+                coords, quality=bezier_quality,
+                offset_degree=bezier_offset_degree,
+                fraction=bezier_fraction)
+        if geodesic:
+            coords = _geodesic_chain(coords, num_points=geodesic_num_points)
+        dx = np.diff(coords[:, 0])
+        dy = np.diff(coords[:, 1])
+        # JTS getLength accumulates sqrt(dx*dx+dy*dy) (not hypot)
+        length = float(np.sum(np.sqrt(dx * dx + dy * dy)))
+        if close_line:
+            ring = coords if np.all(coords[0] == coords[-1]) \
+                else np.vstack([coords, coords[:1]])
+            geom = _wkb.encode_polygon(ring)
+        else:
+            geom = _wkb.encode_linestring(coords)
+        arrs = [pa.array([geom], pa.binary())]
+        names = [geom_col]
+        if line_field is not None:
+            arrs.append(group[line_field].slice(0, 1).combine_chunks())
+            names.append(line_field)
+        arrs.append(pa.array([length], pa.float64()))
+        names.append("length")
+        return pa.table(arrs, names=names)
+
+    if line_field is None:
+        ds = ds.map_batches(
+            lambda b: b.append_column("__ptl_k", pa.array(
+                np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+        grouped = ds.groupby("__ptl_k")
+        return grouped.map_groups(
+            lambda g: _build(g.drop_columns(["__ptl_k"])),
+            batch_format="pyarrow")
+    return ds.groupby(line_field,
+                      num_partitions=default_shuffle_partitions()) \
+        .map_groups(_build, batch_format="pyarrow")

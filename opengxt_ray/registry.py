@@ -333,6 +333,10 @@ def _populate() -> None:
       "GT/transformation/SplitLineFeatureCollection.java")
     E("SplitLineByDistance", "transform", LO.split_line_by_distance,
       "GT/transformation/SplitByDistanceFeatureCollection.java")
+    E("PointsToLine", "aggregate", LO.points_to_line,
+      "GT/operations/PointsToLineOperation.java:92-233 (group by lineField, "
+      "sort ascending, first-coordinate chain, closeLine->Polygon, "
+      "Bezier/geodesic options)")
     E("SplitPolygonByCount", "transform", T.split_polygon_by_count,
       "GT/operations/SplitPolygonByCountOperation (equal-area x-cuts)")
     E("ExtendLine", "transform", LO.extend_line,
