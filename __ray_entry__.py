@@ -449,12 +449,20 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_kmeans(sf_dir: str):
+    """K-means, ONE Lloyd iteration from the deterministic
+    farthest-point init — single-step Lloyd is SQL-expressible
+    (recursive-CTE init, argmin assign, group-mean update), so the gate
+    hash-checks the full distributed machinery (init sample, partial
+    sums, center update, final assign); convergence over many
+    iterations is pytest-covered (serial-Lloyd oracle)."""
     from opengxt_ray.ops.cluster import kmeans_assign
 
     pts = _read_pts(sf_dir, "customer", "c_custkey")
-    out = kmeans_assign(pts, 8)
-    return out.map_batches(lambda b: b.select(["c_custkey", "cluster"]),
-                           batch_format="pyarrow")
+    out = kmeans_assign(pts, 8, max_iter=1)
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"],
+                            "cluster": b["cluster"].cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 def _q_standardized_scores(sf_dir: str):
@@ -1055,7 +1063,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ivf_topk": _q_ivf_topk,
         "points_to_line": _q_points_to_line,
-        # rows-only (no SQL oracle): iterative model ops
         "kmeans": _q_kmeans,
     }
 
@@ -1815,6 +1822,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
             FROM scored WHERE rank <= 10
+        """,
+        "kmeans": f"""
+            WITH RECURSIVE pts AS (
+                SELECT c_custkey, {lon_c} AS x, {lat_c} AS y,
+                       row_number() OVER (ORDER BY {lon_c}, {lat_c}) AS rn
+                FROM customer
+            ),
+            init(i, cs) AS (
+                SELECT 1, [{{'x': x, 'y': y}}] FROM pts WHERE rn = 1
+                UNION ALL
+                SELECT i + 1, list_append(cs, (
+                    SELECT {{'x': p.x, 'y': p.y}} FROM pts p
+                    ORDER BY list_min([
+                        sqrt((p.x - c.x) * (p.x - c.x)
+                             + (p.y - c.y) * (p.y - c.y)) for c in cs])
+                        DESC, p.rn ASC
+                    LIMIT 1))
+                FROM init WHERE i < 8
+            ),
+            cents0 AS (
+                SELECT t.i AS j, s.cs[t.i + 1].x AS cx, s.cs[t.i + 1].y AS cy
+                FROM (SELECT cs FROM init WHERE i = 8) s, range(8) t(i)
+            ),
+            a0 AS (
+                SELECT p.c_custkey, p.x, p.y,
+                       (SELECT c.j FROM cents0 c
+                        ORDER BY sqrt((p.x - c.cx) * (p.x - c.cx)
+                                      + (p.y - c.cy) * (p.y - c.cy)) ASC,
+                                 c.j ASC
+                        LIMIT 1) AS j
+                FROM pts p
+            ),
+            cents1 AS (
+                SELECT c.j,
+                       COALESCE(SUM(a.x) / NULLIF(COUNT(a.x), 0), c.cx) AS cx,
+                       COALESCE(SUM(a.y) / NULLIF(COUNT(a.y), 0), c.cy) AS cy
+                FROM cents0 c LEFT JOIN a0 a ON a.j = c.j
+                GROUP BY c.j, c.cx, c.cy
+            )
+            SELECT p.c_custkey,
+                   CAST((SELECT c.j FROM cents1 c
+                         ORDER BY sqrt((p.x - c.cx) * (p.x - c.cx)
+                                       + (p.y - c.cy) * (p.y - c.cy)) ASC,
+                                  c.j ASC
+                         LIMIT 1) AS BIGINT) AS cluster
+            FROM pts p
         """,
         "points_to_line": f"""
             WITH pts AS (

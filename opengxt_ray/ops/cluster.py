@@ -26,6 +26,11 @@ import ray
 def _init_centers(ds, k, xcol, ycol, sample_n=10_000):
     samp = ds.select_columns([xcol, ycol]).limit(sample_n).to_pandas()
     pts = samp[[xcol, ycol]].to_numpy()
+    # Ray Data does not guarantee block order without preserve_order, so
+    # sort the sample lexicographically — init is then deterministic for
+    # any fixed input REGARDLESS of scheduling (and SQL-replicable:
+    # row_number() OVER (ORDER BY x, y)).
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
     centers = [pts[0]]
     for _ in range(1, k):
         C = np.array(centers)
