@@ -17,11 +17,19 @@ import ray
 from .tiles import RasterMeta, _tile_key
 
 
-def _gather_dense(tiles, meta: RasterMeta) -> np.ndarray:
-    """Materialize a full dense array (small rasters / driver-side ops).
-    Large-raster variants below stay tiled."""
+def _gather_dense(tiles, meta: RasterMeta,
+                  max_cells: int = 128_000_000) -> np.ndarray:
+    """Materialize a full dense array (small rasters / driver-side ops
+    — GeoTIFF export, whole-raster rotate). Bulk ``take_all`` (one
+    object-store fetch per block, not a per-row RPC loop); rasters
+    past ``max_cells`` (~1 GiB float64) raise instead of silently
+    flooding the driver heap — large-raster variants stay tiled."""
+    if meta.width * meta.height > max_cells:
+        raise ValueError(
+            f"_gather_dense: raster {meta.width}x{meta.height} exceeds "
+            f"max_cells={max_cells}; use the tiled variant of this op")
     out = np.full((meta.height, meta.width), np.nan)
-    for row in tiles.iter_rows():
+    for row in tiles.take_all():
         tx, ty = row["tx"], row["ty"]
         h, w = meta.tile_shape(tx, ty)
         out[ty * meta.tile_size : ty * meta.tile_size + h,
@@ -393,45 +401,68 @@ def reproject_raster(tiles, meta: RasterMeta, *, src: str = "EPSG:4326",
 
 def high_low_points(tiles, meta: RasterMeta, *, which: str = "both"):
     """RasterHighLowPointsOperation — point(s) at the global max (H)
-    and/or min (L) cells. Per-tile partial extrema → driver reduce;
-    every cell EQUAL to the extremum is emitted (reference collects a
-    point list per extremum). Returns a pyarrow Table
-    (type, col, row, x, y, val)."""
-    rows_out = {"H": [], "L": []}
-    best = {"H": -np.inf, "L": np.inf}
-    for row in tiles.iter_rows():
-        tx, ty = row["tx"], row["ty"]
-        h, w = meta.tile_shape(tx, ty)
-        arr = np.frombuffer(row["data"], np.float64).reshape(h, w)
-        fin = np.isfinite(arr)
-        if not np.isnan(meta.nodata):
-            fin &= arr != meta.nodata
-        if not fin.any():
-            continue
-        for typ, red in (("H", np.max), ("L", np.min)):
-            v = float(red(arr[fin]))
-            better = v > best[typ] if typ == "H" else v < best[typ]
-            if better:
-                best[typ] = v
-                rows_out[typ] = []
-            if v == best[typ]:
+    and/or min (L) cells; every cell EQUAL to the extremum is emitted
+    (reference collects a point list per extremum). Returns a pyarrow
+    Table (type, col, row, x, y, val).
+
+    Distributed: each tile emits only its cells at the TILE-local
+    max/min (map_batches partial extrema), then a tiny driver reduce
+    keeps the rows matching the global extremum — the gather is bounded
+    by cells-at-tile-extrema, never the raster."""
+    want = {"both": ("H", "L"), "high": ("H",), "low": ("L",)}[which]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        typs, cols, rows_, xs, ys, vals = [], [], [], [], [], []
+        for i, (tx, ty) in enumerate(zip(batch["tx"].to_numpy(),
+                                         batch["ty"].to_numpy())):
+            tx, ty = int(tx), int(ty)
+            h, w = meta.tile_shape(tx, ty)
+            arr = np.frombuffer(batch["data"][i].as_py(),
+                                np.float64).reshape(h, w)
+            fin = np.isfinite(arr)
+            if not np.isnan(meta.nodata):
+                fin &= arr != meta.nodata
+            if not fin.any():
+                continue
+            for typ, red in (("H", np.max), ("L", np.min)):
+                if typ not in want:
+                    continue
+                v = float(red(arr[fin]))
                 rr, cc = np.nonzero(fin & (arr == v))
                 gr = rr + ty * meta.tile_size
                 gc = cc + tx * meta.tile_size
                 px, py = meta.cell_center(gc, gr)
-                rows_out[typ].extend(
-                    (typ, int(ci), int(ri), float(xi), float(yi), v)
-                    for ci, ri, xi, yi in zip(gc, gr, px, py))
-    want = {"both": ("H", "L"), "high": ("H",), "low": ("L",)}[which]
-    flat = [r for t in want for r in rows_out[t]]
-    return pa.table({
-        "type": pa.array([r[0] for r in flat]),
-        "col": pa.array([r[1] for r in flat], pa.int64()),
-        "row": pa.array([r[2] for r in flat], pa.int64()),
-        "x": pa.array([r[3] for r in flat], pa.float64()),
-        "y": pa.array([r[4] for r in flat], pa.float64()),
-        "val": pa.array([r[5] for r in flat], pa.float64()),
-    })
+                typs.extend([typ] * len(rr))
+                cols.extend(int(c) for c in gc)
+                rows_.extend(int(r) for r in gr)
+                xs.extend(float(x) for x in px)
+                ys.extend(float(y) for y in py)
+                vals.extend([v] * len(rr))
+        return pa.table({
+            "type": pa.array(typs, pa.string()),
+            "col": pa.array(cols, pa.int64()),
+            "row": pa.array(rows_, pa.int64()),
+            "x": pa.array(xs, pa.float64()),
+            "y": pa.array(ys, pa.float64()),
+            "val": pa.array(vals, pa.float64()),
+        })
+
+    cand = tiles.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    keep = np.zeros(len(cand), dtype=bool)
+    for typ in want:
+        m = (cand["type"] == typ).to_numpy()
+        if m.any():
+            v = cand["val"][m]
+            best = v.max() if typ == "H" else v.min()
+            keep |= m & (cand["val"] == best).to_numpy()
+    out = cand[keep]
+    # stable order: H rows then L rows, by (row, col) within each
+    out = out.sort_values(["type", "row", "col"],
+                          ascending=[True, True, True],
+                          key=lambda s: s.map({"H": 0, "L": 1})
+                          if s.name == "type" else s)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
 
 
 def raster_fuzzy(tiles, meta: RasterMeta, *, function: str = "linear",

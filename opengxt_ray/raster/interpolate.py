@@ -163,10 +163,23 @@ def tps(points_ds, meta: RasterMeta, *, value_col: str,
 
 def euclidean_distance(points_ds, meta: RasterMeta, *,
                        xcol: str = "lon", ycol: str = "lat",
-                       concurrency=None, parallelism: int = 8):
-    """Distance-to-nearest-source raster (broadcast GridPointIndex)."""
+                       concurrency=None, parallelism: int = 8,
+                       max_samples: int = 2_000_000):
+    """Distance-to-nearest-source raster (broadcast GridPointIndex).
+
+    The source point set is the broadcast side (``ray.put`` once, read
+    by every tile task); beyond ``max_samples`` raise instead of
+    silently gathering the driver (no-silent-caps rule) — at that scale
+    rasterize the sources and run a tiled distance transform instead.
+    """
     from ..core.gridindex import GridPointIndex
 
+    n = points_ds.count()
+    if n > max_samples:
+        raise ValueError(
+            f"euclidean_distance: {n} source points exceed max_samples="
+            f"{max_samples}; the source set is broadcast whole to every "
+            "tile task — thin the sources or raise the limit")
     pdf = points_ds.select_columns([xcol, ycol]).to_pandas()
     ref = ray.put((pdf[xcol].to_numpy(), pdf[ycol].to_numpy()))
 

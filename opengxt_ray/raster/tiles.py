@@ -300,18 +300,41 @@ class _TileSampler:
 def extract_values_to_points(points_ds, tiles, meta: RasterMeta, *,
                              out_col: str = "raster_val",
                              xcol: str = "lon", ycol: str = "lat",
-                             concurrency=None):
+                             concurrency=None, id_col: str | None = None,
+                             max_broadcast_cells: int = 128_000_000):
     """ExtractValuesToPoints (GT/gridcoverage/
     RasterExtractValuesToPointsOperation.java:54-78) — sample the
-    raster value under each point. Tiles broadcast once (ray.put);
-    per-batch lookup is vectorized per touched tile. For rasters too
-    big to broadcast, co-shuffle by tile key instead (SURVEY §2.7)."""
+    raster value under each point.
+
+    Two execution paths chosen by raster size:
+
+    - raster ≤ ``max_broadcast_cells`` (~1 GiB of float64): tiles
+      gathered in one bulk ``take_all`` (not a per-row driver loop) and
+      broadcast once (``ray.put``); per-batch lookup vectorized per
+      touched tile.
+    - bigger: co-shuffle — points keyed by (tx, ty) are grouped WITH
+      their tile (union + groupby, no per-point tile duplication), each
+      group samples locally, and the (id, value) pairs are hash-joined
+      back onto the point table. Nothing is ever gathered. This path
+      needs a unique ``id_col`` on the point table (the documented
+      partitioning assumption — only slim (id, key) rows shuffle).
+    """
     import ray
 
     from ..core.util import default_concurrency
 
+    if meta.width * meta.height > max_broadcast_cells:
+        if id_col is None:
+            raise ValueError(
+                "extract_values_to_points: raster exceeds "
+                f"max_broadcast_cells={max_broadcast_cells}; the "
+                "co-shuffle scale path needs a unique id_col on the "
+                "point table (pass id_col=...)")
+        return _extract_values_coshuffle(points_ds, tiles, meta,
+                                         out_col=out_col, xcol=xcol,
+                                         ycol=ycol, id_col=id_col)
     tile_map: dict = {}
-    for r in tiles.iter_rows():
+    for r in tiles.take_all():
         h, w = meta.tile_shape(r["tx"], r["ty"])
         tile_map[(r["tx"], r["ty"])] = np.frombuffer(
             r["data"], dtype=np.float64).reshape(h, w)
@@ -321,6 +344,79 @@ def extract_values_to_points(points_ds, tiles, meta: RasterMeta, *,
         fn_constructor_args=([ref], meta, out_col, xcol, ycol),
         batch_format="pyarrow",
         concurrency=concurrency or default_concurrency())
+
+
+def _extract_values_coshuffle(points_ds, tiles, meta: RasterMeta, *,
+                              out_col: str, xcol: str, ycol: str,
+                              id_col: str):
+    """Scale path: union(point-keys, tiles) → groupby(tile) sample →
+    hash-join values back by ``id_col``. The wide point payload never
+    enters the shuffle (slim (id, tile-key, cell) rows only); a tile is
+    never duplicated per point (one tile row joins its point group)."""
+    from ..core.util import default_join_partitions, \
+        default_shuffle_partitions
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        x = batch[xcol].to_numpy()
+        y = batch[ycol].to_numpy()
+        col, row = meta.world_to_cell(x, y)
+        inb = ((col >= 0) & (col < meta.width)
+               & (row >= 0) & (row < meta.height))
+        ts = meta.tile_size
+        return pa.table({
+            "tx": pa.array(np.where(inb, col // ts, -1).astype(np.int64)),
+            "ty": pa.array(np.where(inb, row // ts, -1).astype(np.int64)),
+            "col": pa.array(col.astype(np.int64)),
+            "row": pa.array(row.astype(np.int64)),
+            "__evp_id": batch[id_col].cast(pa.int64()),
+            "__evp_tile": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "data": pa.array([None] * batch.num_rows, pa.binary()),
+        })
+
+    keys = points_ds.map_batches(_keys, batch_format="pyarrow")
+    tiles_u = tiles.map_batches(
+        lambda b: pa.table({
+            "tx": b["tx"].cast(pa.int64()), "ty": b["ty"].cast(pa.int64()),
+            "col": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "row": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "__evp_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "__evp_tile": pa.array(np.ones(b.num_rows, np.int8)),
+            "data": b["data"],
+        }), batch_format="pyarrow")
+
+    def _sample(group: pa.Table) -> pa.Table:
+        is_tile = group["__evp_tile"].to_numpy(zero_copy_only=False) == 1
+        is_pt = ~is_tile
+        if not is_pt.any():
+            return pa.table({"__evp_id": pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.float64())})
+        ids = group["__evp_id"].to_numpy(zero_copy_only=False)[is_pt]
+        vals = np.full(int(is_pt.sum()), meta.nodata, dtype=np.float64)
+        tile_rows = np.nonzero(is_tile)[0]
+        tx = int(group["tx"][0].as_py())
+        ty = int(group["ty"][0].as_py())
+        if len(tile_rows) and tx >= 0:
+            h, w = meta.tile_shape(tx, ty)
+            arr = np.frombuffer(group["data"][int(tile_rows[0])].as_py(),
+                                np.float64).reshape(h, w)
+            ts = meta.tile_size
+            lr = group["row"].to_numpy(zero_copy_only=False)[is_pt] - ty * ts
+            lc = group["col"].to_numpy(zero_copy_only=False)[is_pt] - tx * ts
+            vals = arr[lr, lc]
+        return pa.table({"__evp_id": pa.array(ids),
+                         out_col: pa.array(vals, pa.float64())})
+
+    sampled = keys.union(tiles_u).groupby(
+        ["tx", "ty"], num_partitions=default_shuffle_partitions()) \
+        .map_groups(_sample, batch_format="pyarrow")
+    id_type = points_ds.schema().base_schema.field(id_col).type
+    sampled = sampled.map_batches(
+        lambda b: pa.table({id_col: b["__evp_id"].cast(id_type),
+                            out_col: b[out_col]}),
+        batch_format="pyarrow")
+    return points_ds.join(sampled, join_type="inner",
+                          num_partitions=default_join_partitions(),
+                          on=(id_col,))
 
 
 def raster_profile(tiles, meta: RasterMeta, line_wkb: bytes, *,

@@ -265,3 +265,37 @@ def test_shapefile_writer_reference_fixture_roundtrip(tmp_path):
     a0 = geomops.areas(W.decode(t0["geom"].to_pylist()))
     a1 = geomops.areas(W.decode(t1["geom"].to_pylist()))
     np.testing.assert_allclose(a1, a0, rtol=1e-12)
+
+
+def test_extract_values_coshuffle_matches_broadcast(pts_ds):
+    """Scale path (union + groupby(tile) + id join) == broadcast path,
+    including out-of-raster points (nodata fill)."""
+    from opengxt_ray.raster.tiles import extract_values_to_points
+
+    ds, (x, y, w) = pts_ds
+    ids = np.arange(len(x), dtype=np.int64)
+    x2 = x.copy()
+    x2[:5] = -50.0  # off-raster
+    t = pa.table({"pid": pa.array(ids), "lon": pa.array(x2),
+                  "lat": pa.array(y)})
+    pds = ray.data.from_arrow(t).repartition(4)
+    tiles = points_to_raster(ds, META, assign="sum", value_col="w") \
+        .materialize()
+    bc = extract_values_to_points(pds, tiles, META).to_pandas() \
+        .sort_values("pid").reset_index(drop=True)
+    cs = extract_values_to_points(pds, tiles, META, id_col="pid",
+                                  max_broadcast_cells=1).to_pandas() \
+        .sort_values("pid").reset_index(drop=True)
+    assert len(cs) == len(bc) == len(x)
+    np.testing.assert_allclose(cs["raster_val"].to_numpy(),
+                               bc["raster_val"].to_numpy())
+
+
+def test_extract_values_coshuffle_requires_id():
+    from opengxt_ray.raster.tiles import extract_values_to_points
+
+    t = pa.table({"lon": pa.array([1.0]), "lat": pa.array([1.0])})
+    pds = ray.data.from_arrow(t)
+    tiles = points_to_raster(pds, META, assign="count")
+    with pytest.raises(ValueError, match="id_col"):
+        extract_values_to_points(pds, tiles, META, max_broadcast_cells=1)
