@@ -1005,6 +1005,36 @@ def _q_points_to_line(sf_dir: str):
     return lines.map_batches(_summ, batch_format="pyarrow")
 
 
+def _q_buffer_statistics(sf_dir: str):
+    """BufferStatistics — 32-gon buffers (r=5°) around supplier points,
+    per-buffer count/sum/mean of customer acctbal. SQL oracle replicates
+    the n-gon vertices bitwise (same cos/sin doubles) and tests convex
+    containment by half-planes."""
+    import pyarrow.parquet as pq
+
+    from opengxt_ray.ops.pip import buffer_statistics
+    from opengxt_ray.sources import tpch_geo
+    from opengxt_ray.core import wkb as _W
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    skey = supp["s_suppkey"].to_numpy()
+    sx, sy = tpch_geo.point_lonlat(skey)
+    supp_t = pa.table({
+        "s_suppkey": supp["s_suppkey"],
+        "geom": pa.array([_W.encode_point(float(a), float(b))
+                          for a, b in zip(sx, sy)], pa.binary())})
+    pts = _read_pts(sf_dir, "customer", "c_custkey",
+                    columns=["c_custkey", "c_acctbal"])
+    out = buffer_statistics(
+        pts, supp_t, poly_key="s_suppkey",
+        spec="Count.c_acctbal,Sum.c_acctbal,Avg.c_acctbal",
+        distance=5.0, round_digits=6)
+    return out.map_batches(
+        lambda b: b.select(["s_suppkey", "count_c_acctbal",
+                            "sum_c_acctbal", "mean_c_acctbal"]),
+        batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -1063,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ivf_topk": _q_ivf_topk,
         "points_to_line": _q_points_to_line,
+        "buffer_statistics": _q_buffer_statistics,
         "kmeans": _q_kmeans,
     }
 
@@ -1822,6 +1853,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
             FROM scored WHERE rank <= 10
+        """,
+        "buffer_statistics": f"""
+            WITH sup AS (
+                SELECT s_suppkey, {lon_s} AS sx, {lat_s} AS sy FROM supplier
+            ),
+            cust AS (
+                SELECT c_custkey, c_acctbal, {lon_c} AS px, {lat_c} AS py
+                FROM customer
+            ),
+            verts AS (
+                SELECT s_suppkey, sx, sy, t.k,
+                       sx + 5.0 * cos(t.k * (2 * pi() / 32)) AS vx,
+                       sy + 5.0 * sin(t.k * (2 * pi() / 32)) AS vy
+                FROM sup, range(32) t(k)
+            ),
+            edges AS (
+                SELECT a.s_suppkey, a.sx, a.sy,
+                       a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+                FROM verts a JOIN verts b
+                  ON a.s_suppkey = b.s_suppkey AND b.k = (a.k + 1) % 32
+            ),
+            inside AS (
+                SELECT c.c_custkey, c.c_acctbal, e.s_suppkey
+                FROM cust c JOIN edges e
+                  ON abs(c.px - e.sx) <= 5.0 AND abs(c.py - e.sy) <= 5.0
+                GROUP BY c.c_custkey, c.c_acctbal, e.s_suppkey
+                HAVING min((e.x2 - e.x1) * (c.py - e.y1)
+                           - (e.y2 - e.y1) * (c.px - e.x1)) >= 0
+            ),
+            agg AS (
+                SELECT s_suppkey,
+                       CAST(COUNT(*) AS DOUBLE) AS count_c_acctbal,
+                       round(SUM(c_acctbal), 6) AS sum_c_acctbal,
+                       round(SUM(c_acctbal) / COUNT(*), 6) AS mean_c_acctbal
+                FROM inside GROUP BY s_suppkey
+            )
+            SELECT s.s_suppkey, a.count_c_acctbal, a.sum_c_acctbal,
+                   a.mean_c_acctbal
+            FROM sup s LEFT JOIN agg a ON s.s_suppkey = a.s_suppkey
         """,
         "kmeans": f"""
             WITH RECURSIVE pts AS (

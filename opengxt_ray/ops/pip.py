@@ -53,7 +53,7 @@ def parse_summary_spec(spec: str) -> list[tuple[str, str]]:
 
 def points_in_polygon(points_ds, poly_table: pa.Table, *,
                       poly_key: str, weight_col: str | None = None,
-                      val_col: str = "val", num_partitions: int = 8):
+                      val_col: str = "val", num_partitions: int | None = None):
     """Per-polygon count (or weighted sum) of intersecting points.
 
     Returns a Dataset of all polygon rows (geom dropped) + ``val``
@@ -85,9 +85,12 @@ def points_in_polygon(points_ds, poly_table: pa.Table, *,
                             val_col: b["sum(__w)"]}),
         batch_format="pyarrow",
     )
+    from ..core.util import default_join_partitions
+
     polys = ray.data.from_arrow(poly_table.drop_columns(["geom"]))
     out = polys.join(agg, join_type="left_outer",
-                     num_partitions=num_partitions, on=(poly_key,))
+                     num_partitions=num_partitions
+                     or default_join_partitions(), on=(poly_key,))
     return out.map_batches(
         lambda b: b.set_column(
             b.column_names.index(val_col), val_col,
@@ -98,7 +101,7 @@ def points_in_polygon(points_ds, poly_table: pa.Table, *,
 
 def point_statistics(points_ds, poly_table: pa.Table, *, poly_key: str,
                      spec: str, round_digits: int | None = None,
-                     num_partitions: int = 8):
+                     num_partitions: int | None = None):
     """Per-polygon multi-field summary stats of intersecting points.
 
     Output: polygon attrs (geom dropped) + one ``{func}_{field}`` column
@@ -121,6 +124,39 @@ def point_statistics(points_ds, poly_table: pa.Table, *, poly_key: str,
         lambda b: b.select(want).set_column(
             0, poly_key, b[poly_key].cast(key_type)),
         batch_format="pyarrow")
+    from ..core.util import default_join_partitions
+
     polys = ray.data.from_arrow(poly_table.drop_columns(["geom"]))
     return polys.join(stats, join_type="left_outer",
-                      num_partitions=num_partitions, on=(poly_key,))
+                      num_partitions=num_partitions
+                      or default_join_partitions(), on=(poly_key,))
+
+
+def buffer_statistics(points_ds, poly_table: pa.Table, *, poly_key: str,
+                      spec: str, distance: float = 0.0,
+                      quadrant_segs: int = 8,
+                      round_digits: int | None = None,
+                      num_partitions: int | None = None):
+    """BufferStatistics (GT/BufferStatisticsProcess.java:87-124) —
+    buffer the input features by ``distance`` (n-gon circles for
+    points, JTS-default 8 segs/quadrant), then per-buffer summary
+    statistics of the intersecting points (the reference routes this
+    through PointStatisticsOperation.setBufferDistance). distance=0 is
+    allowed only for polygon inputs (reference :109-117); prepend
+    ``Count.<field>`` to the spec for the reference's countField."""
+    from ..core import wkb as _wkb
+    from ..stages.transforms import make_buffer
+
+    if distance:
+        buffered = make_buffer(distance, quadrant_segs=quadrant_segs)(
+            poly_table)
+    else:
+        fg = _wkb.decode(poly_table["geom"].to_pylist())
+        if not all(t == 3 for t in fg.types):
+            raise ValueError(
+                "buffer_statistics: distance=0 requires polygon inputs "
+                "(GT/BufferStatisticsProcess.java:109-117)")
+        buffered = poly_table
+    return point_statistics(points_ds, buffered, poly_key=poly_key,
+                            spec=spec, round_digits=round_digits,
+                            num_partitions=num_partitions)

@@ -106,6 +106,9 @@ def _populate() -> None:
       "GT/operations/PointsInPolygonOperation.java:59-123")
     E("PointStatistics", "join", PIP.point_statistics,
       "GT/operations/PointStatisticsOperation.java:101-127")
+    E("BufferStatistics", "join", PIP.buffer_statistics,
+      "GT/BufferStatisticsProcess.java:87-124 (buffer + "
+      "PointStatisticsOperation composition)")
     E("Near", "join", J.nearest_join,
       "GT/operations/NearOperation.java:77-185")
     E("KNearestNeighborMap", "join", NE.knn_links,
@@ -431,8 +434,16 @@ def _populate() -> None:
       "GT/gridcoverage/RasterRescaleOperation.java")
     E("RasterNDVI", "raster", RA.raster_ndvi,
       "GT/gridcoverage/RasterNDVIOperation.java")
-    E("RasterCutFill", "raster", RA.raster_cut_fill,
-      "GT/gridcoverage/RasterCutFillOperation.java")
+    E("RasterCutFill", "raster", RA.raster_cut_fill1,
+      "GT/gridcoverage/RasterCutFillOperation.java:55-140 (DEM vs "
+      "reference plane, mean-height default, crop, flag raster + "
+      "CutFillResult stats)")
+    E("RasterCutFill2", "raster", RA.raster_cut_fill2,
+      "GT/gridcoverage/RasterCutFillOperation2.java:54-146 (two-DEM "
+      "volume change)")
+    E("RasterCutFill3", "raster", RA.raster_cut_fill3,
+      "GT/gridcoverage/RasterCutFillOperation3.java:64-178 (two DEMs "
+      "vs common plane; above-plane masks + overlay change regions)")
     E("RasterSlope", "raster", RS.slope,
       "GT/gridcoverage/RasterSlopeOperation.java")
     E("RasterAspect", "raster", RS.aspect,
