@@ -313,6 +313,14 @@ def _populate() -> None:
       "GT/transformation/MaximumInscribedCircleFeatureCollection")
     E("Simplify", "transform", T.make_simplify,
       "GT/transformation/SimplifyFeatureCollection.java")
+    from .ops import simplify as SI
+
+    E("SimplifyPolygon", "transform", SI.simplify_polygon_topo,
+      "GT/operations/SimplifyPolygonFeaturesOperation.java:94-260",
+      params=[Param("ds", "dataset"), Param("tolerance", "float"),
+              Param("fid_col", "str", False, "fid"),
+              Param("minimum_area", "float", False, 0.0),
+              Param("preserve_topology", "bool", False, True)])
     E("Densify", "transform", T.make_densify,
       "GT/transformation/DensifyFeatureCollection.java")
     E("Smooth", "transform", T.make_smooth,
