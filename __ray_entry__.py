@@ -612,10 +612,11 @@ def _q_ivf_topk(sf_dir: str):
 
 def _q_spatial_clump(sf_dir: str):
     """SpatialClump single-linkage components, SQL-oracled via
-    brute-force radius pairs + recursive-CTE transitive closure
-    (radius 1.5 keeps components ≤ ~10 members at sf0.1 — chains deep
-    enough to exercise the min-label propagation, closure small enough
-    for the oracle)."""
+    brute-force radius pairs + recursive-CTE transitive closure.
+    Engine side runs the full pointer-jumping connected-components
+    engine (no round cap), so correctness no longer depends on
+    component depth; radius 1.5 just keeps the DuckDB recursive-CTE
+    closure affordable at sf0.01."""
     from opengxt_ray.ops.cluster import distance_clusters
 
     pts = _read_pts(sf_dir, "customer", "c_custkey")
@@ -1104,7 +1105,13 @@ def _simhash_sql() -> str:
     """SimHash oracle: FNV-1a (exact 64-bit wraparound arithmetic via
     HUGEINT mod 2^64) folded over each 2-word shingle's codepoints with
     list_reduce, then per-doc ±1 bit votes as 64 aggregates and the
-    sign bits packed back into the fingerprint."""
+    sign bits packed back into the fingerprint.
+
+    PARITY ENVELOPE (not a universal identity): the engine hashes the
+    shingle's UTF-8 BYTES while this oracle hashes Unicode CODEPOINTS —
+    equal only for ASCII text; and the engine tokenizes on any
+    whitespace run vs the SQL's single-space split. Both hold on the
+    all-ASCII single-spaced documents.parquet corpus (TESTDATA.md)."""
     votes = ", ".join(
         f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(64))
@@ -1368,9 +1375,13 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY 1, 2
         """,
         "exact_dedup": "SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text",
-        # brute-force k=3 word-shingle Jaccard; identical shingle rule
-        # (lower().split on single spaces) and IEEE op order
-        # i/(ca+cb-i) as textops.dedup._verify_pairs
+        # brute-force k=3 word-shingle Jaccard; IEEE op order
+        # i/(ca+cb-i) as textops.dedup._verify_pairs. PARITY ENVELOPE:
+        # engine splits on any whitespace run (str.split()), the SQL on
+        # single spaces keeping empties, and docs with < k words or
+        # empty text vanish only from the SQL side — equivalent ONLY on
+        # single-spaced corpora with ≥ k words per doc (documents.parquet
+        # is; see TESTDATA.md), NOT a universal identity.
         "minhash_pairs": """
             WITH sh AS (SELECT DISTINCT doc_id,
                                unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]

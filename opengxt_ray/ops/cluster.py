@@ -98,8 +98,11 @@ def distance_clusters(ds, *, radius: float, id_col: str = "pid",
     exactly these components).
 
     Distributed: pairs within radius via the hotspot halo co-shuffle,
-    then iterative min-label propagation until fixpoint (bounded
-    rounds). Returns (id, cluster) with cluster = min member id.
+    then connected components through textops.dedup.connected_components
+    (driver union-find on small graphs; hash-to-min + pointer-jumping
+    with fixpoint check beyond — converges on any chain depth, unlike a
+    bounded min-label loop). Returns (id, cluster), cluster = min
+    member id.
     """
     from ..index import hexgrid
 
@@ -140,7 +143,6 @@ def distance_clusters(ds, *, radius: float, id_col: str = "pid",
 
     edges = halo.groupby("gcell").map_groups(_edges,
                                              batch_format="pyarrow").materialize()
-    # labels: start with own id; propagate min over neighbors to fixpoint
     labels = ds.map_batches(
         lambda b: pa.table({"id": b[id_col], "lab": b[id_col]}),
         batch_format="pyarrow").materialize()
@@ -149,34 +151,29 @@ def distance_clusters(ds, *, radius: float, id_col: str = "pid",
         return labels.map_batches(
             lambda t: pa.table({id_col: t["id"], "cluster": t["lab"]}),
             batch_format="pyarrow")
-    for _ in range(max_rounds):
-        lab_b = labels.map_batches(
-            lambda t: pa.table({"b": t["id"], "lab_b": t["lab"]}),
-            batch_format="pyarrow")
-        prop = edges.join(lab_b, join_type="inner", num_partitions=default_join_partitions(),
-                          on=("b",))
-        nbr_min = prop.groupby("a").aggregate(ray.data.aggregate.Min("lab_b"))
-        nbr_min = nbr_min.map_batches(
-            lambda t: pa.table({"id": t["a"], "nbr_lab": t["min(lab_b)"]}),
-            batch_format="pyarrow")
-        joined = labels.join(nbr_min, join_type="left_outer",
-                             num_partitions=default_join_partitions(), on=("id",))
+    # Connected components via the shared pointer-jumping engine (driver
+    # union-find ≤5M edges, distributed hash-to-min + pointer jump with a
+    # fixpoint convergence check beyond) — min-label relaxation alone
+    # needs rounds = graph diameter and a bounded loop would silently
+    # return unconverged labels on deep chains.
+    from ..textops.dedup import connected_components
 
-        def _upd(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            new = pc.min_element_wise(
-                t["lab"], pc.coalesce(t["nbr_lab"], t["lab"]))
-            return pa.table({"id": t["id"], "lab": new,
-                             "changed": pc.not_equal(new, t["lab"])})
-
-        upd = joined.map_batches(_upd, batch_format="pyarrow").materialize()
-        changed = upd.map_batches(
-            lambda t: pa.table({"c": [int(pa.compute.sum(t["changed"]).as_py() or 0)]}),
-            batch_format="pyarrow").aggregate(ray.data.aggregate.Sum("c"))
-        labels = upd.drop_columns(["changed"]).materialize()
-        if not changed["sum(c)"]:
-            break
-    return labels.map_batches(
-        lambda t: pa.table({id_col: t["id"], "cluster": t["lab"]}),
+    sym = edges.map_batches(
+        lambda t: pa.table({"src": t["a"].cast(pa.int64()),
+                            "dst": t["b"].cast(pa.int64())}),
         batch_format="pyarrow")
+    comp = connected_components(sym, max_rounds=max(max_rounds, 15))
+    comp = comp.map_batches(
+        lambda t: pa.table({"id": t["node"], "rep": t["rep"]}),
+        batch_format="pyarrow")
+    joined = labels.join(comp, join_type="left_outer",
+                         num_partitions=default_join_partitions(), on=("id",))
+
+    def _final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({id_col: t["id"],
+                         "cluster": pc.coalesce(t["rep"],
+                                                t["lab"].cast(pa.int64()))})
+
+    return joined.map_batches(_final, batch_format="pyarrow")

@@ -118,7 +118,11 @@ def _covered_cells(fg, gi: int, meta: RasterMeta, bboxes) -> tuple:
         for r, _ in fg.rings(gi):
             seg = geomops.densify(r, cs * 0.5)
             col, row = meta.world_to_cell(seg[:, 0], seg[:, 1])
-            cells.append(row * np.int64(1 << 31) + col)
+            # in-extent filter BEFORE packing: off-grid negative rows/
+            # cols would alias under the shift (offset-before-shift rule)
+            ok = (col >= 0) & (col < meta.width) & \
+                 (row >= 0) & (row < meta.height)
+            cells.append(row[ok] * np.int64(1 << 31) + col[ok])
         u = np.unique(np.concatenate(cells)) if cells else np.empty(0, np.int64)
         return u >> np.int64(31), u & np.int64((1 << 31) - 1)
     # polygon: candidate window from bbox, refine by center containment

@@ -199,12 +199,19 @@ def _rings_to_wkb(rings_nodes, meta: RasterMeta, *, simplify: bool) -> bytes:
         py = my - 0.5 * meta.cell_size * dx / n
         best = 0
         if len(shells) > 1:
+            # among containing shells pick the SMALLEST-area one: with
+            # shell-hole-shell-hole nesting (island in a lake with its
+            # own pond) the outer shell also contains the probe point,
+            # and first-match would attach the inner hole to it,
+            # producing an OGC-invalid nesting.
+            best_area = np.inf
             for si, srng in enumerate(shells):
                 sfg = _wkb.decode([_wkb.encode_polygon(srng)])
                 if geomops.points_in_geom(np.array([px]), np.array([py]),
                                           sfg, 0)[0]:
-                    best = si
-                    break
+                    a = abs(geomops.ring_area(srng))
+                    if a < best_area:
+                        best, best_area = si, a
         assigned[best].append(h)
     if simplify:
         shells = [_simplify_collinear(r) for r in shells]

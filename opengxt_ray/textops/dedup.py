@@ -362,13 +362,18 @@ def _connected_components_distributed(edges, *, num_partitions: int = 16,
 
 
 def _lsh_candidate_pairs_ds(ds, *, num_perm, bands, shingle_k, text_col,
-                            id_col, num_partitions, max_bucket: int = 2000):
+                            id_col, num_partitions, max_bucket: int = 2000,
+                            oversize: str = "star"):
     """LSH bucketing → deduped candidate pair Dataset (a < b).
 
     All-pairs within each bucket, capped at ``max_bucket`` members per
     bucket (a bucket that large means the banding is mis-tuned for the
-    corpus; the cap bounds the O(b²) emit — documented, not silent:
-    oversized buckets emit a star instead so connectivity is kept).
+    corpus; the cap bounds the O(b²) emit). ``oversize`` picks the
+    over-cap behavior: ``"star"`` emits a star — connectivity is
+    preserved, which is all the CLUSTERING path needs; ``"raise"``
+    raises (no-silent-caps rule) — required by the VERIFIED-PAIRS path,
+    where a star would silently drop true pairs the bucket did find
+    (star edges that fail Jaccard verification sever them).
     """
     banded = ds.map_batches(
         MinHasher,
@@ -385,6 +390,14 @@ def _lsh_candidate_pairs_ds(ds, *, num_perm, bands, shingle_k, text_col,
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
         if len(ids) > max_bucket:
+            if oversize == "raise":
+                raise ValueError(
+                    f"LSH bucket with {len(ids)} members exceeds "
+                    f"max_bucket={max_bucket}; the verified-pairs "
+                    "contract (pairs == brute force over the candidate "
+                    "graph) cannot survive a star fallback. Retune "
+                    "bands/num_perm, raise max_bucket, or use the "
+                    "clustering path (verify_threshold=None).")
             # star fallback: keeps the component connected at O(b) cost
             return pa.table({"a": pa.array(np.full(len(ids) - 1, ids[0])),
                              "b": pa.array(ids[1:])})
@@ -535,7 +548,8 @@ def minhash_verified_pairs(ds, *, num_perm=128, bands=16, shingle_k=3,
     pairs."""
     pairs = _lsh_candidate_pairs_ds(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-        text_col=text_col, id_col=id_col, num_partitions=num_partitions)
+        text_col=text_col, id_col=id_col, num_partitions=num_partitions,
+        oversize="raise")
     verified = _verify_pairs(pairs, ds, shingle_k=shingle_k,
                              text_col=text_col, id_col=id_col,
                              num_partitions=num_partitions)

@@ -135,3 +135,44 @@ def test_raster_to_polygon_diagonal_cells_area_exact():
     fg = _wkb.decode([r["geom"] for r in polys])
     total = sum(geomops.areas(fg))
     assert total == pytest.approx(32.0, abs=1e-9)
+
+
+def test_raster_to_polygon_nested_hole_assignment():
+    """Island-in-a-lake-with-a-pond: the pond hole must attach to the
+    ISLAND shell (smallest containing), not the outer shell — signed
+    area sums cancel either way, so only ring grouping catches it."""
+    meta = RasterMeta(0.0, 16.0, 1.0, 16, 16, tile_size=8)
+    dense = np.full((16, 16), 1.0)
+    dense[3:13, 3:13] = np.nan          # lake
+    dense[5:11, 5:11] = 1.0             # island
+    dense[7:9, 7:9] = np.nan            # pond
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            rows.append({"tx": tx, "ty": ty,
+                         "data": dense[ty * 8:(ty + 1) * 8,
+                                       tx * 8:(tx + 1) * 8].tobytes()})
+    tiles = ray.data.from_items(rows).map_batches(
+        lambda b: pa.table({"tx": pa.array(b["tx"], pa.int32()),
+                            "ty": pa.array(b["ty"], pa.int32()),
+                            "data": pa.array([bytes(d) for d in b["data"]],
+                                             pa.binary())}),
+        batch_format="pandas")
+    polys = raster_to_polygon(tiles, meta).take_all()
+    assert len(polys) == 1 and polys[0]["value"] == 1.0
+    fg = _wkb.decode([polys[0]["geom"]])
+    # total area still exact regardless of assignment
+    want_area = float(np.sum(dense == 1.0))
+    assert geomops.areas(fg)[0] == pytest.approx(want_area, abs=1e-9)
+    # group rings: each hole belongs to the most recent shell
+    groups = []
+    for ring, is_shell in fg.rings(0):
+        a = abs(geomops.ring_area(ring))
+        if is_shell:
+            groups.append([a, []])
+        else:
+            groups[-1][1].append(a)
+    by_shell = {round(s): sorted(round(h) for h in hs) for s, hs in groups}
+    # outer shell 256 owns the 100-cell lake; island shell 36 owns the
+    # 4-cell pond
+    assert by_shell == {256: [100], 36: [4]}
