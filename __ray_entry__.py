@@ -1036,6 +1036,45 @@ def _q_buffer_statistics(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_union_polygon(sf_dir: str):
+    """Single-layer UnionPolygon over jittered axis-aligned boxes
+    derived from supplier keys. The per-key jitter makes every edge
+    coordinate distinct, so no collinear-overlap degeneracies arise and
+    the pairwise-GH fold is float-exact; the SQL oracle computes the
+    same union area by scanline (x-strips x merged y-intervals).
+    Rounded at 3 dp on both sides — the two float paths (shoelace over
+    GH boundary vs strip sums) differ at ~1e-10 relative."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from opengxt_ray.core import geomops, wkb as _W
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.unionpoly import union_polygon
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = supp["s_suppkey"].to_numpy().astype(np.int64)
+    k = k[k <= 200]  # bound the O(m^2) fold at larger sf (same in SQL)
+    kd = k.astype(np.float64)
+    x0 = (k * 37 % 89).astype(np.float64) + kd * 0.0001
+    y0 = (k * 53 % 83).astype(np.float64) + kd * 0.0002
+    x1 = x0 + ((5 + k % 11).astype(np.float64) + kd * 0.00013)
+    y1 = y0 + ((5 + k % 13).astype(np.float64) + kd * 0.00017)
+    geoms = [_W.encode_polygon(np.array(
+        [[a, b], [c, b], [c, d], [a, d]], np.float64))
+        for a, b, c, d in zip(x0, y0, x1, y1)]
+    ds = ray.data.from_arrow(
+        pa.table({"geom": pa.array(geoms, pa.binary())})).repartition(4)
+    out = union_polygon(ds)
+
+    def _area(b: pa.Table) -> pa.Table:
+        fg = _W.decode(b["geom"].to_pylist())
+        return pa.table({"a": pa.array(geomops.areas(fg), pa.float64())})
+
+    tot = out.map_batches(_area, batch_format="pyarrow").sum("a")
+    return pa.table({"union_area": pa.array(
+        [float(format_round(tot, 3))], pa.float64())})
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -1095,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "points_to_line": _q_points_to_line,
         "buffer_statistics": _q_buffer_statistics,
+        "union_polygon": _q_union_polygon,
         "kmeans": _q_kmeans,
     }
 
@@ -1903,6 +1943,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.s_suppkey, a.count_c_acctbal, a.sum_c_acctbal,
                    a.mean_c_acctbal
             FROM sup s LEFT JOIN agg a ON s.s_suppkey = a.s_suppkey
+        """,
+        "union_polygon": """
+            WITH boxes AS (
+                SELECT CAST((s_suppkey * 37) % 89 AS DOUBLE)
+                         + CAST(s_suppkey AS DOUBLE) * 0.0001 AS x0,
+                       CAST((s_suppkey * 53) % 83 AS DOUBLE)
+                         + CAST(s_suppkey AS DOUBLE) * 0.0002 AS y0,
+                       (CAST((s_suppkey * 37) % 89 AS DOUBLE)
+                         + CAST(s_suppkey AS DOUBLE) * 0.0001)
+                         + (CAST(5 + (s_suppkey % 11) AS DOUBLE)
+                            + CAST(s_suppkey AS DOUBLE) * 0.00013) AS x1,
+                       (CAST((s_suppkey * 53) % 83 AS DOUBLE)
+                         + CAST(s_suppkey AS DOUBLE) * 0.0002)
+                         + (CAST(5 + (s_suppkey % 13) AS DOUBLE)
+                            + CAST(s_suppkey AS DOUBLE) * 0.00017) AS y1
+                FROM supplier WHERE s_suppkey <= 200
+            ),
+            xs AS (
+                SELECT DISTINCT v FROM (
+                    SELECT x0 AS v FROM boxes
+                    UNION SELECT x1 AS v FROM boxes)
+            ),
+            strips AS (
+                SELECT v AS xa, lead(v) OVER (ORDER BY v) AS xb FROM xs
+            ),
+            cov AS (
+                SELECT s.xa, s.xb, b.y0, b.y1
+                FROM strips s JOIN boxes b
+                  ON b.x0 <= s.xa AND b.x1 >= s.xb
+                WHERE s.xb IS NOT NULL
+            ),
+            m AS (
+                SELECT xa, xb, y0, y1,
+                       max(y1) OVER (PARTITION BY xa ORDER BY y0, y1
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pm
+                FROM cov
+            )
+            SELECT round(SUM((xb - xa) *
+                         GREATEST(y1 - GREATEST(y0, COALESCE(pm, y0)), 0)),
+                         3) AS union_area
+            FROM m
         """,
         "kmeans": f"""
             WITH RECURSIVE pts AS (

@@ -314,6 +314,14 @@ def _populate() -> None:
     E("Simplify", "transform", T.make_simplify,
       "GT/transformation/SimplifyFeatureCollection.java")
     from .ops import simplify as SI
+    from .ops import unionpoly as UP
+
+    E("UnionPolygon", "overlay", UP.union_polygon,
+      "GT/UnionPolygonProcess.java:99-121",
+      params=[Param("ds", "dataset"),
+              Param("preserve_hole", "bool", False, True),
+              Param("grid_size", "float", False, None),
+              Param("max_component", "int", False, 20_000)])
 
     E("SimplifyPolygon", "transform", SI.simplify_polygon_topo,
       "GT/operations/SimplifyPolygonFeaturesOperation.java:94-260",
