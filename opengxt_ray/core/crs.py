@@ -1,0 +1,257 @@
+"""Small parameterized CRS engine (no PROJ in this container).
+
+Reference behavior: GT/transformation/ReprojectFeatureCollection.java
+reprojects between arbitrary CRSs via GeoTools/PROJ. This module covers
+the practically common subset with public Snyder (1987, USGS PP 1395)
+formulas, vectorized in numpy:
+
+- ``tmerc``  — ellipsoidal Transverse Mercator (eqs. 8-9..8-25),
+  generalized to arbitrary lat0/lon0/k0/false offsets (UTM zones,
+  Korea 2000 belts + Unified CS, ETRS89/NAD83 UTM, …);
+- ``lcc``    — Lambert Conformal Conic 2SP (eqs. 15-1..15-11)
+  (Lambert-93, ETRS89-LCC Europe, …);
+- ``merc``   — spherical web Mercator (EPSG:3857);
+- ``longlat``— identity (EPSG:4326).
+
+DATUM ENVELOPE (documented): only CRSs whose datum is WGS84-compatible
+at the centimeter level (WGS84 itself, GRS80-based ETRS89 / NAD83 /
+Korea 2000 / RGF93) are listed — no Helmert/grid datum shifts are
+applied, so ellipsoid parameters differ per CRS but geographic
+coordinates are treated as interchangeable with WGS84. CRSs on legacy
+datums (OSGB36, Tokyo, …) are deliberately absent: without a shift the
+error would be tens of meters, which violates the no-silent-error rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_WGS84 = (6_378_137.0, 1.0 / 298.257223563)
+_GRS80 = (6_378_137.0, 1.0 / 298.257222101)
+_SPHERE_R = 6_378_137.0
+
+
+@dataclass(frozen=True)
+class CRSDef:
+    kind: str            # "tmerc" | "lcc" | "merc" | "longlat"
+    a: float = _WGS84[0]
+    f: float = _WGS84[1]
+    lat0: float = 0.0
+    lon0: float = 0.0
+    lat1: float = 0.0    # lcc standard parallels
+    lat2: float = 0.0
+    k0: float = 1.0
+    x0: float = 0.0
+    y0: float = 0.0
+
+
+def _tm(a, f, lat0, lon0, k0, x0, y0):
+    return CRSDef("tmerc", a, f, lat0=lat0, lon0=lon0, k0=k0, x0=x0, y0=y0)
+
+
+def _lcc(a, f, lat0, lon0, lat1, lat2, x0, y0):
+    return CRSDef("lcc", a, f, lat0=lat0, lon0=lon0, lat1=lat1, lat2=lat2,
+                  x0=x0, y0=y0)
+
+
+#: Common WGS84-compatible-datum projected CRSs (parameters from the
+#: public EPSG registry).
+CRS_TABLE: dict[str, CRSDef] = {
+    "EPSG:4326": CRSDef("longlat"),
+    "EPSG:3857": CRSDef("merc", a=_SPHERE_R, f=0.0),
+    # Korea 2000 (GRS80) — the reference's home turf
+    "EPSG:5179": _tm(*_GRS80, 38.0, 127.5, 0.9996, 1_000_000.0, 2_000_000.0),
+    "EPSG:5180": _tm(*_GRS80, 38.0, 125.0, 1.0, 200_000.0, 600_000.0),
+    "EPSG:5181": _tm(*_GRS80, 38.0, 127.0, 1.0, 200_000.0, 500_000.0),
+    "EPSG:5185": _tm(*_GRS80, 38.0, 125.0, 1.0, 200_000.0, 600_000.0),
+    "EPSG:5186": _tm(*_GRS80, 38.0, 127.0, 1.0, 200_000.0, 600_000.0),
+    "EPSG:5187": _tm(*_GRS80, 38.0, 129.0, 1.0, 200_000.0, 600_000.0),
+    "EPSG:5188": _tm(*_GRS80, 38.0, 131.0, 1.0, 200_000.0, 600_000.0),
+    # France RGF93 / Lambert-93
+    "EPSG:2154": _lcc(*_GRS80, 46.5, 3.0, 49.0, 44.0, 700_000.0,
+                      6_600_000.0),
+    # ETRS89 / LCC Europe
+    "EPSG:3034": _lcc(*_GRS80, 52.0, 10.0, 35.0, 65.0, 4_000_000.0,
+                      2_800_000.0),
+}
+
+# ETRS89 / UTM 28N..38N (EPSG:25828..25838) and NAD83 / UTM 1N..23N
+# (EPSG:26901..26923) — GRS80 tmerc zones
+for _z in range(28, 39):
+    CRS_TABLE[f"EPSG:258{_z:02d}"] = _tm(*_GRS80, 0.0, -183.0 + 6.0 * _z,
+                                         0.9996, 500_000.0, 0.0)
+for _z in range(1, 24):
+    CRS_TABLE[f"EPSG:269{_z:02d}"] = _tm(*_GRS80, 0.0, -183.0 + 6.0 * _z,
+                                         0.9996, 500_000.0, 0.0)
+
+
+def parse_crs(code: str) -> CRSDef | None:
+    """EPSG code → CRSDef, synthesizing WGS84 UTM zones on the fly."""
+    code = code.upper().strip()
+    if code in CRS_TABLE:
+        return CRS_TABLE[code]
+    if code.startswith("EPSG:") and len(code) == 10:
+        num = code[5:]
+        if num[:3] in ("326", "327"):
+            zone = int(num[3:])
+            if 1 <= zone <= 60:
+                return _tm(*_WGS84, 0.0, -183.0 + 6.0 * zone, 0.9996,
+                           500_000.0,
+                           10_000_000.0 if num[:3] == "327" else 0.0)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (Snyder 8-9..8-25), arbitrary ellipsoid + origin
+# ---------------------------------------------------------------------------
+
+def _merid_arc(a, e2, phi):
+    return a * ((1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256) * phi
+                - (3 * e2 / 8 + 3 * e2 ** 2 / 32 + 45 * e2 ** 3 / 1024)
+                * np.sin(2 * phi)
+                + (15 * e2 ** 2 / 256 + 45 * e2 ** 3 / 1024) * np.sin(4 * phi)
+                - (35 * e2 ** 3 / 3072) * np.sin(6 * phi))
+
+
+def _tmerc_fwd(c: CRSDef, lon, lat):
+    a, f = c.a, c.f
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64))
+    lam0 = np.radians(c.lon0)
+    N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    T = np.tan(phi) ** 2
+    C = ep2 * np.cos(phi) ** 2
+    A = (lam - lam0) * np.cos(phi)
+    M = _merid_arc(a, e2, phi)
+    M0 = _merid_arc(a, e2, np.radians(c.lat0))
+    x = c.k0 * N * (A + (1 - T + C) * A ** 3 / 6
+                    + (5 - 18 * T + T ** 2 + 72 * C - 58 * ep2)
+                    * A ** 5 / 120) + c.x0
+    y = c.k0 * (M - M0 + N * np.tan(phi) * (
+        A ** 2 / 2 + (5 - T + 9 * C + 4 * C ** 2) * A ** 4 / 24
+        + (61 - 58 * T + T ** 2 + 600 * C - 330 * ep2) * A ** 6 / 720)) + c.y0
+    return x, y
+
+
+def _tmerc_inv(c: CRSDef, x, y):
+    a, f = c.a, c.f
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    x = np.asarray(x, np.float64) - c.x0
+    y = np.asarray(y, np.float64) - c.y0
+    M0 = _merid_arc(a, e2, np.radians(c.lat0))
+    M = M0 + y / c.k0
+    mu = M / (a * (1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256))
+    phi1 = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+            + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+            + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+    C1 = ep2 * np.cos(phi1) ** 2
+    T1 = np.tan(phi1) ** 2
+    N1 = a / np.sqrt(1 - e2 * np.sin(phi1) ** 2)
+    R1 = a * (1 - e2) / (1 - e2 * np.sin(phi1) ** 2) ** 1.5
+    D = x / (N1 * c.k0)
+    phi = phi1 - (N1 * np.tan(phi1) / R1) * (
+        D ** 2 / 2 - (5 + 3 * T1 + 10 * C1 - 4 * C1 ** 2 - 9 * ep2)
+        * D ** 4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1 ** 2 - 252 * ep2 - 3 * C1 ** 2)
+        * D ** 6 / 720)
+    lam = np.radians(c.lon0) + (
+        D - (1 + 2 * T1 + C1) * D ** 3 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1 ** 2 + 8 * ep2 + 24 * T1 ** 2)
+        * D ** 5 / 120) / np.cos(phi1)
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic 2SP (Snyder 15-1..15-11)
+# ---------------------------------------------------------------------------
+
+def _lcc_consts(c: CRSDef):
+    e2 = c.f * (2 - c.f)
+    e = np.sqrt(e2)
+    p0, p1, p2 = (np.radians(c.lat0), np.radians(c.lat1), np.radians(c.lat2))
+
+    def m(p):
+        return np.cos(p) / np.sqrt(1 - e2 * np.sin(p) ** 2)
+
+    def t(p):
+        return np.tan(np.pi / 4 - p / 2) / (
+            (1 - e * np.sin(p)) / (1 + e * np.sin(p))) ** (e / 2)
+
+    n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
+    F = m(p1) / (n * t(p1) ** n)
+    rho0 = c.a * F * t(p0) ** n
+    return e, n, F, rho0, t
+
+
+def _lcc_fwd(c: CRSDef, lon, lat):
+    e, n, F, rho0, t = _lcc_consts(c)
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64))
+    rho = c.a * F * t(phi) ** n
+    th = n * (lam - np.radians(c.lon0))
+    return rho * np.sin(th) + c.x0, rho0 - rho * np.cos(th) + c.y0
+
+
+def _lcc_inv(c: CRSDef, x, y):
+    e, n, F, rho0, _t = _lcc_consts(c)
+    x = np.asarray(x, np.float64) - c.x0
+    y = rho0 - (np.asarray(y, np.float64) - c.y0)
+    rho = np.sign(n) * np.hypot(x, y)
+    tp = (rho / (c.a * F)) ** (1.0 / n)
+    th = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+    lam = th / n + np.radians(c.lon0)
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        phi = np.pi / 2 - 2 * np.arctan(
+            tp * ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2))
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def forward(c: CRSDef, lon, lat):
+    """(lon, lat) degrees → projected (x, y) meters."""
+    if c.kind == "longlat":
+        return (np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+    if c.kind == "merc":
+        x = np.radians(np.asarray(lon, np.float64)) * c.a
+        y = np.log(np.tan(np.pi / 4
+                          + np.radians(np.asarray(lat, np.float64)) / 2)) * c.a
+        return x, y
+    if c.kind == "tmerc":
+        return _tmerc_fwd(c, lon, lat)
+    if c.kind == "lcc":
+        return _lcc_fwd(c, lon, lat)
+    raise ValueError(f"unknown projection kind {c.kind}")
+
+
+def inverse(c: CRSDef, x, y):
+    """Projected (x, y) meters → (lon, lat) degrees."""
+    if c.kind == "longlat":
+        return (np.asarray(x, np.float64), np.asarray(y, np.float64))
+    if c.kind == "merc":
+        lon = np.degrees(np.asarray(x, np.float64) / c.a)
+        lat = np.degrees(2 * np.arctan(np.exp(np.asarray(y, np.float64)
+                                              / c.a)) - np.pi / 2)
+        return lon, lat
+    if c.kind == "tmerc":
+        return _tmerc_inv(c, x, y)
+    if c.kind == "lcc":
+        return _lcc_inv(c, x, y)
+    raise ValueError(f"unknown projection kind {c.kind}")
+
+
+def transform(src: CRSDef, dst: CRSDef, x, y):
+    """src coords → dst coords through geographic (no datum shift —
+    see module docstring for the WGS84-compatible-datum envelope)."""
+    lon, lat = inverse(src, x, y)
+    return forward(dst, lon, lat)

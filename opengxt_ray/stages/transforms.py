@@ -658,14 +658,19 @@ def _parse_utm_epsg(code: str):
 
 
 def make_reproject(src: str, dst: str, *, geom_col="geom"):
-    """ReprojectFeatureCollection for the web pair 4326↔3857 AND the
+    """ReprojectFeatureCollection for the web pair 4326↔3857, the
     UTM-zone family 4326↔EPSG:326xx/327xx (hand-rolled Snyder
     transverse Mercator, geomops.utm_forward/utm_inverse — round-trip
     ≤ 3 cm; reference auto-reprojects any pair via GeoTools,
-    SpatialJoinOperation.java:97-102).
+    SpatialJoinOperation.java:97-102), and — round-3 widening — any
+    pair from the parameterized ``core.crs`` table (Korea 2000 belts +
+    Unified CS, ETRS89/NAD83 UTM, Lambert-93, ETRS89-LCC; Snyder
+    tmerc/lcc on per-CRS ellipsoids, WGS84-compatible datums only —
+    see opengxt_ray/core/crs.py for the documented datum envelope).
 
-    Full PROJ pipelines are out of scope without pyproj; the engine's
-    CRS convention stores the code in schema metadata.
+    Full PROJ pipelines (datum grids, legacy datums) remain out of
+    scope without pyproj; the engine's CRS convention stores the code
+    in schema metadata.
     """
 
     def fwd(c):  # 4326 → 3857
@@ -701,7 +706,16 @@ def make_reproject(src: str, dst: str, *, geom_col="geom"):
     elif src.upper() == dst.upper():
         f = lambda c: c
     else:
-        raise ValueError(f"unsupported CRS pair {src} → {dst}")
+        from ..core import crs as _crs
+
+        sdef = _crs.parse_crs(src)
+        ddef = _crs.parse_crs(dst)
+        if sdef is None or ddef is None:
+            raise ValueError(f"unsupported CRS pair {src} → {dst}")
+
+        def f(c, sdef=sdef, ddef=ddef):
+            x, y = _crs.transform(sdef, ddef, c[:, 0], c[:, 1])
+            return np.column_stack([x, y])
 
     return lambda b: _coord_transform(b, geom_col, f)
 
