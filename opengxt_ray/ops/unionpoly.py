@@ -124,6 +124,93 @@ def _fold_pieces(pieces):
     return out
 
 
+def _capsule(a, b, r: float, qs: int) -> np.ndarray:
+    """Open CCW ring of the convex hull of the two endpoint disks — the
+    exact (n-gon-discretized) buffer of segment a→b."""
+    ca = geomops.circle_ring(float(a[0]), float(a[1]), r, qs)[:-1]
+    if a[0] == b[0] and a[1] == b[1]:
+        return ca
+    cb = geomops.circle_ring(float(b[0]), float(b[1]), r, qs)[:-1]
+    return geomops.convex_hull(np.vstack([ca, cb]))[:-1]
+
+
+def buffer_exact(fg, i: int, radius: float, *, quadrant_segs: int = 8,
+                 max_edges: int = 4000):
+    """Exact round-join buffer of geometry ``i`` — JTS ``buffer()``
+    semantics (GT BufferExpression / BufferFeatures use JTS round
+    joins+caps), discretized with an INSCRIBED ``4*quadrant_segs``-gon
+    disk like JTS's arc approximation.
+
+    Construction: the Minkowski sum of a geometry with a disk equals
+    the union of (a) one capsule — hull of the two endpoint disks —
+    per boundary segment and (b) for areal inputs the polygon itself.
+    The capsules are folded boundary-order with pairwise
+    Greiner–Hormann unions (:func:`_fold_pieces`); ``_merge_pair``'s
+    hole algebra then shrinks interior rings by exactly the buffer
+    distance and drops holes narrower than ``2*radius`` — correct for
+    concave shells and self-intersecting offsets, where the round-1
+    hull-of-circles / offset-curve paths were approximations.
+
+    Returns a list of ``(shell_open_ccw, [holes_open_cw])`` pieces
+    (multiple pieces when buffered parts stay disjoint). Raises past
+    ``max_edges`` boundary segments (no-silent-caps; the fold is
+    O(edges²) in the worst case).
+    """
+    if radius <= 0:
+        raise ValueError("buffer_exact requires a positive distance; "
+                         "negative (erosion) buffers are not supported "
+                         "without GEOS — documented gap.")
+    typ = fg.types[i]
+    pieces: list = []
+    if typ in (_wkb.POLYGON, _wkb.MULTIPOLYGON):
+        # polygon parts FIRST: each capsule then merges transversally
+        # into the filled interior (shell grows, voids shrink via
+        # holes∖capsule, which keeps the void set disjoint). Folding
+        # the boundary tube first instead would build an annulus whose
+        # inner-offset pseudo-void overlaps the true holes and breaks
+        # the flat (shell, voids) piece model.
+        pieces.extend(_part_pieces(fg, i))
+    if typ in (_wkb.POINT, _wkb.MULTIPOINT):
+        for px, py in fg.geom_coords(i):
+            pieces.append((geomops.circle_ring(
+                float(px), float(py), radius, quadrant_segs)[:-1], []))
+    else:
+        is_poly = typ in (_wkb.POLYGON, _wkb.MULTIPOLYGON)
+        n_seg = 0
+        for part, _is_shell in fg.rings(i):
+            closed = is_poly and len(part) >= 4 and \
+                bool(np.all(part[0] == part[-1]))
+            pts = part[:-1] if closed else part
+            m = len(pts)
+            if m == 0:
+                continue
+            if m == 1:
+                pieces.append((geomops.circle_ring(
+                    float(pts[0, 0]), float(pts[0, 1]), radius,
+                    quadrant_segs)[:-1], []))
+                continue
+            n_edges = m if closed else m - 1
+            n_seg += n_edges
+            if n_seg > max_edges:
+                raise ValueError(
+                    f"geometry has >{max_edges} boundary segments; the "
+                    "pairwise capsule fold is O(edges^2) — simplify "
+                    "first or raise max_edges.")
+            for j in range(n_edges):
+                pieces.append((_capsule(pts[j], pts[(j + 1) % m], radius,
+                                        quadrant_segs), []))
+    return _fold_pieces(pieces)
+
+
+def encode_pieces(pieces) -> bytes:
+    """(shell, holes) pieces → WKB (multi)polygon."""
+    polys = [(np.vstack([s, s[:1]]),
+              [np.vstack([h, h[:1]]) for h in hs]) for s, hs in pieces]
+    if len(polys) == 1:
+        return _wkb.encode_polygon(polys[0][0], polys[0][1] or None)
+    return _wkb.encode_multipolygon([(s, h or None) for s, h in polys])
+
+
 def union_polygon(ds, *, geom_col: str = "geom", fid_col: str | None = None,
                   preserve_hole: bool = True, grid_size: float | None = None,
                   max_component: int = 20_000):

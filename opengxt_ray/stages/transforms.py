@@ -247,21 +247,38 @@ def octagonal_envelope(batch: pa.Table, *, geom_col="geom") -> pa.Table:
 # buffers
 # ---------------------------------------------------------------------------
 
+def _ring_is_convex(ring: np.ndarray) -> bool:
+    """True if the closed ring turns one way only (strictly convex up
+    to collinear runs)."""
+    pts = ring[:-1]
+    if len(pts) < 3:
+        return True
+    d = np.diff(np.vstack([pts, pts[:2]]), axis=0)
+    cr = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    return bool(np.all(cr >= 0) or np.all(cr <= 0))
+
+
 def make_buffer(distance, *, geom_col="geom", quadrant_segs=8,
-                geodesic=False):
+                geodesic=False, exact=None):
     """BufferExpression — buffer by constant or per-row column value.
 
     Points buffer to n-gon circles (JTS default 8 segs/quadrant).
-    Lines buffer via mitered offset curves on both sides + round end
-    caps (exact for non-self-intersecting offsets; sharp spikes need
-    GEOS — documented, a large upgrade over the round-1
-    hull-of-circles). Polygons keep the convex hull of per-vertex
-    circles (exact only for convex shells, documented).
+    Polygons buffer EXACTLY (JTS round-join semantics) via
+    :func:`opengxt_ray.ops.unionpoly.buffer_exact` — a per-edge capsule
+    union fold — with a hull-of-circles fast path for convex hole-free
+    shells where the two are equivalent. Lines default to mitered
+    offset curves on both sides + round end caps (exact for
+    non-self-intersecting offsets); ``exact=True`` routes lines through
+    the capsule fold too (exact round joins even when offsets
+    self-intersect, at O(edges²) fold cost). ``exact=False`` restores
+    the round-1 hull-of-circles polygon approximation.
     Geodesic mode converts meters to degrees at the row's latitude
     (GT/util/GeodeticBuilder.java:92-140 equivalent within tolerance).
     """
 
     def _buffer(batch: pa.Table) -> pa.Table:
+        from ..ops.unionpoly import buffer_exact, encode_pieces
+
         fg = _wkb.decode(batch[geom_col].to_pylist())
         if isinstance(distance, str):
             dist = batch[distance].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -279,19 +296,28 @@ def make_buffer(distance, *, geom_col="geom", quadrant_segs=8,
                 ring = geomops.circle_ring(float(pts[0, 0]), float(pts[0, 1]),
                                            r, quadrant_segs)
                 out.append(_wkb.encode_polygon(ring))
-            elif fg.types[i] == _wkb.LINESTRING:
+            elif fg.types[i] == _wkb.LINESTRING and not exact:
                 sub = pa.table({geom_col: pa.array(
                     [bytes(batch[geom_col][i].as_py())], pa.binary())})
                 buf = make_variable_buffer(r, r, geom_col=geom_col,
                                            quadrant_segs=quadrant_segs)(sub)
                 out.append(bytes(buf[geom_col][0].as_py()))
             else:
-                allc = []
-                for px, py in pts:
-                    allc.append(geomops.circle_ring(float(px), float(py), r,
-                                                    quadrant_segs)[:-1])
-                hull = geomops.convex_hull(np.concatenate(allc))
-                out.append(_wkb.encode_polygon(hull))
+                convex_fast = False
+                if fg.types[i] == _wkb.POLYGON:
+                    rings = [(rg, sh) for rg, sh in fg.rings(i)]
+                    convex_fast = (len(rings) == 1
+                                   and _ring_is_convex(rings[0][0]))
+                if exact is False or convex_fast:
+                    allc = []
+                    for px, py in pts:
+                        allc.append(geomops.circle_ring(
+                            float(px), float(py), r, quadrant_segs)[:-1])
+                    hull = geomops.convex_hull(np.concatenate(allc))
+                    out.append(_wkb.encode_polygon(hull))
+                else:
+                    out.append(encode_pieces(
+                        buffer_exact(fg, i, r, quadrant_segs=quadrant_segs)))
         idx = batch.column_names.index(geom_col)
         return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
 
