@@ -1075,6 +1075,38 @@ def _q_union_polygon(sf_dir: str):
         [float(format_round(tot, 3))], pa.float64())})
 
 
+def _q_windrose(sf_dir: str):
+    """WindRoseMap sector statistics over geocoded customers weighted
+    by c_acctbal (geometry column dropped for the compare; float
+    aggregates rounded to 6 dp on both sides per the repo rule)."""
+    import ray
+
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.presentation import windrose_map
+    from opengxt_ray.sources import tpch_geo
+
+    pts = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: tpch_geo.add_point_geom(b, "c_custkey", with_wkb=True),
+        batch_format="pyarrow")
+    rose, _anchor = windrose_map(pts, weight_col="c_acctbal")
+
+    def _r6(col):
+        return pa.array([float(format_round(float(v), 6))
+                         for v in col.to_pylist()], pa.float64())
+
+    return pa.table({
+        "uid": rose["uid"],
+        "cnt": rose["count"].cast(pa.int64()),
+        "s6": _r6(rose["sum"]),
+        "mn6": _r6(rose["min"]),
+        "mx6": _r6(rose["max"]),
+        "mean6": _r6(rose["mean"]),
+        "std6": _r6(rose["std_dev"]),
+    })
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -1136,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "buffer_statistics": _q_buffer_statistics,
         "union_polygon": _q_union_polygon,
         "kmeans": _q_kmeans,
+        "windrose": _q_windrose,
     }
 
 
@@ -2111,5 +2144,40 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt((sqq/n - (sq/n)*(sq/n))
                                 * (sdd/n - (sd/n)*(sd/n))), 6) AS r_qty_disc6
             FROM m
+        """,
+        # 32 windrose sectors by centroid angle from the bounds centre
+        # (half-open [i*11.25 - 5.625, ...) bins — the engine's rule;
+        # the reference's intersects filter double-counts boundary
+        # features, and derived points sit off sector borders).
+        "windrose": f"""
+            WITH pts AS (
+                SELECT {lon_c} AS x, {lat_c} AS y, c_acctbal AS w
+                FROM customer
+            ),
+            b AS (
+                SELECT (MIN(x) + MAX(x)) / 2 AS cx,
+                       (MIN(y) + MAX(y)) / 2 AS cy
+                FROM pts
+            ),
+            sec AS (
+                SELECT CAST(floor(((((degrees(atan2(p.y - b.cy, p.x - b.cx))
+                                      + 5.625) % 360) + 360) % 360)
+                                  / 11.25) AS BIGINT) AS uid, p.w
+                FROM pts p, b
+            ),
+            agg AS (
+                SELECT uid, COUNT(*) AS c, SUM(w) AS s, SUM(w * w) AS s2,
+                       MIN(w) AS mn, MAX(w) AS mx
+                FROM sec GROUP BY 1
+            )
+            SELECT CAST(g.uid AS BIGINT) AS uid,
+                   CAST(COALESCE(a.c, 0) AS BIGINT) AS cnt,
+                   round(COALESCE(a.s, 0), 6) AS s6,
+                   round(COALESCE(a.mn, 0), 6) AS mn6,
+                   round(COALESCE(a.mx, 0), 6) AS mx6,
+                   round(COALESCE(a.s / a.c, 0), 6) AS mean6,
+                   round(COALESCE(sqrt(greatest(
+                       (a.s2 - a.s * a.s / a.c) / a.c, 0)), 0), 6) AS std6
+            FROM range(0, 32) g(uid) LEFT JOIN agg a ON a.uid = g.uid
         """,
     }

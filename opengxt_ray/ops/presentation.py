@@ -1,0 +1,769 @@
+"""Presentational map-output processes: WindRoseMap, FlowMap,
+PolarGridsFromFeatures/Geometry, RingMap.
+
+These were the reference's 8 "map decoration" WPS ops, absent in
+rounds 1-2. They are real feature-generating computations (sector
+statistics, scaled arrow polygons, radial tessellations), so they are
+implemented for parity:
+
+- WindRoseMap: GT/WindRoseMapProcess.java +
+  GT/transformation/WindroseFeatureCollection.java:125-255 — 32
+  sectors around the bounds centre (radius = bbox diagonal / 1.98),
+  per-sector count/min/max/sum/mean/std_dev/var of a weight field over
+  intersecting features, wedge radius rescaled by
+  (sum-min)/(max-min); anchor collection
+  (GT/transformation/WindroseAnchorFeatureCollection.java:125-160) =
+  5 concentric circles + 16 labelled direction rays.
+- FlowMap: GT/transformation/FlowMapFeatureCollection.java:85-295 —
+  origin-destination lines -> arrow polygons whose head radius is the
+  min-max-normalized od (and optionally reverse do) value times
+  maxSize (default min(bbox w,h)/20), OFFSET=10 degrees.
+- PolarGrids: GT/operations/PolarGridsOperation.java:239-330 —
+  sides x radii radial cells per centre (annular bands when
+  outside_only, nested full wedges otherwise), Polar (half-step
+  rotated) vs Base start angle, azimuth labels for 8 sides.
+- RingMap: GT/operations/RingMapsOperation.java:95-240 — per-feature
+  angular side, greedy nearest-feature assignment (removal order
+  matters -> inherently sequential), ring_num radial cells per side
+  carrying one value field each, anchor lines to the assigned
+  feature's centroid.
+
+Scale notes: windrose/flowmap statistics run as vectorized
+``map_batches`` partials with a bounded driver reduce (32 rows or 4
+scalars per block); polar grids are a pure per-row ``map_batches``
+expansion. RingMap's greedy loop is driver-side by design — its
+output is a legend-scale graphic; the loader raises past
+``max_features`` (no-silent-caps rule).
+
+Sector-membership envelope: the reference assigns features to wind
+rose sectors with a JTS ``intersects`` filter, so a feature exactly on
+a sector boundary is counted in BOTH sectors and a polygon spanning
+sectors counts in each. This implementation bins by centroid angle
+with half-open sectors — identical for point inputs off sector
+boundaries (the repo-wide gate convention), documented here for the
+rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import geomops, wkb as _wkb
+
+WINDROSE_SEG = 32
+NORTH_16 = ["E", "ENE", "NE", "NNE", "N", "NNW", "NW", "WNW", "W", "WSW",
+            "SW", "SSW", "S", "SSE", "SE", "ESE"]
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def global_bounds(ds, *, geom_col: str = "geom") -> tuple:
+    """(minx, miny, maxx, maxy) via per-block partials + tiny driver
+    reduce (one row per block crosses the wire)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        if len(fg) == 0:
+            return pa.table({"minx": pa.array([], pa.float64()),
+                             "miny": pa.array([], pa.float64()),
+                             "maxx": pa.array([], pa.float64()),
+                             "maxy": pa.array([], pa.float64())})
+        bb = fg.bboxes()
+        return pa.table({"minx": [float(bb[:, 0].min())],
+                         "miny": [float(bb[:, 1].min())],
+                         "maxx": [float(bb[:, 2].max())],
+                         "maxy": [float(bb[:, 3].max())]})
+
+    part = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if len(part) == 0:
+        raise ValueError("empty dataset has no bounds")
+    return (float(part["minx"].min()), float(part["miny"].min()),
+            float(part["maxx"].max()), float(part["maxy"].max()))
+
+
+def _arc_points(cx: float, cy: float, from_deg: float, to_deg: float,
+                radius: float, segs: int) -> np.ndarray:
+    deg = from_deg + (np.arange(segs + 1) / segs) * (to_deg - from_deg)
+    rad = np.radians(deg)
+    return np.column_stack([cx + np.cos(rad) * radius,
+                            cy + np.sin(rad) * radius])
+
+
+def _dedup_consecutive(pts: np.ndarray) -> np.ndarray:
+    if len(pts) < 2:
+        return pts
+    keep = np.ones(len(pts), dtype=bool)
+    keep[1:] = np.any(pts[1:] != pts[:-1], axis=1)
+    return pts[keep]
+
+
+def _pie_cell(cx: float, cy: float, from_deg: float, to_deg: float,
+              radius: float, segs: int = WINDROSE_SEG) -> bytes:
+    """WindroseFeatureCollection.createCell — centre + arc + centre."""
+    arc = _arc_points(cx, cy, from_deg, to_deg, radius, segs)
+    ring = _dedup_consecutive(
+        np.vstack([[cx, cy], arc, [cx, cy]]))
+    ring = np.vstack([ring, ring[:1]])
+    return _wkb.encode_polygon(ring)
+
+
+# ---------------------------------------------------------------------------
+# WindRoseMap
+# ---------------------------------------------------------------------------
+
+def windrose_map(ds, *, weight_col: str | None = None, center=None,
+                 geom_col: str = "geom") -> tuple[pa.Table, pa.Table]:
+    """WindRoseMapProcess → (windrose table [32 rows], anchor table
+    [21 rows]). Fields per WindroseFeatureCollection.FIELDS:
+    uid, count, min, max, sum, mean, std_dev, var (population
+    variance, StatisticsVisitor.java:226)."""
+    minx, miny, maxx, maxy = global_bounds(ds, geom_col=geom_col)
+    radius = float(np.hypot(maxx - minx, maxy - miny)) / 1.98
+    if center is None:
+        cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+    else:
+        cx, cy = float(center[0]), float(center[1])
+
+    step = 360.0 / WINDROSE_SEG
+    half = step / 2.0
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        px, py = geomops.centroids(batch[geom_col].to_pylist())
+        if weight_col is None:
+            w = np.ones(len(px))
+        else:
+            w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+        deg = np.degrees(np.arctan2(py - cy, px - cx))
+        uid = np.floor(((deg + half) % 360.0) / step).astype(np.int64)
+        uid = np.clip(uid, 0, WINDROSE_SEG - 1)
+        ok = ~np.isnan(w)
+        n = np.bincount(uid[ok], minlength=WINDROSE_SEG)
+        s = np.bincount(uid[ok], weights=w[ok], minlength=WINDROSE_SEG)
+        s2 = np.bincount(uid[ok], weights=(w * w)[ok],
+                         minlength=WINDROSE_SEG)
+        mn = np.full(WINDROSE_SEG, np.inf)
+        mx = np.full(WINDROSE_SEG, -np.inf)
+        np.minimum.at(mn, uid[ok], w[ok])
+        np.maximum.at(mx, uid[ok], w[ok])
+        return pa.table({"uid": pa.array(np.arange(WINDROSE_SEG)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "s": pa.array(s), "s2": pa.array(s2),
+                         "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    # bounded gather: 32 rows per block
+    part = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    g = part.groupby("uid", sort=True).agg(
+        n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"))
+    n = np.zeros(WINDROSE_SEG, np.int64)
+    s = np.zeros(WINDROSE_SEG)
+    s2 = np.zeros(WINDROSE_SEG)
+    mn = np.zeros(WINDROSE_SEG)
+    mx = np.zeros(WINDROSE_SEG)
+    idx = g.index.to_numpy()
+    n[idx] = g["n"].to_numpy()
+    s[idx] = g["s"].to_numpy()
+    s2[idx] = g["s2"].to_numpy()
+    has = n > 0
+    mn[idx] = np.where(g["n"].to_numpy() > 0, g["mn"].to_numpy(), 0.0)
+    mx[idx] = np.where(g["n"].to_numpy() > 0, g["mx"].to_numpy(), 0.0)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(has, s / np.maximum(n, 1), 0.0)
+        var = np.where(has, (s2 - s * s / np.maximum(n, 1)) /
+                       np.maximum(n, 1), 0.0)
+    var = np.maximum(var, 0.0)
+    std = np.sqrt(var)
+
+    # post process: radius scaled by (sum - min) / (max - min)
+    lo, hi = float(s.min()), float(s.max())
+    diff = hi - lo
+    if diff > 0:
+        adj = (s - lo) / diff * radius
+        adj = np.where(adj == 0.0, radius * 0.001, adj)
+    else:
+        adj = np.full(WINDROSE_SEG, radius)  # documented deviation:
+        # the reference divides by zero here (NaN geometry)
+
+    geoms = []
+    for i in range(WINDROSE_SEG):
+        from_deg = i * step - half
+        to_deg = (i + 1) * step - half
+        geoms.append(_pie_cell(cx, cy, from_deg, to_deg, float(adj[i])))
+
+    rose = pa.table({
+        geom_col: pa.array(geoms, pa.binary()),
+        "uid": pa.array(np.arange(WINDROSE_SEG, dtype=np.int64)),
+        "count": pa.array(n),
+        "min": pa.array(mn), "max": pa.array(mx), "sum": pa.array(s),
+        "mean": pa.array(mean), "std_dev": pa.array(std),
+        "var": pa.array(var),
+    })
+    anchor = windrose_anchor(cx, cy, radius)
+    return rose, anchor
+
+
+def windrose_anchor(cx: float, cy: float, radius: float) -> pa.Table:
+    """WindroseAnchorFeatureCollection: 5 concentric circle boundaries
+    (distance field) + 16 direction rays labelled E..ESE."""
+    geoms, dist, direction = [], [], []
+    step_r = radius / 5.0
+    for i in range(5):
+        r = step_r * (i + 1)
+        ring = geomops.circle_ring(cx, cy, r, WINDROSE_SEG)
+        geoms.append(_wkb.encode_linestring(ring))
+        dist.append(r)
+        direction.append(None)
+    for i in range(16):
+        rad = np.radians(22.5 * i)
+        line = np.array([[cx, cy],
+                         [cx + np.cos(rad) * radius,
+                          cy + np.sin(rad) * radius]])
+        geoms.append(_wkb.encode_linestring(line))
+        dist.append(None)
+        direction.append(NORTH_16[i])
+    return pa.table({"geom": pa.array(geoms, pa.binary()),
+                     "distance": pa.array(dist, pa.float64()),
+                     "direction": pa.array(direction, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# FlowMap
+# ---------------------------------------------------------------------------
+
+def flow_map(ds, od_col: str, *, do_col: str | None = None,
+             max_size: float | None = None, geom_col: str = "geom"):
+    """FlowMapProcess — OD lines → arrow polygons. Two passes: a
+    bounded min/max partial reduce, then a stateless per-batch arrow
+    build. With ``do_col`` each line emits TWO arrows (forward od,
+    reversed do) and single-sided heads; without it one both-sided
+    arrow per line (FlowMapFeatureCollection.java:190-230)."""
+    cols = [od_col] + ([do_col] if do_col else [])
+
+    def _mm(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            out[f"mn_{c}"] = [float(v.min()) if len(v) else np.inf]
+            out[f"mx_{c}"] = [float(v.max()) if len(v) else -np.inf]
+        return pa.table(out)
+
+    part = ds.map_batches(_mm, batch_format="pyarrow").to_pandas()
+    mm = {c: (float(part[f"mn_{c}"].min()), float(part[f"mx_{c}"].max()))
+          for c in cols}
+
+    if max_size is None or max_size == 0:
+        minx, miny, maxx, maxy = global_bounds(ds, geom_col=geom_col)
+        max_size = min(maxx - minx, maxy - miny) / 20.0
+    both_side = do_col is None
+    OFFSET = 10.0
+
+    def _arrow(fr, to, trans):
+        angle = np.degrees(np.arctan2(to[1] - fr[1], to[0] - fr[0])) - 180.0
+        r = trans * max_size
+
+        def _pt(deg):
+            rad = np.radians(deg)
+            return [to[0] + np.cos(rad) * r, to[1] + np.sin(rad) * r]
+
+        coords = [list(fr)]
+        if both_side:
+            coords.append(_pt(angle + OFFSET))
+            coords.append(_pt(angle + OFFSET * 2))
+        coords.append(list(to))
+        coords.append(_pt(angle - OFFSET * 2))
+        coords.append(_pt(angle - OFFSET))
+        coords.append(list(fr))
+        return _wkb.encode_polygon(
+            _dedup_consecutive(np.asarray(coords, dtype=np.float64)))
+
+    def _build(batch: pa.Table) -> pa.Table:
+        fg = _wkb.decode(batch[geom_col].to_pylist())
+        od = batch[od_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = (batch[do_col].to_numpy(zero_copy_only=False).astype(np.float64)
+              if do_col else None)
+        take, geoms = [], []
+        lo_od, hi_od = mm[od_col]
+        for i in range(len(fg)):
+            pts = fg.geom_coords(i)
+            fr, to = pts[0], pts[-1]
+            v = od[i] if not np.isnan(od[i]) else lo_od
+            t = (v - lo_od) / (hi_od - lo_od) if hi_od > lo_od else 0.0
+            take.append(i)
+            geoms.append(_arrow(fr, to, t))
+            if do_col is not None:
+                lo_do, hi_do = mm[do_col]
+                v2 = dv[i] if not np.isnan(dv[i]) else lo_do
+                t2 = (v2 - lo_do) / (hi_do - lo_do) if hi_do > lo_do else 0.0
+                take.append(i)
+                geoms.append(_arrow(to, fr, t2))  # reversed line
+        out = batch.take(pa.array(take, pa.int64()))
+        gi = out.column_names.index(geom_col)
+        return out.set_column(gi, geom_col, pa.array(geoms, pa.binary()))
+
+    return ds.map_batches(_build, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MultiWindRoseMap
+# ---------------------------------------------------------------------------
+
+def multi_windrose(inputs, weight_cols, centers_ds, search_radius: float, *,
+                   rose_count: int = 16, geom_col: str = "geom",
+                   max_centers: int = 10_000):
+    """MultiWindRoseMapProcess — one rose per CENTER feature:
+    ``rose_count`` sectors of the ``search_radius`` circle, per-sector
+    per-input stats (val/cnt/min/max/mean/mdn/stdev — population
+    stdev, MultiWindRoseOperation.java:1092-1100) over features inside
+    the sector wedge ∧ circle; rose bands stack the inputs radially
+    with total radius sumVal/maxVal · search_radius
+    (MultiWindRoseOperation.java:200-420).
+
+    Returns (counting, rose, anchor) pyarrow Tables (output scale =
+    centers × sectors × inputs — presentation-sized).
+
+    Distribution: centers are a bounded broadcast table
+    (``max_centers`` cap raises); each input Dataset assigns rows to
+    (center, sector) pairs in vectorized ``map_batches`` and the
+    per-cell stats run as a ``groupby().map_groups`` co-shuffle —
+    values never gather until the final counting rows (bounded).
+
+    Documented deviations: sector membership bins feature CENTROIDS
+    (see module envelope note); ``mdn`` is a true median (the
+    reference's getMedian never sorts, making it iteration-order
+    dependent); anchors are emitted once per center (the reference
+    re-writes the identical anchor set once per sector row).
+    """
+    if isinstance(centers_ds, pa.Table):
+        ctr = centers_ds
+    else:
+        ctr = pa.Table.from_pandas(
+            centers_ds.limit(max_centers + 1).to_pandas())
+    if ctr.num_rows > max_centers:
+        raise ValueError(f"multi_windrose: {ctr.num_rows} centers exceed "
+                         f"max_centers={max_centers}")
+    ccx, ccy = geomops.centroids(ctr[geom_col].to_pylist())
+    n_ctr = len(ccx)
+    step = 360.0 / rose_count
+    half = step / 2.0
+    radius = float(search_radius)
+
+    def _assign(batch: pa.Table, *, input_idx: int, wcol: str | None):
+        px, py = geomops.centroids(batch[geom_col].to_pylist())
+        w = (batch[wcol].to_numpy(zero_copy_only=False).astype(np.float64)
+             if wcol else np.ones(len(px)))
+        rows_c, rows_s, rows_v = [], [], []
+        for k in range(n_ctr):
+            dx, dy = px - ccx[k], py - ccy[k]
+            ok = (dx * dx + dy * dy) <= radius * radius
+            if not ok.any():
+                continue
+            deg = np.degrees(np.arctan2(dy[ok], dx[ok]))
+            # sectors span [half + i*step, half + (i+1)*step)
+            sec = np.floor(((deg - half) % 360.0) / step).astype(np.int64)
+            rows_c.append(np.full(int(ok.sum()), k, np.int64))
+            rows_s.append(sec)
+            rows_v.append(w[ok])
+        if not rows_c:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        return pa.table({
+            "c": pa.array(np.concatenate(rows_c)),
+            "s": pa.array(np.concatenate(rows_s)),
+            "i": pa.array(np.full(sum(len(r) for r in rows_c), input_idx,
+                                  np.int64)),
+            "v": pa.array(np.concatenate(rows_v))})
+
+    assigned = None
+    for idx, ds in enumerate(inputs):
+        wcol = weight_cols[idx] if weight_cols else None
+        part = ds.map_batches(
+            _assign, batch_format="pyarrow",
+            fn_kwargs={"input_idx": idx, "wcol": wcol})
+        assigned = part if assigned is None else assigned.union(part)
+
+    def _cell_stats(group: pa.Table) -> pa.Table:
+        v = np.sort(group["v"].to_numpy(zero_copy_only=False))
+        n = len(v)
+        if n == 0:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "min": pa.array([], pa.float64()),
+                             "max": pa.array([], pa.float64()),
+                             "mean": pa.array([], pa.float64()),
+                             "mdn": pa.array([], pa.float64()),
+                             "stdev": pa.array([], pa.float64())})
+        mean = float(v.mean())
+        mdn = float(v[n // 2]) if n % 2 == 1 else \
+            float((v[n // 2 - 1] + v[n // 2]) / 2.0) if n > 1 else float(v[0])
+        stdev = float(np.sqrt(np.mean((v - mean) ** 2)))
+        return pa.table({
+            "c": pa.array([group["c"][0].as_py()], pa.int64()),
+            "s": pa.array([group["s"][0].as_py()], pa.int64()),
+            "i": pa.array([group["i"][0].as_py()], pa.int64()),
+            "val": pa.array([float(v.sum())]),
+            "cnt": pa.array([n], pa.int64()),
+            "min": pa.array([float(v[0])]),
+            "max": pa.array([float(v[-1])]),
+            "mean": pa.array([mean]), "mdn": pa.array([mdn]),
+            "stdev": pa.array([stdev])})
+
+    from ..core.util import default_shuffle_partitions
+
+    assigned = assigned.map_batches(
+        lambda b: b.append_column(
+            "cs", pa.array(b["c"].to_numpy(zero_copy_only=False)
+                           * (rose_count * len(inputs))
+                           + b["s"].to_numpy(zero_copy_only=False)
+                           * len(inputs)
+                           + b["i"].to_numpy(zero_copy_only=False),
+                           pa.int64())),
+        batch_format="pyarrow")
+    cells = assigned.groupby(
+        "cs", num_partitions=default_shuffle_partitions()).map_groups(
+        _cell_stats, batch_format="pyarrow")
+    cdf = cells.to_pandas()  # bounded: centers × sectors × inputs
+
+    # fval per (center, sector) and the global maxVal
+    fsum = cdf.groupby(["c", "s"])["val"].sum()
+    max_val = float(fsum.max()) if len(fsum) else 0.0
+
+    counting_cols = {geom_col: [], "c": [], "from_d": [], "to_d": [],
+                     "val_x": [], "val_y": [], "val_rad": []}
+    rose_cols = {geom_col: [], "c": [], "val": [], "cnt": [], "min": [],
+                 "max": [], "mean": [], "mdn": [], "stdev": [],
+                 "rose_tg": []}
+    by_cell = {(int(r.c), int(r.s), int(r.i)): r
+               for r in cdf.itertuples()}
+    for k in range(n_ctr):
+        cx, cy = float(ccx[k]), float(ccy[k])
+        for sec in range(rose_count):
+            from_deg = half + sec * step
+            to_deg = half + (sec + 1) * step
+            counting_cols[geom_col].append(
+                _wedge_cell(cx, cy, from_deg, to_deg, radius))
+            counting_cols["c"].append(k)
+            counting_cols["from_d"].append(from_deg)
+            counting_cols["to_d"].append(to_deg)
+            counting_cols["val_x"].append(cx)
+            counting_cols["val_y"].append(cy)
+            counting_cols["val_rad"].append(radius)
+            svals = [by_cell[(k, sec, i)].val
+                     for i in range(len(inputs)) if (k, sec, i) in by_cell]
+            sum_val = float(sum(svals))
+            if sum_val == 0 or max_val == 0:
+                continue
+            rose_radius = sum_val / max_val * radius
+            from_r = 0.0
+            for i in range(len(inputs)):
+                cell = by_cell.get((k, sec, i))
+                if cell is None:
+                    continue
+                to_r = cell.val / sum_val * rose_radius
+                rose_cols[geom_col].append(_annulus_cell(
+                    cx, cy, from_deg, to_deg, from_r, from_r + to_r))
+                from_r += to_r
+                rose_cols["c"].append(k)
+                rose_cols["val"].append(float(cell.val))
+                rose_cols["cnt"].append(int(cell.cnt))
+                rose_cols["min"].append(float(cell.min))
+                rose_cols["max"].append(float(cell.max))
+                rose_cols["mean"].append(float(cell.mean))
+                rose_cols["mdn"].append(float(cell.mdn))
+                rose_cols["stdev"].append(float(cell.stdev))
+                rose_cols["rose_tg"].append(f"input{i}")
+
+    anchor_cols = {geom_col: [], "c": [], "distance": [], "direction": [],
+                   "degree": []}
+    for k in range(n_ctr):
+        cx, cy = float(ccx[k]), float(ccy[k])
+        for j in range(1, 6):
+            r = radius * j / 5.0
+            anchor_cols[geom_col].append(_wkb.encode_linestring(
+                geomops.circle_ring(cx, cy, r, WINDROSE_SEG)))
+            anchor_cols["c"].append(k)
+            anchor_cols["distance"].append(r)
+            anchor_cols["direction"].append(None)
+            anchor_cols["degree"].append(None)
+        for j in range(16):
+            dg = 22.5 * j
+            rad = np.radians(dg)
+            anchor_cols[geom_col].append(_wkb.encode_linestring(np.array(
+                [[cx, cy], [cx + np.cos(rad) * radius,
+                            cy + np.sin(rad) * radius]])))
+            anchor_cols["c"].append(k)
+            anchor_cols["distance"].append(None)
+            anchor_cols["direction"].append(NORTH_16[j])
+            anchor_cols["degree"].append(dg)
+
+    def _tab(cols, floats=(), strs=()):
+        out = {}
+        for name, vals in cols.items():
+            if name == geom_col:
+                out[name] = pa.array(vals, pa.binary())
+            elif name in strs:
+                out[name] = pa.array(vals, pa.string())
+            elif name in floats:
+                out[name] = pa.array(
+                    [None if v is None else float(v) for v in vals],
+                    pa.float64())
+            else:
+                out[name] = pa.array(vals)
+        return pa.table(out)
+
+    counting = _tab(counting_cols,
+                    floats=("from_d", "to_d", "val_x", "val_y", "val_rad"))
+    rose = _tab(rose_cols, floats=("val", "min", "max", "mean", "mdn",
+                                   "stdev"), strs=("rose_tg",))
+    anchor = _tab(anchor_cols, floats=("distance", "degree"),
+                  strs=("direction",))
+    return counting, rose, anchor
+
+
+# ---------------------------------------------------------------------------
+# PolarGrids
+# ---------------------------------------------------------------------------
+
+def _azimuth_label(deg: float, radial_type: str) -> str:
+    deg = deg - 360.0 if deg > 360.0 else deg
+    if radial_type == "base":
+        table = ["NEE", "NNE", "NNW", "NWW", "SWW", "SSW", "SSE", "SEE"]
+        return table[int(deg // 45) % 8]
+    if 22.5 <= deg < 67.5:
+        return "NE"
+    if 67.5 <= deg < 112.5:
+        return "N"
+    if 112.5 <= deg < 157.5:
+        return "NW"
+    if 157.5 <= deg < 202.5:
+        return "W"
+    if 202.5 <= deg < 247.5:
+        return "SW"
+    if 247.5 <= deg < 292.5:
+        return "S"
+    if 292.5 <= deg < 337.5:
+        return "SE"
+    return "E"
+
+
+def _annulus_cell(cx, cy, from_deg, to_deg, r_in, r_out,
+                  segs: int = 24) -> bytes:
+    inner = _arc_points(cx, cy, from_deg, to_deg, r_in, segs)
+    outer = _arc_points(cx, cy, from_deg, to_deg, r_out, segs)[::-1]
+    ring = _dedup_consecutive(np.vstack([inner, outer]))
+    ring = np.vstack([ring, ring[:1]])
+    return _wkb.encode_polygon(ring)
+
+
+def _wedge_cell(cx, cy, from_deg, to_deg, radius, segs: int = 24) -> bytes:
+    arc = _arc_points(cx, cy, from_deg, to_deg, radius, segs)[::-1]
+    ring = _dedup_consecutive(np.vstack([[cx, cy], arc]))
+    ring = np.vstack([ring, ring[:1]])
+    return _wkb.encode_polygon(ring)
+
+
+def polar_grid_cells(cx: float, cy: float, radii, *, sides: int = 8,
+                     radial_type: str = "polar",
+                     outside_only: bool = True) -> pa.Table:
+    """One centre → sides × len(radii) cells with angle/radius (+
+    azimuth for 8 sides), PolarGridsOperation.createRadialGrids."""
+    radii = sorted(float(r) for r in radii)
+    step = 360.0 / sides
+    half = 0.0 if radial_type == "base" else step / 2.0
+    geoms, angles, rads, azims = [], [], [], []
+    for side in range(sides):
+        from_deg = half + side * step
+        to_deg = half + (side + 1) * step
+        for k, r in enumerate(radii):
+            if outside_only and k > 0:
+                geoms.append(_annulus_cell(cx, cy, from_deg, to_deg,
+                                           radii[k - 1], r))
+            else:
+                geoms.append(_wedge_cell(cx, cy, from_deg, to_deg, r))
+            angles.append(from_deg)
+            rads.append(r)
+            if sides == 8:
+                azims.append(_azimuth_label(from_deg, radial_type))
+    cols = {"geom": pa.array(geoms, pa.binary()),
+            "angle": pa.array(angles, pa.float64()),
+            "radius": pa.array(rads, pa.float64())}
+    if sides == 8:
+        cols["azimuth"] = pa.array(azims, pa.string())
+    return pa.table(cols)
+
+
+def polar_grids(ds_or_center, radii, *, sides: int = 8,
+                radial_type: str = "polar", outside_only: bool = True,
+                geom_col: str = "geom"):
+    """PolarGridsFromFeatures (Dataset input: one radial grid per
+    feature centroid, attributes copied) / PolarGridsFromGeometry
+    (an (x, y) tuple input → pa.Table)."""
+    if isinstance(ds_or_center, tuple):
+        cx, cy = ds_or_center
+        return polar_grid_cells(float(cx), float(cy), radii, sides=sides,
+                                radial_type=radial_type,
+                                outside_only=outside_only)
+
+    radii_l = list(radii)
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        px, py = geomops.centroids(batch[geom_col].to_pylist())
+        parts, take = [], []
+        for i in range(len(px)):
+            cells = polar_grid_cells(float(px[i]), float(py[i]), radii_l,
+                                     sides=sides, radial_type=radial_type,
+                                     outside_only=outside_only)
+            parts.append(cells)
+            take.extend([i] * cells.num_rows)
+        if not parts:
+            empty = polar_grid_cells(0.0, 0.0, radii_l, sides=sides,
+                                     radial_type=radial_type,
+                                     outside_only=outside_only).slice(0, 0)
+            src = batch.drop_columns([geom_col]).slice(0, 0)
+            for name in src.column_names:
+                empty = empty.append_column(name, src[name])
+            return empty
+        cells = pa.concat_tables(parts)
+        src = batch.drop_columns([geom_col]).take(pa.array(take, pa.int64()))
+        for name in src.column_names:
+            cells = cells.append_column(name, src[name])
+        return cells
+
+    return ds_or_center.map_batches(_expand, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# RingMap
+# ---------------------------------------------------------------------------
+
+def _ring_cell(cx, cy, from_deg, to_deg, r_in, r_out, gaps: int = 1,
+               segs: int = 10) -> bytes:
+    """RingMapsOperation.createCell — the arc stops ``gaps`` steps
+    short, leaving a visual gap between angular sides."""
+    step = abs(to_deg - from_deg) / segs
+    k = segs + 1 - gaps
+    deg_in = from_deg + np.arange(k) * step
+    deg_out = (from_deg + np.arange(k) * step)[::-1]
+    inner = np.column_stack([cx + np.cos(np.radians(deg_in)) * r_in,
+                             cy + np.sin(np.radians(deg_in)) * r_in])
+    outer = np.column_stack([cx + np.cos(np.radians(deg_out)) * r_out,
+                             cy + np.sin(np.radians(deg_out)) * r_out])
+    ring = _dedup_consecutive(np.vstack([inner, outer]))
+    ring = np.vstack([ring, ring[:1]])
+    return _wkb.encode_polygon(ring)
+
+
+def _point_to_geom_distance(px: float, py: float, fg, i: int) -> float:
+    """JTS Geometry.distance(Point) equivalent: 0 inside polygons,
+    else min distance to boundary segments / vertices."""
+    t = fg.types[i]
+    pts = fg.geom_coords(i)
+    if t == _wkb.POINT:
+        return float(np.hypot(pts[:, 0] - px, pts[:, 1] - py).min())
+    d = np.inf
+    inside = False
+    for ring, _is_shell in fg.rings(i):
+        if len(ring) >= 2:
+            seg = geomops.point_segment_dist(
+                np.full(len(ring) - 1, px), np.full(len(ring) - 1, py),
+                ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1])
+            d = min(d, float(seg.min()))
+        if t in (_wkb.POLYGON, _wkb.MULTIPOLYGON) and len(ring) >= 4:
+            # even-odd over all rings (hole containment cancels)
+            inside ^= bool(geomops.points_in_ring(
+                np.array([px]), np.array([py]), ring)[0])
+    if inside:
+        return 0.0
+    return d
+
+
+def ring_map(ds, fields: list[str], target_field: str = "ring_val", *,
+             ring_gap: int = 1, geom_col: str = "geom",
+             max_features: int = 4096) -> tuple[pa.Table, pa.Table]:
+    """RingMapsOperation — returns (ring cells, anchor lines). The
+    greedy nearest-feature-per-side assignment mutates a candidate set
+    sequentially (reference removes each assigned feature), so this is
+    a driver-side op over a bounded feature list (presentational
+    output: sides × rings cells). Raises past ``max_features``."""
+    if isinstance(ds, pa.Table):
+        tbl = ds.to_pandas()
+    else:  # Ray Dataset: bound the gather BEFORE it happens
+        tbl = ds.limit(max_features + 1).to_pandas()
+    if len(tbl) > max_features:
+        raise ValueError(
+            f"ring_map input has {len(tbl)} features > max_features="
+            f"{max_features}; a ring map is a legend-scale graphic — "
+            "aggregate first or raise the cap.")
+    gaps = 1 if (ring_gap >= 10 or ring_gap < 0) else ring_gap
+    ring_num = len(fields)
+    if ring_num == 0:
+        raise ValueError("fields must name at least one value column")
+
+    fg = _wkb.decode(tbl[geom_col].tolist())
+    bb = fg.bboxes()
+    minx, miny = bb[:, 0].min(), bb[:, 1].min()
+    maxx, maxy = bb[:, 2].max(), bb[:, 3].max()
+    radius = float(np.hypot(maxx - minx, maxy - miny)) / 2.0
+    cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+
+    count = len(tbl)
+    r_step = radius / ring_num
+    a_step = 360.0 / count
+    cxs, cys = geomops.centroids(tbl[geom_col].tolist())
+
+    remaining = list(range(count))
+    attr_cols = [c for c in tbl.columns if c != geom_col]
+    ring_rows = {c: [] for c in attr_cols}
+    ring_geoms, ring_nums, ring_vals = [], [], []
+    anchor_rows = {c: [] for c in attr_cols}
+    anchor_geoms = []
+
+    for side in range(count):
+        from_deg = side * a_step
+        to_deg = (side + 1) * a_step
+        # centroid of the innermost cell picks the nearest feature
+        first_cell = _wkb.decode([_ring_cell(cx, cy, from_deg, to_deg,
+                                             radius, radius + r_step,
+                                             gaps)])
+        cpx, cpy = geomops.flat_centroids(first_cell)
+        dists = [(_point_to_geom_distance(float(cpx[0]), float(cpy[0]),
+                                          fg, j), j) for j in remaining]
+        _, nearest = min(dists)
+        remaining.remove(nearest)
+
+        mid = np.radians(from_deg + (to_deg - from_deg) / 2.0)
+        anchor_geoms.append(_wkb.encode_linestring(np.array([
+            [cx + np.cos(mid) * radius, cy + np.sin(mid) * radius],
+            [cxs[nearest], cys[nearest]]])))
+        for c in attr_cols:
+            anchor_rows[c].append(tbl[c].iloc[nearest])
+
+        r = radius
+        for k in range(ring_num):
+            ring_geoms.append(_ring_cell(cx, cy, from_deg, to_deg, r,
+                                         r + r_step, gaps))
+            ring_nums.append(k + 1)
+            ring_vals.append(float(tbl[fields[k]].iloc[nearest]))
+            for c in attr_cols:
+                ring_rows[c].append(tbl[c].iloc[nearest])
+            r += r_step
+
+    ring_cols = {geom_col: pa.array(ring_geoms, pa.binary())}
+    for c in attr_cols:
+        ring_cols[c] = pa.array(ring_rows[c])
+    ring_cols["ring_num"] = pa.array(ring_nums, pa.int32())
+    ring_cols[target_field] = pa.array(ring_vals, pa.float64())
+    anchor_cols = {geom_col: pa.array(anchor_geoms, pa.binary())}
+    for c in attr_cols:
+        anchor_cols[c] = pa.array(anchor_rows[c])
+    return pa.table(ring_cols), pa.table(anchor_cols)

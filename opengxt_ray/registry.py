@@ -544,5 +544,42 @@ def _populate() -> None:
     E("AudioFrameSample", "multimodal", MM.audio_frames)
     E("SynthMedia", "multimodal", MM.synth_media_batch)
 
+    # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/
+    # PolarGrids — round-3 closure of the "8 presentational absences")
+    from .ops import presentation as PR
+
+    E("WindRoseMap", "presentation", PR.windrose_map,
+      "GT/WindRoseMapProcess.java + GT/transformation/"
+      "WindroseFeatureCollection.java:125-255")
+    E("WindRoseAnchor", "presentation", PR.windrose_anchor,
+      "GT/transformation/WindroseAnchorFeatureCollection.java:125-160")
+    E("MultiWindRoseMap", "presentation", PR.multi_windrose,
+      "GT/MultiWindRoseMapProcess.java + GT/operations/"
+      "MultiWindRoseOperation.java:88-420 (per-center sector stats "
+      "via (center,sector,input) co-shuffle; documented deviations: "
+      "centroid binning, sorted median, anchors once per center)")
+    E("FlowMap", "presentation", PR.flow_map,
+      "GT/FlowMapProcess.java + GT/transformation/"
+      "FlowMapFeatureCollection.java:85-295")
+    E("PolarGridsFromFeatures", "presentation", PR.polar_grids,
+      "GT/PolarGridsFromFeaturesProcess.java + GT/operations/"
+      "PolarGridsOperation.java:239-330")
+    E("PolarGridsFromGeometry", "presentation", PR.polar_grid_cells,
+      "GT/PolarGridsFromGeometryProcess.java + GT/operations/"
+      "PolarGridsOperation.java:180-238")
+    from .raster import image as IMG
+
+    E("RasterToImage", "presentation", IMG.raster_to_image,
+      "GT/RasterToImageProcess.java:56-140 (bbox window, resample, "
+      "stretch, transparency; stdlib PNG codec — SLD styling out of "
+      "scope, color ramp instead)")
+    E("MapToImage", "presentation", IMG.map_to_image,
+      "GT/MapToImageProcess.java (rasterize layer onto the pixel "
+      "grid + ramp; SLD symbology out of scope — documented)")
+    E("RingMap", "presentation", PR.ring_map,
+      "GT/RingMapProcess.java + GT/operations/RingMapsOperation.java:"
+      "95-240 (greedy nearest-per-side, driver-side by design — "
+      "legend-scale output, max_features cap raises)")
+
 
 _populate()
