@@ -1107,6 +1107,95 @@ def _q_windrose(sf_dir: str):
     })
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard over the deterministic consecutive-id
+    pair set (a, a+1) — exercises attach_pair_texts + the jaccard
+    kernel with a fully brute-force SQL oracle (same shingle-rule
+    parity envelope as minhash_pairs: lowercased single-spaced ASCII,
+    ≥3 words per doc)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.textops.quality import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n = ds.count()
+    pairs = ds.map_batches(
+        lambda b: pa.table({
+            "a": b["doc_id"],
+            "b": pc.add(b["doc_id"], 1),
+        }).filter(pc.less(pa.chunked_array([b["doc_id"]]), n - 1)),
+        batch_format="pyarrow")
+    out = ngram_jaccard_pairs(ds, pairs)
+    return out.map_batches(
+        lambda b: pa.table({
+            "a": b["a"], "b": b["b"],
+            "jacc6": pa.array(format_round(b["jaccard"].to_numpy(), 6)),
+        }), batch_format="pyarrow")
+
+
+def _q_embedding_neardup(sf_dir: str):
+    """Embedding cosine near-dup with nbits=0 — a single LSH bucket =
+    exact brute force, so the all-pairs SQL oracle applies (same
+    full-probe pattern as the ivf_topk gate). Pairs-only output: the
+    0.4 threshold sits in a ≥1e-4 gap of the sf0.01 cosine
+    distribution, so float32-vs-float64 accumulation order cannot flip
+    membership."""
+    import ray
+
+    from opengxt_ray.textops.dedup import embedding_neardup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = embedding_neardup(ds, threshold=0.4, nbits=0)
+    return out.map_batches(lambda b: b.select(["a", "b"]),
+                           batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    """Winnowing fingerprints (MOSS scheme: rolling 25-char base-257
+    hash mod 2^64, min per 16-window, distinct per doc) — bit-exact
+    SQL oracle (envelope: ASCII text, where unicode(ch) == the UTF-8
+    byte the engine hashes)."""
+    import ray
+
+    from opengxt_ray.textops.quality import fingerprint_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, k=25, window=16),
+        batch_format="pyarrow")
+
+
+def _winnow_sql(k: int = 25, window: int = 16) -> str:
+    """Winnowing oracle: base-257 rolling hash with exact 2^64
+    wraparound (byte × precomputed 257^j mod 2^64 terms summed in
+    HUGEINT, reduced once), sliding-window list_min, DISTINCT."""
+    pw = [pow(257, k - 1 - j, 1 << 64) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(bytes[i+{j}] AS HUGEINT) * {pw[j]}" for j in range(k))
+    return f"""
+        WITH b AS (SELECT doc_id,
+                          [unicode(text[i])
+                           for i in range(1, len(text) + 1)] AS bytes
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     [CAST(({terms}) % 18446744073709551616 AS UBIGINT)
+                      for i in range(1, len(bytes) - {k - 2})] AS hs
+              FROM b WHERE len(bytes) >= {k}),
+        w AS (SELECT doc_id,
+                     CASE WHEN len(hs) <= {window} THEN [list_min(hs)]
+                     ELSE [list_min(hs[i:i+{window - 1}])
+                           for i in range(1, len(hs) - {window - 2})]
+                     END AS mins
+              FROM h)
+        SELECT DISTINCT doc_id, unnest(mins) AS fingerprint FROM w
+    """
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -1169,6 +1258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_polygon": _q_union_polygon,
         "kmeans": _q_kmeans,
         "windrose": _q_windrose,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "fingerprint": _q_fingerprint,
     }
 
 
@@ -2180,4 +2272,35 @@ def oracle_sql() -> dict[str, str]:
                        (a.s2 - a.s * a.s / a.c) / a.c, 0)), 0), 6) AS std6
             FROM range(0, 32) g(uid) LEFT JOIN agg a ON a.uid = g.uid
         """,
+        # brute word-3-gram Jaccard over the (a, a+1) pair set; same
+        # shingle-rule envelope as minhash_pairs (lowercased
+        # single-spaced ASCII, ≥3 words per doc)
+        "ngram_jaccard": """
+            WITH sh AS (SELECT DISTINCT doc_id,
+                               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                       for i in range(1, len(ws) - 1)]) AS s
+                        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                              FROM documents)),
+            sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            pr AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+                   WHERE doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)),
+            inter AS (SELECT p.a, p.b, count(*) AS i
+                      FROM pr p JOIN sh x ON x.doc_id = p.a
+                                JOIN sh y ON y.doc_id = p.b AND y.s = x.s
+                      GROUP BY 1, 2)
+            SELECT p.a, p.b,
+                   round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                         / (sa.c + sb.c - COALESCE(i.i, 0)), 6) AS jacc6
+            FROM pr p JOIN sz sa ON sa.doc_id = p.a
+                      JOIN sz sb ON sb.doc_id = p.b
+            LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        """,
+        # exact brute-force cosine pairs (engine runs nbits=0 = one
+        # bucket); threshold sits in a ≥1e-4 cosine gap at sf0.01
+        "embedding_neardup": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+        """,
+        "fingerprint": _winnow_sql(25, 16),
     }

@@ -134,6 +134,62 @@ def bench_minhash(sf_dir):
     return minhash_dedup(ds).count()
 
 
+DEDUP_10X_DOCS = int(os.environ.get("GRAFT_DEDUP_DOCS", "100000"))
+
+
+def synth_dedup_corpus(n_docs: int):
+    """Deterministic near-dup corpus: clusters of 5 variants, one word
+    substituted per variant → LSH must discover ~n/5 components."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    vocab = np.array([f"w{i:04d}" for i in range(4096)])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        cluster = (ids // 5).astype(np.uint64)
+        variant = (ids % 5).astype(np.uint64)
+        # 30 words per doc; NONLINEAR (cluster,pos) mix — a linear
+        # stream makes every 3-shingle a function of one scalar mod
+        # |vocab| (only 4096 distinct shingles corpus-wide → giant LSH
+        # buckets), which is a degenerate workload, not a benchmark
+        pos = np.arange(30, dtype=np.uint64)
+        h = (cluster[:, None] * np.uint64(0x9E3779B97F4A7C15)
+             + (pos[None, :] + np.uint64(1)) * np.uint64(0xC2B2AE3D27D4EB4F))
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        widx = (h % np.uint64(len(vocab))).astype(np.int64)
+        # each variant substitutes ONE position with a variant word
+        sub_pos = (cluster % np.uint64(30)).astype(np.int64)
+        words = vocab[widx]
+        rows = np.arange(len(ids))
+        words[rows, sub_pos[rows]] = vocab[
+            ((cluster * np.uint64(7) + variant * np.uint64(131))
+             % np.uint64(len(vocab))).astype(np.int64)]
+        texts = [" ".join(w) for w in words]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ray.data.range(n_docs).map_batches(_synth,
+                                              batch_format="pyarrow")
+
+
+def bench_dedup_10x(sf_dir, n_docs: int = DEDUP_10X_DOCS):
+    """Dedup family at 20× the sf0.1 corpus with the DISTRIBUTED
+    connected-components path forced (small_graph_threshold=0 — no
+    driver union-find short circuit), exercising hash-to-min +
+    pointer-jump propagation end-to-end (r2 verdict item 10;
+    cluster-collapse correctness asserted in tests/test_bench_dedup.py
+    on the same corpus generator)."""
+    from opengxt_ray.textops.dedup import minhash_dedup
+
+    docs = synth_dedup_corpus(n_docs)
+    out = minhash_dedup(docs, small_graph_threshold=0)
+    return out.count()
+
+
 def bench_ann(sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
@@ -276,6 +332,7 @@ BENCHES = {
     "salted_copart": bench_salted_copart,
     "union_overlay": bench_union_overlay,
     "raster_vectorize": bench_raster_vectorize,
+    "dedup_10x": bench_dedup_10x,
 }
 
 

@@ -15,7 +15,7 @@ All stages are Ray-Data-native:
 
 from __future__ import annotations
 
-from ..core.util import default_join_partitions
+from ..core.util import default_join_partitions, default_shuffle_partitions
 
 import numpy as np
 import pyarrow as pa
@@ -209,7 +209,7 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def connected_components(edges, *, num_partitions: int = 16,
+def connected_components(edges, *, num_partitions: int | None = None,
                          max_rounds: int = 15,
                          small_graph_threshold: int = 5_000_000):
     """See :func:`_connected_components_distributed`. Edge graphs up to
@@ -219,6 +219,7 @@ def connected_components(edges, *, num_partitions: int = 16,
     shuffles that dwarf a tiny graph (measured 22.7 s → ~9 s on the
     sf0.1 minhash bench). The distributed path engages automatically
     beyond the threshold."""
+    num_partitions = num_partitions or default_shuffle_partitions()
     edges = edges.materialize()
     if edges.count() <= small_graph_threshold:
         batches = list(edges.iter_batches(batch_format="pyarrow"))
@@ -253,7 +254,8 @@ def connected_components(edges, *, num_partitions: int = 16,
         edges, num_partitions=num_partitions, max_rounds=max_rounds)
 
 
-def _connected_components_distributed(edges, *, num_partitions: int = 16,
+def _connected_components_distributed(edges, *,
+                                      num_partitions: int | None = None,
                                       max_rounds: int = 15):
     """Min-label connected components over a SYMMETRIC edge Dataset
     (src, dst) → label Dataset (node, rep) with rep = component min.
@@ -264,6 +266,7 @@ def _connected_components_distributed(edges, *, num_partitions: int = 16,
     strictly decreases while any label changes). Only (id, id) tables
     shuffle per round — cost independent of payload size.
     """
+    num_partitions = num_partitions or default_shuffle_partitions()
     edges = edges.materialize()
 
     # init: lab(v) = min(v, min neighbor) — every vertex appears as src
@@ -284,42 +287,83 @@ def _connected_components_distributed(edges, *, num_partitions: int = 16,
     # Dataset.join — two join operators in one streaming DAG deadlock
     # small CPU budgets (their shuffle actors oversubscribe a 4-CPU
     # session), and a groupby is one shuffle instead of build+probe.
-    def _relax_groups(group: pa.Table) -> pa.Table:
-        # rows: provider (dst null) carries lab(key); consumer carries an
-        # edge (key=src, dst). Emit lab(key) to every dst + keep lab(key).
-        rep_arr = group["rep"].combine_chunks()
-        prov = np.asarray(rep_arr.is_valid())
-        if not prov.any():
-            # edge endpoint with no label — cannot happen for symmetric
-            # edges, but keep the schema stable
-            return pa.table({"node": pa.array([], pa.int64()),
-                             "rep": pa.array([], pa.int64())})
-        repv = rep_arr.to_numpy(zero_copy_only=False)
-        dstv = group["dst"].to_numpy(zero_copy_only=False)
-        keyv = group["key"].to_numpy(zero_copy_only=False)
-        lab_key = int(np.min(repv[prov]))
-        cons = np.nonzero(~prov)[0]
-        nodes = np.empty(len(cons) + 1, dtype=np.int64)
-        nodes[0] = int(keyv[0])
-        nodes[1:] = dstv[cons].astype(np.int64)
-        return pa.table({"node": pa.array(nodes, pa.int64()),
-                         "rep": pa.array(np.full(len(nodes), lab_key),
-                                         pa.int64())})
+    #
+    # The groupby key is a HASH BUCKET of the id, not the id itself:
+    # groupby(id).map_groups would invoke Python once per NODE (round 3
+    # measured 14→50 s/round and a worker crash at 20k nodes / 32
+    # CPUs); bucketing co-locates ~|V|/B ids per call and the lookup
+    # inside the bucket is a vectorized unique-key searchsorted.
+    n_buckets = np.int64(max(num_partitions, 1) * 8)
 
-    def _jump_groups(group: pa.Table) -> pa.Table:
-        # key = some id r; provider row carries lab(r); consumer rows are
-        # nodes whose rep is r → their new rep is lab(r) (or r if none).
+    def _bkt(keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(31)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    def _split(group: pa.Table):
+        """bucket rows → (provider keys+labels sorted, consumer rows)."""
+        key = group["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         rep_arr = group["rep"].combine_chunks()
-        prov = np.asarray(rep_arr.is_valid())
+        valid = np.asarray(rep_arr.is_valid())
         repv = rep_arr.to_numpy(zero_copy_only=False)
-        nodev = group["dst"].to_numpy(zero_copy_only=False)
-        keyv = group["key"].to_numpy(zero_copy_only=False)
-        lab_key = (int(np.min(repv[prov])) if prov.any() else int(keyv[0]))
-        cons = np.nonzero(~prov)[0]
-        return pa.table({
-            "node": pa.array(nodev[cons].astype(np.int64), pa.int64()),
-            "rep": pa.array(np.full(len(cons), lab_key), pa.int64()),
-        })
+        dst_arr = group["dst"].combine_chunks()
+        dstv = dst_arr.to_numpy(zero_copy_only=False)
+        pk = key[valid]
+        pv = repv[valid].astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, pv = pk[order], pv[order]
+        ck = key[~valid]
+        cd = dstv[~valid].astype(np.int64)
+        return pk, pv, ck, cd
+
+    def _relax_bucket(group: pa.Table) -> pa.Table:
+        # providers: lab rows (key=node, rep). consumers: edges
+        # (key=src, dst). Emit lab(key) to every dst + keep lab(key).
+        pk, pv, ck, cd = _split(group)
+        pos = np.searchsorted(pk, ck)
+        ok = np.zeros(len(ck), dtype=bool)
+        if len(pk):
+            inb = pos < len(pk)
+            ok[inb] = pk[pos[inb]] == ck[inb]
+        nodes = np.concatenate([pk, cd[ok]])
+        reps = np.concatenate([pv, pv[pos[ok]]]) if len(pk) else pv
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "rep": pa.array(reps, pa.int64())})
+
+    def _jump_bucket(group: pa.Table) -> pa.Table:
+        # providers: lab rows (key=node, rep). consumers: (key=rep(n),
+        # dst=n) → new rep(n) = lab(key) if labelled else key itself.
+        pk, pv, ck, cd = _split(group)
+        pos = np.searchsorted(pk, ck)
+        new_rep = ck.copy()
+        if len(pk):
+            inb = pos < len(pk)
+            hit = np.zeros(len(ck), dtype=bool)
+            hit[inb] = pk[pos[inb]] == ck[inb]
+            new_rep[hit] = pv[pos[hit]]
+        return pa.table({"node": pa.array(cd, pa.int64()),
+                         "rep": pa.array(new_rep, pa.int64())})
+
+    def _prov_rows(b: pa.Table) -> pa.Table:
+        k = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bkt": pa.array(_bkt(k)),
+                         "key": pa.array(k, pa.int64()),
+                         "dst": pa.nulls(len(b), pa.int64()),
+                         "rep": b["rep"]})
+
+    def _edge_rows(b: pa.Table) -> pa.Table:
+        k = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bkt": pa.array(_bkt(k)),
+                         "key": pa.array(k, pa.int64()),
+                         "dst": b["dst"],
+                         "rep": pa.nulls(len(b), pa.int64())})
+
+    def _jump_rows(b: pa.Table) -> pa.Table:
+        k = b["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bkt": pa.array(_bkt(k)),
+                         "key": pa.array(k, pa.int64()),
+                         "dst": b["node"],
+                         "rep": pa.nulls(len(b), pa.int64())})
 
     prev_sum = None
     for _ in range(max_rounds):
@@ -328,36 +372,27 @@ def _connected_components_distributed(edges, *, num_partitions: int = 16,
             break
         prev_sum = s
         # relax: every edge (src,dst) proposes lab(src) to dst
-        prov = lab.map_batches(
-            lambda b: pa.table({"key": b["node"],
-                                "dst": pa.nulls(len(b), pa.int64()),
-                                "rep": b["rep"]}),
-            batch_format="pyarrow")
-        cons = edges.map_batches(
-            lambda b: pa.table({"key": b["src"], "dst": b["dst"],
-                                "rep": pa.nulls(len(b), pa.int64())}),
-            batch_format="pyarrow")
+        prov = lab.map_batches(_prov_rows, batch_format="pyarrow")
+        cons = edges.map_batches(_edge_rows, batch_format="pyarrow")
         relaxed = prov.union(cons).groupby(
-            "key", num_partitions=num_partitions).map_groups(
-            _relax_groups, batch_format="pyarrow")
+            "bkt", num_partitions=num_partitions).map_groups(
+            _relax_bucket, batch_format="pyarrow")
         lab = relaxed.groupby("node", num_partitions=num_partitions) \
             .aggregate(ray.data.aggregate.Min("rep"))
+        # repartition: groupby/map_groups output block counts compound
+        # across rounds (union doubles them) — round 3 measured round
+        # times growing 3.6→12→52 s from block-count explosion alone
         lab = lab.map_batches(
             lambda b: pa.table({"node": b["node"], "rep": b["min(rep)"]}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow").repartition(num_partitions) \
+            .materialize()
         # pointer jump: rep ← lab(rep)
-        prov2 = lab.map_batches(
-            lambda b: pa.table({"key": b["node"],
-                                "dst": pa.nulls(len(b), pa.int64()),
-                                "rep": b["rep"]}),
-            batch_format="pyarrow")
-        cons2 = lab.map_batches(
-            lambda b: pa.table({"key": b["rep"], "dst": b["node"],
-                                "rep": pa.nulls(len(b), pa.int64())}),
-            batch_format="pyarrow")
+        prov2 = lab.map_batches(_prov_rows, batch_format="pyarrow")
+        cons2 = lab.map_batches(_jump_rows, batch_format="pyarrow")
         lab = prov2.union(cons2).groupby(
-            "key", num_partitions=num_partitions).map_groups(
-            _jump_groups, batch_format="pyarrow").materialize()
+            "bkt", num_partitions=num_partitions).map_groups(
+            _jump_bucket, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
     return lab
 
 
@@ -413,7 +448,7 @@ def _lsh_candidate_pairs_ds(ds, *, num_perm, bands, shingle_k, text_col,
 
 
 def attach_pair_texts(pairs, ds, *, id_col="doc_id", text_col="text",
-                      num_partitions: int = 16):
+                      num_partitions: int | None = None):
     """(a, b) candidate pairs + (id, text) corpus → Dataset
     (a, b, text_a, text_b).
 
@@ -423,6 +458,7 @@ def attach_pair_texts(pairs, ds, *, id_col="doc_id", text_col="text",
     (ArrowInvalid FieldRef), and two join operators in one streaming
     DAG deadlock small CPU budgets. Inner-join semantics (pairs whose
     id is missing from the corpus are dropped)."""
+    num_partitions = num_partitions or default_shuffle_partitions()
     pairs = pairs.materialize()
 
     def _prov(b: pa.Table) -> pa.Table:
@@ -502,7 +538,7 @@ def _verify_pairs(pairs, ds, *, shingle_k, text_col, id_col,
     Jaccard per pair → Dataset (a, b, jacc). Pairs ≪ docs, so the
     per-pair set kernel runs on a tiny fraction of the corpus."""
     j = attach_pair_texts(pairs, ds, id_col=id_col, text_col=text_col,
-                          num_partitions=num_partitions or 16)
+                          num_partitions=num_partitions or default_shuffle_partitions())
 
     def _jacc(batch: pa.Table) -> pa.Table:
         a_txt = batch["text_a"].to_pylist()
@@ -540,7 +576,7 @@ def _shingle_set(text: str, k: int) -> frozenset:
 def minhash_verified_pairs(ds, *, num_perm=128, bands=16, shingle_k=3,
                            text_col="text", id_col="doc_id",
                            threshold: float = 0.5,
-                           num_partitions: int | None = 16):
+                           num_partitions: int | None = None):
     """LSH candidates + exact-Jaccard verification → Dataset
     (a, b, jacc) for every candidate pair with true Jaccard ≥
     threshold. This is the SQL-oracle-checkable core of the near-dup
@@ -563,9 +599,10 @@ def minhash_verified_pairs(ds, *, num_perm=128, bands=16, shingle_k=3,
 
 def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
                   text_col="text", id_col="doc_id",
-                  num_partitions: int | None = 16,
+                  num_partitions: int | None = None,
                   max_rounds: int = 15,
-                  verify_threshold: float | None = None):
+                  verify_threshold: float | None = None,
+                  small_graph_threshold: int = 5_000_000):
     """Full near-dup pipeline → Dataset (doc_id, rep_id): each doc mapped
     to its duplicate-cluster representative (the component-min id). Docs
     with no near-dups map to themselves.
@@ -580,6 +617,7 @@ def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
     Components via :func:`connected_components` (iterated min-label to a
     fixed point — fixes the round-1 single-round chain bug).
     """
+    num_partitions = num_partitions or default_shuffle_partitions()
     if verify_threshold is not None:
         pairs = minhash_verified_pairs(
             ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
@@ -603,31 +641,58 @@ def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
             concurrency=default_concurrency(),
         )
 
-        def _star_edges(group: pa.Table) -> pa.Table:
-            # symmetric star per bucket: (n_i ↔ min). Directed-only
-            # stars lose the bucket-min's own connection to the rest of
-            # its component (judge round-1 finding #1).
-            ids = np.sort(np.unique(
-                group[id_col].to_numpy(zero_copy_only=False)))
-            if len(ids) < 2:
+        # Symmetric star per bucket: (n_i ↔ min). Directed-only stars
+        # lose the bucket-min's own connection to the rest of its
+        # component (judge round-1 finding #1). Grouped by a HASH
+        # BUCKET of band_key, not band_key itself — per-bucket
+        # map_groups would invoke Python once per LSH bucket (docs ×
+        # bands groups; round-3 measured it as the pipeline hotspot at
+        # 100k docs) — with vectorized segmented emission inside.
+        n_star_buckets = np.uint64(num_partitions * 8)
+
+        def _bucketize(b: pa.Table) -> pa.Table:
+            k = b["band_key"].to_numpy(zero_copy_only=False).astype(
+                np.uint64)
+            h = k * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+            return b.append_column(
+                "bkt", pa.array((h % n_star_buckets).astype(np.int64)))
+
+        def _star_edges_bucket(group: pa.Table) -> pa.Table:
+            bk = group["band_key"].to_numpy(zero_copy_only=False).astype(
+                np.uint64)
+            ids = group[id_col].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            order = np.lexsort((ids, bk))
+            bk, ids = bk[order], ids[order]
+            keep = np.ones(len(bk), dtype=bool)
+            keep[1:] = (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])
+            bk, ids = bk[keep], ids[keep]
+            if len(bk) == 0:
                 return pa.table({"src": pa.array([], pa.int64()),
                                  "dst": pa.array([], pa.int64())})
-            m = ids[0]
-            rest = ids[1:]
-            src = np.concatenate([rest, np.full(len(rest), m)])
-            dst = np.concatenate([np.full(len(rest), m), rest])
-            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+            new_seg = np.concatenate([[True], bk[1:] != bk[:-1]])
+            seg_id = np.cumsum(new_seg) - 1
+            seg_min = ids[np.nonzero(new_seg)[0]]  # ids sorted per seg
+            mins = seg_min[seg_id]
+            rest = ids != mins
+            a, m = ids[rest], mins[rest]
+            return pa.table({
+                "src": pa.array(np.concatenate([a, m]), pa.int64()),
+                "dst": pa.array(np.concatenate([m, a]), pa.int64())})
 
-        edges = banded.groupby("band_key", num_partitions=num_partitions) \
-            .map_groups(_star_edges, batch_format="pyarrow")
+        edges = banded.map_batches(_bucketize, batch_format="pyarrow") \
+            .groupby("bkt", num_partitions=num_partitions) \
+            .map_groups(_star_edges_bucket, batch_format="pyarrow")
         # dedup across bands — the propagation re-joins the edge table
         # every round, so a bands× duplicated table costs bands× shuffle
         # per round
         edges = edges.groupby(["src", "dst"], num_partitions=num_partitions) \
             .count().select_columns(["src", "dst"])
 
-    lab = connected_components(edges, num_partitions=num_partitions or 16,
-                               max_rounds=max_rounds)
+    lab = connected_components(edges, num_partitions=num_partitions,
+                               max_rounds=max_rounds,
+                               small_graph_threshold=small_graph_threshold)
 
     ids = ds.map_batches(lambda b: pa.table({"node": b[id_col]}),
                          batch_format="pyarrow")
