@@ -365,12 +365,12 @@ def _connected_components_distributed(edges, *,
                          "dst": b["node"],
                          "rep": pa.nulls(len(b), pa.int64())})
 
-    prev_sum = None
+    # convergence is checked AFTER each round (label sum strictly
+    # decreases while anything changes): hash-to-min over star-edge
+    # graphs is already at the fixed point after init, so the
+    # before-check variant always paid one extra full round
+    prev_sum = lab.sum("rep")
     for _ in range(max_rounds):
-        s = lab.sum("rep")
-        if s == prev_sum:
-            break
-        prev_sum = s
         # relax: every edge (src,dst) proposes lab(src) to dst
         prov = lab.map_batches(_prov_rows, batch_format="pyarrow")
         cons = edges.map_batches(_edge_rows, batch_format="pyarrow")
@@ -393,6 +393,10 @@ def _connected_components_distributed(edges, *,
             "bkt", num_partitions=num_partitions).map_groups(
             _jump_bucket, batch_format="pyarrow") \
             .repartition(num_partitions).materialize()
+        s = lab.sum("rep")
+        if s == prev_sum:
+            break
+        prev_sum = s
     return lab
 
 
