@@ -365,10 +365,13 @@ def _connected_components_distributed(edges, *,
                          "dst": b["node"],
                          "rep": pa.nulls(len(b), pa.int64())})
 
-    # convergence is checked AFTER each round (label sum strictly
-    # decreases while anything changes): hash-to-min over star-edge
-    # graphs is already at the fixed point after init, so the
-    # before-check variant always paid one extra full round
+    # Convergence: the label sum strictly decreases while anything
+    # changes. At a RELAX fixed point every connected pair shares one
+    # label m with lab(m)=m (the component min labels itself), so the
+    # pointer jump is the identity there — checking after relax both
+    # detects convergence AND skips the final round's jump shuffles.
+    # Hash-to-min over star-edge graphs is at the fixed point right
+    # after init, so the common LSH-dedup case pays exactly one relax.
     prev_sum = lab.sum("rep")
     for _ in range(max_rounds):
         # relax: every edge (src,dst) proposes lab(src) to dst
@@ -379,24 +382,25 @@ def _connected_components_distributed(edges, *,
             _relax_bucket, batch_format="pyarrow")
         lab = relaxed.groupby("node", num_partitions=num_partitions) \
             .aggregate(ray.data.aggregate.Min("rep"))
-        # repartition: groupby/map_groups output block counts compound
-        # across rounds (union doubles them) — round 3 measured round
-        # times growing 3.6→12→52 s from block-count explosion alone
         lab = lab.map_batches(
             lambda b: pa.table({"node": b["node"], "rep": b["min(rep)"]}),
             batch_format="pyarrow").repartition(num_partitions) \
             .materialize()
-        # pointer jump: rep ← lab(rep)
+        s = lab.sum("rep")
+        if s == prev_sum:
+            break
+        prev_sum = s
+        # pointer jump: rep ← lab(rep). repartition-coalesce: union +
+        # map_groups output block counts compound across rounds (round
+        # 3 measured rounds growing 3.6→12→52 s from block-count
+        # explosion alone)
         prov2 = lab.map_batches(_prov_rows, batch_format="pyarrow")
         cons2 = lab.map_batches(_jump_rows, batch_format="pyarrow")
         lab = prov2.union(cons2).groupby(
             "bkt", num_partitions=num_partitions).map_groups(
             _jump_bucket, batch_format="pyarrow") \
             .repartition(num_partitions).materialize()
-        s = lab.sum("rep")
-        if s == prev_sum:
-            break
-        prev_sum = s
+        prev_sum = lab.sum("rep")
     return lab
 
 
