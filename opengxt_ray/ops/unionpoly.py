@@ -158,8 +158,8 @@ def buffer_exact(fg, i: int, radius: float, *, quadrant_segs: int = 8,
     """
     if radius <= 0:
         raise ValueError("buffer_exact requires a positive distance; "
-                         "negative (erosion) buffers are not supported "
-                         "without GEOS — documented gap.")
+                         "use erode_exact for negative (erosion) "
+                         "buffers of polygons.")
     typ = fg.types[i]
     pieces: list = []
     if typ in (_wkb.POLYGON, _wkb.MULTIPOLYGON):
@@ -200,6 +200,121 @@ def buffer_exact(fg, i: int, radius: float, *, quadrant_segs: int = 8,
                 pieces.append((_capsule(pts[j], pts[(j + 1) % m], radius,
                                         quadrant_segs), []))
     return _fold_pieces(pieces)
+
+
+def _ring_tube(ring_closed: np.ndarray, radius: float, quadrant_segs: int):
+    """Capsule-union tube around one closed ring → folded pieces
+    [(outer_ring, [inner voids])]."""
+    pts = ring_closed[:-1]
+    pieces = [(_capsule(pts[j], pts[(j + 1) % len(pts)], radius,
+                        quadrant_segs), []) for j in range(len(pts))]
+    return _fold_pieces(pieces)
+
+
+def erode_exact(fg, i: int, radius: float, *, quadrant_segs: int = 8,
+                max_edges: int = 4000):
+    """Exact negative (erosion) buffer — JTS ``buffer(-r)`` semantics.
+
+    Per part: the eroded shell regions S⊖r are DIRECTLY the inner
+    voids of the shell ring's capsule tube (the boundary's dilation;
+    self-intersecting inner offsets split it into several voids — the
+    dumbbell case); each grown hole H⊕r is DIRECTLY the outer ring of
+    that hole ring's tube. The result folds the voids minus the grown
+    holes with ``polygon_difference`` (whose containment branch emits
+    the hole ring when H⊕r sits strictly inside an eroded region);
+    grown holes that overlap are pre-merged with ``polygon_union``.
+
+    Returns (shell, holes) pieces like :func:`buffer_exact` — an
+    empty list when the polygon erodes away. Documented envelope: a
+    grown hole that pokes OUTSIDE the eroded shell region is handled
+    by the transversal GH difference; coincident tangencies resolve
+    via the micro-perturbation retries (~1e-9 relative).
+    """
+    from ..core.polyclip import polygon_difference, polygon_union
+    from .overlay import _classify_rings
+
+    if radius <= 0:
+        raise ValueError("erode_exact needs a positive radius")
+    if fg.types[i] not in (_wkb.POLYGON, _wkb.MULTIPOLYGON):
+        raise ValueError("negative buffers are defined for polygons")
+
+    n_seg = sum(len(part) - 1 for part, _ in fg.rings(i) if len(part) >= 4)
+    if n_seg > max_edges:
+        raise ValueError(
+            f"geometry has >{max_edges} boundary segments; the pairwise "
+            "capsule fold is O(edges^2) — simplify first or raise "
+            "max_edges.")
+
+    # group rings into parts (shell + its holes)
+    parts: list[tuple[np.ndarray, list[np.ndarray]]] = []
+    for ring, is_shell in fg.rings(i):
+        if len(ring) < 4:
+            continue
+        if is_shell:
+            parts.append((ring, []))
+        elif parts:
+            parts[-1][1].append(ring)
+
+    result: list = []
+    for shell_ring, hole_rings in parts:
+        tube = _ring_tube(shell_ring, radius, quadrant_segs)
+        # eroded shell regions = the tube's inner voids, CCW-ified
+        regions = []
+        for _outer, voids in tube:
+            for v in voids:
+                vc = np.vstack([v, v[:1]])
+                ccw = v if geomops.ring_area(vc) > 0 else v[::-1]
+                regions.append((ccw, []))
+        if not regions:
+            continue
+        # grown holes = outer rings of each hole ring's tube; merge
+        # overlapping ones so the difference sees disjoint regions
+        grown: list[np.ndarray] = []
+        for h in hole_rings:
+            for outer, _voids in _ring_tube(h, radius, quadrant_segs):
+                g_new = outer
+                merged = True
+                while merged:
+                    merged = False
+                    for k in range(len(grown)):
+                        if _bb_disjoint(_bb(g_new), _bb(grown[k])):
+                            continue
+                        u = polygon_union(g_new, grown[k])
+                        cls = _classify_rings(u)
+                        if len(cls) == 1:
+                            g_new = cls[0][0][:-1] if np.all(
+                                cls[0][0][0] == cls[0][0][-1]) \
+                                else cls[0][0]
+                            grown.pop(k)
+                            merged = True
+                            break
+                grown.append(g_new)
+        for g in grown:
+            gc = np.vstack([g, g[:1]])
+            nxt = []
+            for shell, holes in regions:
+                if _bb_disjoint(_bb(shell), _bb(g)):
+                    nxt.append((shell, holes))
+                    continue
+                diff = polygon_difference(np.vstack([shell, shell[:1]]), gc)
+                cls = _classify_rings(diff)
+                old_holes = list(holes)
+                for s_ring, voids in cls:
+                    sc = s_ring if not np.all(s_ring[0] == s_ring[-1]) \
+                        else s_ring[:-1]
+                    hs = [v if not np.all(v[0] == v[-1]) else v[:-1]
+                          for v in voids]
+                    # re-attach prior holes that landed in this piece
+                    for oh in old_holes:
+                        px, py = oh[0]
+                        if geomops.points_in_ring(
+                                np.array([px]), np.array([py]),
+                                np.vstack([sc, sc[:1]]))[0]:
+                            hs.append(oh)
+                    nxt.append((sc, hs))
+            regions = nxt
+        result.extend(regions)
+    return result
 
 
 def encode_pieces(pieces) -> bytes:

@@ -277,7 +277,7 @@ def make_buffer(distance, *, geom_col="geom", quadrant_segs=8,
     """
 
     def _buffer(batch: pa.Table) -> pa.Table:
-        from ..ops.unionpoly import buffer_exact, encode_pieces
+        from ..ops.unionpoly import buffer_exact, encode_pieces, erode_exact
 
         fg = _wkb.decode(batch[geom_col].to_pylist())
         if isinstance(distance, str):
@@ -292,7 +292,17 @@ def make_buffer(distance, *, geom_col="geom", quadrant_segs=8,
             if geodesic:
                 lat = float(pts[:, 1].mean())
                 r = r / (EARTH * np.pi / 180.0) / max(np.cos(np.radians(lat)), 1e-6)
-            if fg.types[i] == _wkb.POINT and len(pts) == 1:
+            if r < 0:
+                # JTS negative buffer: erosion for polygons, empty for
+                # points/lines. Empty output is an empty multipolygon.
+                if fg.types[i] in (_wkb.POLYGON, _wkb.MULTIPOLYGON):
+                    pieces = erode_exact(fg, i, -r,
+                                         quadrant_segs=quadrant_segs)
+                else:
+                    pieces = []
+                out.append(encode_pieces(pieces) if pieces
+                           else _wkb.encode_multipolygon([]))
+            elif fg.types[i] == _wkb.POINT and len(pts) == 1:
                 ring = geomops.circle_ring(float(pts[0, 0]), float(pts[0, 1]),
                                            r, quadrant_segs)
                 out.append(_wkb.encode_polygon(ring))

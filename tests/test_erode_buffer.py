@@ -1,0 +1,97 @@
+"""Negative (erosion) buffer vs distance oracle.
+
+erode(P, r) = {p : p in P and dist(p, boundary(P)) >= r}. Sampled
+membership with a +/-2% r exclusion band for the inscribed n-gon arc
+discretization around reflex corners (same convention as
+test_exact_buffer).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from opengxt_ray.core import geomops, wkb as _wkb
+from opengxt_ray.ops.unionpoly import encode_pieces, erode_exact
+from opengxt_ray.stages.transforms import make_buffer
+from tests.test_exact_buffer import (_dist_to_ring_edges,
+                                     _result_membership)
+
+
+def _erode_truth(px, py, shell, holes, r):
+    inside = geomops.points_in_ring(px, py, shell)
+    d = _dist_to_ring_edges(px, py, shell)
+    for h in holes:
+        inside &= ~geomops.points_in_ring(px, py, h)
+        d = np.minimum(d, _dist_to_ring_edges(px, py, h))
+    return inside & (d >= r), d
+
+
+def _check(shell, holes, r, lo, hi, seed=23, n=6000):
+    fg = _wkb.decode([_wkb.encode_polygon(shell, holes or None)])
+    pieces = erode_exact(fg, 0, r, quadrant_segs=8)
+    out = encode_pieces(pieces)
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(lo, hi, n)
+    py = rng.uniform(lo, hi, n)
+    truth, d = _erode_truth(px, py, shell, holes, r)
+    got = _result_membership(out, px, py)
+    keep = np.abs(d - r) > 0.02 * r
+    assert np.array_equal(got[keep], truth[keep])
+    return pieces
+
+
+def test_square_erosion_exact_area():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    pieces = _check(sq, [], 2.0, -1, 11)
+    assert len(pieces) == 1 and not pieces[0][1]
+    area = abs(geomops.ring_area(
+        np.vstack([pieces[0][0], pieces[0][0][:1]])))
+    # erosion of a convex polygon has no arcs: exactly the 6x6 square
+    assert area == pytest.approx(36.0, rel=1e-7)
+
+
+def test_concave_L_erosion():
+    L = np.array([[0, 0], [8, 0], [8, 3], [3, 3], [3, 8], [0, 8], [0, 0]],
+                 float)
+    _check(L, [], 1.0, -1, 9)
+
+
+def test_hole_grows_on_erosion():
+    shell = np.array([[0, 0], [12, 0], [12, 12], [0, 12], [0, 0]], float)
+    hole = np.array([[5, 5], [5, 7], [7, 7], [7, 5], [5, 5]], float)  # CW
+    pieces = _check(shell, [hole], 1.0, -1, 13)
+    # result has exactly one hole (the grown one)
+    assert sum(len(hs) for _s, hs in pieces) == 1
+
+
+def test_erosion_to_empty():
+    sq = np.array([[0, 0], [3, 0], [3, 3], [0, 3], [0, 0]], float)
+    fg = _wkb.decode([_wkb.encode_polygon(sq)])
+    pieces = erode_exact(fg, 0, 2.0, quadrant_segs=8)
+    assert pieces == []
+
+
+def test_dumbbell_splits_into_two():
+    # two 6x6 squares joined by a thin 0.5-high neck; r=1 severs it
+    ring = np.array([
+        [0, 0], [6, 0], [6, 2.75], [10, 2.75], [10, 0], [16, 0],
+        [16, 6], [10, 6], [10, 3.25], [6, 3.25], [6, 6], [0, 6], [0, 0]],
+        float)
+    pieces = _check(ring, [], 1.0, -1, 17, seed=5)
+    assert len(pieces) == 2
+
+
+def test_make_buffer_negative_distance():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    tbl = pa.table({"geom": pa.array([_wkb.encode_polygon(sq)],
+                                     pa.binary())})
+    out = make_buffer(-2.0)(tbl)
+    fgo = _wkb.decode([bytes(out["geom"][0].as_py())])
+    ring = next(rg for rg, sh in fgo.rings(0) if sh)
+    assert abs(geomops.ring_area(ring)) == pytest.approx(36.0, rel=1e-7)
+    # negative buffer of a line is empty
+    line = _wkb.encode_linestring(np.array([[0, 0], [5, 5]], float))
+    out2 = make_buffer(-1.0)(pa.table({"geom": pa.array([line],
+                                                        pa.binary())}))
+    fge = _wkb.decode([bytes(out2["geom"][0].as_py())])
+    assert list(fge.rings(0)) == []
