@@ -1196,6 +1196,110 @@ def _winnow_sql(k: int = 25, window: int = 16) -> str:
     """
 
 
+def _q_multi_windrose(sf_dir: str):
+    """MultiWindRose per-center sector stats (3 fixed centers from
+    supplier keys 1-3, radius 60, 8 sectors) over geocoded customers
+    weighted by c_acctbal — rose attrs only (geometry checked in
+    pytest); stats rounded to 6 dp both sides."""
+    import ray
+
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.presentation import multi_windrose
+    from opengxt_ray.sources import tpch_geo
+
+    from opengxt_ray.core import wkb as _W
+
+    cx, cy = tpch_geo.point_lonlat(np.array([1, 2, 3], np.int64))
+    centers = pa.table({"geom": pa.array(
+        [_W.encode_point(float(x), float(y))
+         for x, y in zip(cx, cy)], pa.binary())})
+    pts = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: tpch_geo.add_point_geom(b, "c_custkey", with_wkb=True),
+        batch_format="pyarrow")
+    _cnt, rose, _anchor = multi_windrose([pts], ["c_acctbal"], centers,
+                                         60.0, rose_count=8)
+
+    def _r6(col):
+        return pa.array([float(format_round(float(v), 6))
+                         for v in col.to_pylist()], pa.float64())
+
+    return pa.table({
+        "c": rose["c"].cast(pa.int64()),
+        "cnt": rose["cnt"].cast(pa.int64()),
+        "val6": _r6(rose["val"]), "mn6": _r6(rose["min"]),
+        "mx6": _r6(rose["max"]), "mean6": _r6(rose["mean"]),
+        "mdn6": _r6(rose["mdn"]), "stdev6": _r6(rose["stdev"]),
+    })
+
+
+def _q_polar_grids(sf_dir: str):
+    """PolarGridsFromFeatures attrs (8 sides × 2 radii per supplier
+    centroid): angle/radius/azimuth + copied key — geometry checked in
+    pytest."""
+    import ray
+
+    from opengxt_ray.ops.presentation import polar_grids
+    from opengxt_ray.sources import tpch_geo
+
+    pts = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]).map_batches(
+        lambda b: tpch_geo.add_point_geom(b, "s_suppkey", with_wkb=True),
+        batch_format="pyarrow")
+    out = polar_grids(pts, [10.0, 20.0], sides=8)
+    return out.map_batches(
+        lambda b: b.select(["s_suppkey", "angle", "radius", "azimuth"]),
+        batch_format="pyarrow")
+
+
+def _q_flow_map(sf_dir: str):
+    """FlowMap head radius recovered from the arrow geometry (barb
+    distance to the head) vs the min-max normalization in SQL."""
+    import ray
+
+    from opengxt_ray.core import wkb as _W
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.ops.presentation import flow_map
+    from opengxt_ray.sources import tpch_geo
+
+    def _lines(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy()
+        x0, y0 = tpch_geo.point_lonlat(k)
+        x1, y1 = tpch_geo.point_lonlat(k + 1)
+        geoms = [_W.encode_linestring(np.array([[x0[i], y0[i]],
+                                                [x1[i], y1[i]]]))
+                 for i in range(len(k))]
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "od": b["c_acctbal"],
+                         "geom": pa.array(geoms, pa.binary())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"]).map_batches(
+        _lines, batch_format="pyarrow")
+    out = flow_map(ds, "od", max_size=5.0)
+
+    def _radius(b: pa.Table) -> pa.Table:
+        fg = _W.decode(b["geom"].to_pylist())
+        k = b["c_custkey"].to_numpy()
+        tx, ty = tpch_geo.point_lonlat(k + 1)  # arrow head = line end
+        r = np.zeros(len(fg))
+        for i in range(len(fg)):
+            pts = fg.geom_coords(i)
+            d = np.hypot(pts[:, 0] - tx[i], pts[:, 1] - ty[i])
+            pos = d[d > 0]
+            # barbs sit at exactly the head radius (≤ max_size); a
+            # trans=0 arrow collapses them onto the head, leaving only
+            # the far 'from' vertex
+            if len(pos) and pos.min() <= 5.0:
+                r[i] = pos.min()
+        return pa.table({"c_custkey": pa.array(k),
+                         "r6": pa.array(format_round(r, 6))})
+
+    return out.map_batches(_radius, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -1261,6 +1365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         "fingerprint": _q_fingerprint,
+        "multi_windrose": _q_multi_windrose,
+        "polar_grids": _q_polar_grids,
+        "flow_map": _q_flow_map,
     }
 
 
@@ -2303,4 +2410,72 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
         """,
         "fingerprint": _winnow_sql(25, 16),
+        # MultiWindRose rose attrs: centers = geocoded supplier keys
+        # 1-3, radius 60, 8 sectors (half-step offset binning like the
+        # engine); engine rose rows have no sector column, so the
+        # compare is the (c, stats) multiset. Population stdev via a
+        # two-pass avg((w-m)^2) matching np.mean((v-mean)**2).
+        "multi_windrose": f"""
+            WITH pts AS (
+                SELECT {_lon('c_custkey')} AS x, {_lat('c_custkey')} AS y,
+                       c_acctbal AS w
+                FROM customer
+            ),
+            ctr AS (
+                SELECT k - 1 AS c, {_lon('k')} AS cx, {_lat('k')} AS cy
+                FROM range(1, 4) t(k)
+            ),
+            assigned AS (
+                SELECT ctr.c,
+                       CAST(floor(((((degrees(atan2(p.y - ctr.cy,
+                                                    p.x - ctr.cx))
+                                      - 22.5) % 360) + 360) % 360)
+                                  / 45.0) AS BIGINT) AS s,
+                       p.w
+                FROM pts p JOIN ctr
+                  ON (p.x - ctr.cx) * (p.x - ctr.cx)
+                     + (p.y - ctr.cy) * (p.y - ctr.cy) <= 3600.0
+            ),
+            m AS (
+                SELECT c, s, COUNT(*) AS cnt, SUM(w) AS sm, MIN(w) AS mn,
+                       MAX(w) AS mx, AVG(w) AS mean, MEDIAN(w) AS mdn
+                FROM assigned GROUP BY 1, 2
+            ),
+            v AS (
+                SELECT a.c, a.s,
+                       AVG((a.w - m.mean) * (a.w - m.mean)) AS msd
+                FROM assigned a JOIN m ON m.c = a.c AND m.s = a.s
+                GROUP BY 1, 2
+            )
+            SELECT m.c, m.cnt, round(m.sm, 6) AS val6,
+                   round(m.mn, 6) AS mn6, round(m.mx, 6) AS mx6,
+                   round(m.mean, 6) AS mean6, round(m.mdn, 6) AS mdn6,
+                   round(sqrt(v.msd), 6) AS stdev6
+            FROM m JOIN v ON v.c = m.c AND v.s = m.s
+            WHERE m.sm <> 0
+        """,
+        "polar_grids": """
+            SELECT s.s_suppkey, 22.5 + t.i * 45.0 AS angle, r.radius,
+                   CASE
+                     WHEN 22.5 + t.i * 45.0 >= 337.5 THEN 'E'
+                     WHEN 22.5 + t.i * 45.0 >= 292.5 THEN 'SE'
+                     WHEN 22.5 + t.i * 45.0 >= 247.5 THEN 'S'
+                     WHEN 22.5 + t.i * 45.0 >= 202.5 THEN 'SW'
+                     WHEN 22.5 + t.i * 45.0 >= 157.5 THEN 'W'
+                     WHEN 22.5 + t.i * 45.0 >= 112.5 THEN 'NW'
+                     WHEN 22.5 + t.i * 45.0 >= 67.5 THEN 'N'
+                     ELSE 'NE'
+                   END AS azimuth
+            FROM supplier s, range(0, 8) t(i),
+                 (SELECT unnest([10.0, 20.0]) AS radius) r
+        """,
+        # head radius = min-max-normalized od × max_size (5.0),
+        # recovered engine-side from barb distances (±1 ulp hypot)
+        "flow_map": """
+            WITH m AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+                       FROM customer)
+            SELECT c_custkey,
+                   round((c_acctbal - lo) / (hi - lo) * 5.0, 6) AS r6
+            FROM customer, m
+        """,
     }
