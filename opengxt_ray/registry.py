@@ -542,6 +542,7 @@ def _populate() -> None:
     E("AnnIvfTopK", "trainingdata", ANN.ivf_topk)
     E("ImageEmbeddings", "multimodal", MM.image_embeddings)
     E("AudioFrameSample", "multimodal", MM.audio_frames)
+    E("VideoFrameFeatures", "multimodal", MM.video_frame_features)
     E("SynthMedia", "multimodal", MM.synth_media_batch)
 
     # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/

@@ -137,6 +137,73 @@ class AudioFrameSampler:
         })
 
 
+class VideoFrameSampler:
+    """Actor-pool stage: decode video → sample every Nth frame →
+    resized per-frame features (mean/std per grid cell).
+
+    Same stub pattern as image/audio: the Ray-side plumbing (actor
+    signature, small batch sizing for large payloads, typed output
+    schema) is real and tested; the codec itself is a deterministic
+    fake behind ``fake=True`` (no ffmpeg/PyAV in this container —
+    ``fake=False`` raises).
+    """
+
+    def __init__(self, *, n_frames: int = 16, frame_shape=(24, 32),
+                 every: int = 4, grid: int = 4, fake: bool = True,
+                 payload_col: str = "payload"):
+        self.n_frames = n_frames
+        self.frame_shape = tuple(frame_shape)
+        self.every = every
+        self.grid = grid
+        self.fake = fake
+        self.payload_col = payload_col
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "real video decode requires ffmpeg/PyAV; "
+                "run with fake=True for the deterministic stub")
+        h, w = self.frame_shape
+        return _fake_decode(payload, (self.n_frames, h, w)).astype(
+            np.float64) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        ids_out, frame_idx, feats = [], [], []
+        g = self.grid
+        for i, p in zip(ids, batch[self.payload_col].to_pylist()):
+            vid = self._decode(p)                       # (T, H, W)
+            sampled = vid[:: self.every]
+            t, h, w = sampled.shape
+            # g×g grid-cell means per frame — vectorized reshape
+            hh, ww = (h // g) * g, (w // g) * g
+            cells = sampled[:, :hh, :ww].reshape(
+                t, g, hh // g, g, ww // g).mean(axis=(2, 4))
+            feats.append(cells.reshape(t, g * g))
+            ids_out.append(np.full(t, i))
+            frame_idx.append(np.arange(t, dtype=np.int32) * self.every)
+        f = np.concatenate(feats) if feats else np.empty((0, g * g))
+        return pa.table({
+            "media_id": pa.array(np.concatenate(ids_out)
+                                 if ids_out else np.array([], np.int64)),
+            "frame": pa.array(np.concatenate(frame_idx)
+                              if frame_idx else np.array([], np.int32)),
+            "features": pa.array(list(f), pa.list_(pa.float64(), g * g)),
+        })
+
+
+def video_frame_features(ds, *, every: int = 4, batch_size: int = 16,
+                         concurrency=None):
+    """Video pipeline: even smaller batches than images (payloads are
+    frames × image size) — SURVEY 'Memory-aware'."""
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs=dict(every=every),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
 def image_embeddings(ds, *, out_dim=32, batch_size: int = 64,
                      concurrency=None):
     """Image pipeline: small batches (large binary payloads — SURVEY

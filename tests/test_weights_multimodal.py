@@ -132,3 +132,36 @@ def test_real_decode_raises():
     ex = MM.ImageFeatureExtractor(fake=False)
     with pytest.raises(NotImplementedError):
         ex._decode(b"xx", 4, 4)
+
+
+def test_multimodal_video_frames():
+    ds = ray.data.range(8).map_batches(
+        lambda b: MM.synth_media_batch(b, kind="video"),
+        batch_format="pyarrow")
+    out = MM.video_frame_features(ds, every=4).to_pandas()
+    # 16 synthetic frames sampled every 4th → 4 rows per item
+    assert len(out) == 8 * 4
+    assert set(out["frame"]) == {0, 4, 8, 12}
+    f = np.stack(out["features"].to_numpy())
+    assert f.shape == (32, 16)  # 4x4 grid-cell means
+    assert ((f >= 0) & (f <= 1)).all()
+    # deterministic across runs
+    out2 = MM.video_frame_features(
+        ray.data.range(8).map_batches(
+            lambda b: MM.synth_media_batch(b, kind="video"),
+            batch_format="pyarrow"), every=4).to_pandas()
+    key = ["media_id", "frame"]
+    np.testing.assert_array_equal(
+        np.stack(out.sort_values(key)["features"].to_numpy()),
+        np.stack(out2.sort_values(key)["features"].to_numpy()))
+
+
+def test_multimodal_video_real_decode_raises():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    s = MM.VideoFrameSampler(fake=False)
+    tbl = pa.table({"media_id": pa.array([1]),
+                    "payload": pa.array([b"xx"], pa.binary())})
+    with _pytest.raises(NotImplementedError):
+        s(tbl)
