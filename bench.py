@@ -346,6 +346,8 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
     import ray.data
 
     ray.data.range(8).count()
+    import gc
+
     queries = {}
     rows = {}
     for name, fn in BENCHES.items():
@@ -353,6 +355,9 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         n = fn(sf_dir)
         queries[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
+        # drop dataset refs so actor pools / pinned objects from the
+        # previous query release before the next one is timed
+        gc.collect()
     total = round(sum(queries.values()), 3)
     headline = rows["pip_join"] / queries["pip_join"] if queries["pip_join"] else 0
     return {
