@@ -95,3 +95,29 @@ def test_make_buffer_negative_distance():
                                                         pa.binary())}))
     fge = _wkb.decode([bytes(out2["geom"][0].as_py())])
     assert list(fge.rings(0)) == []
+
+
+def test_two_close_holes_merge_when_grown():
+    """Two holes 1 apart with r=0.75: the grown holes overlap and must
+    merge into one void (exercises the polygon_union pre-merge in
+    erode_exact)."""
+    shell = np.array([[0, 0], [20, 0], [20, 12], [0, 12], [0, 0]], float)
+    h1 = np.array([[5, 5], [5, 7], [7, 7], [7, 5], [5, 5]], float)
+    h2 = np.array([[8, 5], [8, 7], [10, 7], [10, 5], [8, 5]], float)
+    pieces = _check(shell, [h1, h2], 0.75, -1, 21, seed=31)
+    # merged: a single void in one piece
+    assert len(pieces) == 1
+    assert len(pieces[0][1]) == 1
+
+
+def test_hole_breaching_shell_splits_region():
+    """A hole near the shell: erosion opens a channel and the eroded
+    region splits (transversal difference path)."""
+    shell = np.array([[0, 0], [20, 0], [20, 10], [0, 10], [0, 0]], float)
+    # hole spanning vertically with 1.2-wide bridges top and bottom
+    hole = np.array([[9, 1.2], [9, 8.8], [11, 8.8], [11, 1.2], [9, 1.2]],
+                    float)
+    pieces = _check(shell, [hole], 1.0, -1, 21, seed=37)
+    # bridges (1.2 < 2r) erode away -> two disjoint pieces, no holes
+    assert len(pieces) == 2
+    assert all(not hs for _s, hs in pieces)
