@@ -121,3 +121,16 @@ def test_hole_breaching_shell_splits_region():
     # bridges (1.2 < 2r) erode away -> two disjoint pieces, no holes
     assert len(pieces) == 2
     assert all(not hs for _s, hs in pieces)
+
+
+def test_multipolygon_erosion_per_part():
+    a = np.array([[0, 0], [6, 0], [6, 6], [0, 6], [0, 0]], float)
+    b = np.array([[10, 0], [18, 0], [18, 8], [10, 8], [10, 0]], float)
+    mp = _wkb.encode_multipolygon([(a, None), (b, None)])
+    fg = _wkb.decode([mp])
+    pieces = erode_exact(fg, 0, 1.0, quadrant_segs=8)
+    areas = sorted(abs(geomops.ring_area(np.vstack([s, s[:1]])))
+                   for s, _ in pieces)
+    assert len(pieces) == 2
+    assert areas[0] == pytest.approx(16.0, rel=1e-7)   # 4x4
+    assert areas[1] == pytest.approx(36.0, rel=1e-7)   # 6x6

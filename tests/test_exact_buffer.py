@@ -184,3 +184,21 @@ def test_make_buffer_exact_false_keeps_hull():
     d = np.diff(np.vstack([ring[:-1], ring[:2]]), axis=0)
     cr = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
     assert np.all(cr >= -1e-12) or np.all(cr <= 1e-12)
+
+
+def test_multilinestring_buffer_disjoint_parts():
+    from opengxt_ray.core import wkb as _wkb2
+
+    ml = _wkb2.encode_multilinestring([
+        np.array([[0, 0], [4, 0]], float),
+        np.array([[0, 20], [4, 20]], float)])
+    fg = _wkb2.decode([ml])
+    pieces = buffer_exact(fg, 0, 1.0, quadrant_segs=8)
+    assert len(pieces) == 2
+    for s, hs in pieces:
+        assert not hs
+        # capsule area = rect + inscribed n-gon
+        n = 32
+        disk = 0.5 * n * np.sin(2 * np.pi / n)
+        a = abs(geomops.ring_area(np.vstack([s, s[:1]])))
+        assert a == pytest.approx(4 * 2 + disk, rel=1e-6)
