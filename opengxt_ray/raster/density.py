@@ -95,20 +95,56 @@ def kernel_density(ds, meta: RasterMeta, *, search_radius: float,
     kdr = krows - r
     kdc = kcols - r
 
-    def _scatter(batch: pa.Table) -> pa.Table:
+    # TWO-STAGE scatter (round 3): stage 1 accumulates per-CELL weight
+    # sums on an r-cell-padded grid (points just outside the extent
+    # still contribute, like the reference's window writes); stage 2
+    # smears the kernel over the NONZERO CELLS only. The density is a
+    # convolution, so Σ_p w_p·K[c−cell(p)] = Σ_cells (Σw)·K — the
+    # one-stage per-point COO expansion was O(points × kernel_cells)
+    # (414M entries at sf0.1, dominated by the partials argsort);
+    # this is O(points + nonzero_cells × kernel_cells).
+    pad = RasterMeta(meta.origin_x - r * meta.cell_size,
+                     meta.origin_y + r * meta.cell_size,
+                     meta.cell_size, meta.width + 2 * r,
+                     meta.height + 2 * r, meta.tile_size)
+
+    def _cells(batch: pa.Table) -> pa.Table:
         x = batch[xcol].to_numpy()
         y = batch[ycol].to_numpy()
-        col, row = meta.world_to_cell(x, y)
+        col, row = pad.world_to_cell(x, y)
         w = (batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
              if weight_col else np.ones(len(x)))
-        # COO expansion: every point × every nonzero kernel cell
-        rows = (row[:, None] + kdr[None, :]).ravel()
-        cols = (col[:, None] + kdc[None, :]).ravel()
-        vals = (w[:, None] * kvals[None, :]).ravel()
-        return partials_from_coo(meta, rows, cols, vals)
+        return partials_from_coo(pad, row, col, w)
 
-    partials = ds.map_batches(_scatter, batch_format="pyarrow")
-    return reduce_tiles(partials)
+    wt = reduce_tiles(ds.map_batches(_cells, batch_format="pyarrow"))
+    ts = pad.tile_size
+
+    def _smear(batch: pa.Table) -> pa.Table:
+        txs = batch["tx"].to_numpy()
+        tys = batch["ty"].to_numpy()
+        rows_l, cols_l, vals_l = [], [], []
+        for i in range(batch.num_rows):
+            tx, ty = int(txs[i]), int(tys[i])
+            h, w_ = pad.tile_shape(tx, ty)
+            tile = np.frombuffer(batch["data"][i].as_py(),
+                                 np.float64).reshape(h, w_)
+            lr, lc = np.nonzero(tile)
+            if len(lr) == 0:
+                continue
+            wv = tile[lr, lc]
+            gr = lr + ty * ts - r   # padded → real grid coords
+            gc = lc + tx * ts - r
+            rows_l.append((gr[:, None] + kdr[None, :]).ravel())
+            cols_l.append((gc[:, None] + kdc[None, :]).ravel())
+            vals_l.append((wv[:, None] * kvals[None, :]).ravel())
+        if not rows_l:
+            return pa.table({"tkey": pa.array([], pa.int64()),
+                             "data": pa.array([], pa.binary())})
+        return partials_from_coo(meta, np.concatenate(rows_l),
+                                 np.concatenate(cols_l),
+                                 np.concatenate(vals_l))
+
+    return reduce_tiles(wt.map_batches(_smear, batch_format="pyarrow"))
 
 
 def point_density(ds, meta: RasterMeta, *, search_radius: float,
