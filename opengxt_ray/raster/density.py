@@ -117,7 +117,15 @@ def kernel_density(ds, meta: RasterMeta, *, search_radius: float,
         return partials_from_coo(pad, row, col, w)
 
     wt = reduce_tiles(ds.map_batches(_cells, batch_format="pyarrow"))
-    ts = pad.tile_size
+    return _smear_tiles(wt, pad, meta, r, kdr, kdc, kvals)
+
+
+def _smear_tiles(wt, src_meta: RasterMeta, out_meta: RasterMeta,
+                 offset: int, kdr, kdc, kvals):
+    """Stage 2 of the density factorization: scatter kernel windows
+    from the NONZERO cells of the accumulated weight tiles (src grid,
+    shifted by ``offset`` cells relative to the output grid)."""
+    ts = src_meta.tile_size
 
     def _smear(batch: pa.Table) -> pa.Table:
         txs = batch["tx"].to_numpy()
@@ -125,22 +133,22 @@ def kernel_density(ds, meta: RasterMeta, *, search_radius: float,
         rows_l, cols_l, vals_l = [], [], []
         for i in range(batch.num_rows):
             tx, ty = int(txs[i]), int(tys[i])
-            h, w_ = pad.tile_shape(tx, ty)
+            h, w_ = src_meta.tile_shape(tx, ty)
             tile = np.frombuffer(batch["data"][i].as_py(),
                                  np.float64).reshape(h, w_)
             lr, lc = np.nonzero(tile)
             if len(lr) == 0:
                 continue
             wv = tile[lr, lc]
-            gr = lr + ty * ts - r   # padded → real grid coords
-            gc = lc + tx * ts - r
+            gr = lr + ty * ts - offset   # src → output grid coords
+            gc = lc + tx * ts - offset
             rows_l.append((gr[:, None] + kdr[None, :]).ravel())
             cols_l.append((gc[:, None] + kdc[None, :]).ravel())
             vals_l.append((wv[:, None] * kvals[None, :]).ravel())
         if not rows_l:
             return pa.table({"tkey": pa.array([], pa.int64()),
                              "data": pa.array([], pa.binary())})
-        return partials_from_coo(meta, np.concatenate(rows_l),
+        return partials_from_coo(out_meta, np.concatenate(rows_l),
                                  np.concatenate(cols_l),
                                  np.concatenate(vals_l))
 
@@ -164,11 +172,12 @@ def line_density(ds, meta: RasterMeta, *, search_radius: float,
     lineToRaster 1.1px additive stroke + binary neighborhood kernel,
     scaleArea/1000 on projected CRS) → tile Dataset.
 
-    Ray-native: per feature, cells TOUCHED by the line are burned with
-    the feature weight (densified traversal stands in for the Java2D
-    stroke), and because convolution is linear the binary kernel window
-    is scattered per burned cell directly — one additive COO shuffle
-    total, no intermediate raster materialization.
+    Ray-native two-stage (round 3): per feature, cells TOUCHED by the
+    line are burned with the feature weight (densified traversal
+    stands in for the Java2D stroke) and reduced per tile; convolution
+    linearity then lets the binary kernel window scatter ONCE per
+    nonzero burned cell (:func:`_smear_tiles`) instead of per
+    (feature, cell) pair.
     """
     from ..core import wkb as _wkb
     from .rasterize import _covered_cells
@@ -183,7 +192,7 @@ def line_density(ds, meta: RasterMeta, *, search_radius: float,
     kdc = kcols - r
     kvals = K[krows, kcols] / scale_area
 
-    def _scatter(batch: pa.Table) -> pa.Table:
+    def _burn(batch: pa.Table) -> pa.Table:
         fg = _wkb.decode(batch[geom_col].to_pylist())
         bboxes = fg.bboxes()
         w = (batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -199,10 +208,9 @@ def line_density(ds, meta: RasterMeta, *, search_radius: float,
             rr, cc = rr[ok], cc[ok]
             if len(rr) == 0:
                 continue
-            rows_l.append((rr[:, None] + kdr[None, :]).ravel())
-            cols_l.append((cc[:, None] + kdc[None, :]).ravel())
-            vals_l.append((np.full(len(rr), w[i])[:, None]
-                           * kvals[None, :]).ravel())
+            rows_l.append(rr)
+            cols_l.append(cc)
+            vals_l.append(np.full(len(rr), w[i]))
         if not rows_l:
             return pa.table({"tkey": pa.array([], pa.int64()),
                              "data": pa.array([], pa.binary())})
@@ -210,5 +218,5 @@ def line_density(ds, meta: RasterMeta, *, search_radius: float,
                                  np.concatenate(cols_l),
                                  np.concatenate(vals_l))
 
-    partials = ds.map_batches(_scatter, batch_format="pyarrow")
-    return reduce_tiles(partials)
+    wt = reduce_tiles(ds.map_batches(_burn, batch_format="pyarrow"))
+    return _smear_tiles(wt, meta, meta, 0, kdr, kdc, kvals)
