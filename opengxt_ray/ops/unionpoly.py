@@ -257,14 +257,42 @@ def erode_exact(fg, i: int, radius: float, *, quadrant_segs: int = 8,
 
     result: list = []
     for shell_ring, hole_rings in parts:
-        tube = _ring_tube(shell_ring, radius, quadrant_segs)
-        # eroded shell regions = the tube's inner voids, CCW-ified
-        regions = []
-        for _outer, voids in tube:
-            for v in voids:
-                vc = np.vstack([v, v[:1]])
-                ccw = v if geomops.ring_area(vc) > 0 else v[::-1]
-                regions.append((ccw, []))
+        # carve the part with a DIFFERENCE fold — region ∖ capsule per
+        # boundary edge. (The earlier construction took the inner
+        # voids of the boundary tube's union fold, but closing the
+        # annulus unions two nearly-coincident capsule arcs — on
+        # arc-heavy rings, e.g. the output of buffer_exact, the
+        # degenerate closing union could swallow the void entirely.)
+        sr = shell_ring[:-1]
+        if geomops.ring_area(shell_ring) < 0:
+            sr = sr[::-1]
+        regions = [(sr, [])]
+        pts = shell_ring[:-1]
+        for j in range(len(pts)):
+            cap = _capsule(pts[j], pts[(j + 1) % len(pts)], radius,
+                           quadrant_segs)
+            capc = np.vstack([cap, cap[:1]])
+            cap_bb = _bb(cap)
+            nxt = []
+            for shell, holes in regions:
+                if _bb_disjoint(_bb(shell), cap_bb):
+                    nxt.append((shell, holes))
+                    continue
+                diff = polygon_difference(np.vstack([shell, shell[:1]]),
+                                          capc)
+                for s_ring, voids in _classify_rings(diff):
+                    sc = s_ring[:-1] if np.all(
+                        s_ring[0] == s_ring[-1]) else s_ring
+                    hs = [v[:-1] if np.all(v[0] == v[-1]) else v
+                          for v in voids]
+                    for oh in holes:
+                        hx, hy = oh[0]
+                        if geomops.points_in_ring(
+                                np.array([hx]), np.array([hy]),
+                                np.vstack([sc, sc[:1]]))[0]:
+                            hs.append(oh)
+                    nxt.append((sc, hs))
+            regions = nxt
         if not regions:
             continue
         # grown holes = outer rings of each hole ring's tube; merge

@@ -134,3 +134,45 @@ def test_multipolygon_erosion_per_part():
     assert len(pieces) == 2
     assert areas[0] == pytest.approx(16.0, rel=1e-7)   # 4x4
     assert areas[1] == pytest.approx(36.0, rel=1e-7)   # 6x6
+
+
+def test_morphological_opening_closing_property():
+    """For random simple (star-convex) polygons: the opening
+    erode(P,r) ⊕ r is a subset of P and the closing (P ⊕ r) ⊖ r is a
+    superset of P — the defining identities of morphological
+    open/close, checked by sampled membership with the usual 2% r
+    discretization band around both offset boundaries."""
+    from opengxt_ray.ops.unionpoly import buffer_exact
+
+    rng = np.random.default_rng(41)
+    for trial in range(4):
+        nv = int(rng.integers(6, 14))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(2.0, 6.0, nv)
+        shell = np.column_stack([np.cos(ang) * rad, np.sin(ang) * rad])
+        shell = np.vstack([shell, shell[:1]])
+        r = 0.6
+        fg = _wkb.decode([_wkb.encode_polygon(shell)])
+
+        px = rng.uniform(-8, 8, 4000)
+        py = rng.uniform(-8, 8, 4000)
+        inside_p = geomops.points_in_ring(px, py, shell)
+        d = _dist_to_ring_edges(px, py, shell)
+        band = np.abs(d - r) > 0.05 * r  # both offsets live near ±r
+
+        # opening: erode then dilate
+        er = erode_exact(fg, 0, r, quadrant_segs=8)
+        if er:
+            fge = _wkb.decode([encode_pieces(er)])
+            opened = buffer_exact(fge, 0, r, quadrant_segs=8)
+            mo = _result_membership(encode_pieces(opened), px, py)
+            bad = mo & ~inside_p & band & (d > 0.05 * r)
+            assert not bad.any(), f"opening escaped P on trial {trial}"
+
+        # closing: dilate then erode
+        bufp = buffer_exact(fg, 0, r, quadrant_segs=8)
+        fgb = _wkb.decode([encode_pieces(bufp)])
+        closed = erode_exact(fgb, 0, r, quadrant_segs=8)
+        mc = _result_membership(encode_pieces(closed), px, py)
+        miss = inside_p & ~mc & band & (d > 0.05 * r)
+        assert not miss.any(), f"closing lost P points on trial {trial}"
