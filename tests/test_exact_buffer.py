@@ -202,3 +202,32 @@ def test_multilinestring_buffer_disjoint_parts():
         disk = 0.5 * n * np.sin(2 * np.pi / n)
         a = abs(geomops.ring_area(np.vstack([s, s[:1]])))
         assert a == pytest.approx(4 * 2 + disk, rel=1e-6)
+
+
+def test_buffer_composition_property():
+    """buffer(buffer(P, r1), r2) ≈ buffer(P, r1+r2) (Minkowski sum
+    associativity) on random star polygons — membership compared off
+    a 6% band (two discretization layers compound: inscribed n-gon
+    sag + arc-vertex chaining on the second pass)."""
+    rng = np.random.default_rng(53)
+    for trial in range(3):
+        nv = int(rng.integers(5, 11))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(2.0, 5.0, nv)
+        shell = np.column_stack([np.cos(ang) * rad, np.sin(ang) * rad])
+        shell = np.vstack([shell, shell[:1]])
+        r1, r2 = 0.5, 0.4
+        fg = _wkb.decode([_wkb.encode_polygon(shell)])
+        once = encode_pieces(buffer_exact(fg, 0, r1 + r2, quadrant_segs=8))
+        fg1 = _wkb.decode([encode_pieces(
+            buffer_exact(fg, 0, r1, quadrant_segs=8))])
+        twice = encode_pieces(buffer_exact(fg1, 0, r2, quadrant_segs=8))
+        px = rng.uniform(-8, 8, 4000)
+        py = rng.uniform(-8, 8, 4000)
+        d = _dist_to_ring_edges(px, py, shell)
+        inside = geomops.points_in_ring(px, py, shell)
+        dist_to_p = np.where(inside, 0.0, d)
+        band = np.abs(dist_to_p - (r1 + r2)) > 0.06 * (r1 + r2)
+        m1 = _result_membership(once, px, py)
+        m2 = _result_membership(twice, px, py)
+        assert np.array_equal(m1[band], m2[band]), f"trial {trial}"
