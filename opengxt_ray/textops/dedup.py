@@ -610,7 +610,8 @@ def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
                   num_partitions: int | None = None,
                   max_rounds: int = 15,
                   verify_threshold: float | None = None,
-                  small_graph_threshold: int = 5_000_000):
+                  small_graph_threshold: int = 5_000_000,
+                  dedup_edges: bool = True):
     """Full near-dup pipeline → Dataset (doc_id, rep_id): each doc mapped
     to its duplicate-cluster representative (the component-min id). Docs
     with no near-dups map to themselves.
@@ -692,11 +693,17 @@ def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
         edges = banded.map_batches(_bucketize, batch_format="pyarrow") \
             .groupby("bkt", num_partitions=num_partitions) \
             .map_groups(_star_edges_bucket, batch_format="pyarrow")
-        # dedup across bands — the propagation re-joins the edge table
-        # every round, so a bands× duplicated table costs bands× shuffle
-        # per round
-        edges = edges.groupby(["src", "dst"], num_partitions=num_partitions) \
-            .count().select_columns(["src", "dst"])
+        if dedup_edges:
+            # dedup across bands — the propagation re-joins the edge
+            # table every round, so a bands× duplicated table costs
+            # bands× shuffle volume per round. Worth one exchange when
+            # the graph needs multiple relax rounds; min-label itself
+            # is duplicate-insensitive, so dedup_edges=False trades
+            # that exchange for fatter rounds (right call only for
+            # star-dominated graphs that converge in one round).
+            edges = edges.groupby(
+                ["src", "dst"], num_partitions=num_partitions) \
+                .count().select_columns(["src", "dst"])
 
     lab = connected_components(edges, num_partitions=num_partitions,
                                max_rounds=max_rounds,
