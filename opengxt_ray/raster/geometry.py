@@ -359,9 +359,12 @@ _EARTH_R = 6378137.0
 def reproject_raster(tiles, meta: RasterMeta, *, src: str = "EPSG:4326",
                      dst: str = "EPSG:3857", cell_size: float | None = None,
                      method: str = "nearest", parallelism: int = 8):
-    """RasterReprojectOperation for the web pair 4326↔3857 (analytic
-    spherical mercator — same scope note as stages.transforms
-    make_reproject: full PROJ pipelines need pyproj, not in this
+    """RasterReprojectOperation — the web pair 4326↔3857 analytically,
+    plus (round 3) any pair resolvable by the parameterized Snyder
+    engine in ``core.crs`` (Korea 2000 belts/Unified CS, ETRS89/NAD83
+    + synthesized WGS84 UTM zones, Lambert-93, ETRS89-LCC; same
+    WGS84-compatible-datum envelope as stages.transforms
+    make_reproject — full PROJ pipelines need pyproj, not in this
     container). Returns (tiles, new_meta)."""
     key = (src.upper(), dst.upper())
 
@@ -373,26 +376,42 @@ def reproject_raster(tiles, meta: RasterMeta, *, src: str = "EPSG:4326",
         return (np.degrees(x / _EARTH_R),
                 np.degrees(2 * np.arctan(np.exp(y / _EARTH_R)) - np.pi / 2))
 
+    x0, y0 = meta.origin_x, meta.origin_y - meta.height * meta.cell_size
+    x1, y1 = meta.origin_x + meta.width * meta.cell_size, meta.origin_y
     if key == ("EPSG:4326", "EPSG:3857"):
         fwd, inv = _fwd, _inv
+        y0, y1 = max(y0, -85.06), min(y1, 85.06)
     elif key == ("EPSG:3857", "EPSG:4326"):
         fwd, inv = _inv, _fwd
     else:
-        raise ValueError(f"unsupported CRS pair {src} → {dst}")
-    # target extent = forward-mapped source corners (clamped mercator)
-    x0, y0 = meta.origin_x, meta.origin_y - meta.height * meta.cell_size
-    x1, y1 = meta.origin_x + meta.width * meta.cell_size, meta.origin_y
-    if key[1] == "EPSG:3857":
-        y0 = max(y0, -85.06)
-        y1 = min(y1, 85.06)
-    cx0, cy0 = fwd(np.array([x0]), np.array([y0]))
-    cx1, cy1 = fwd(np.array([x1]), np.array([y1]))
+        from ..core import crs as _crs
+
+        sdef = _crs.parse_crs(key[0])
+        ddef = _crs.parse_crs(key[1])
+        if sdef is None or ddef is None:
+            raise ValueError(
+                f"unsupported CRS pair {src} → {dst}; supported: "
+                "4326↔3857 analytic + any pair in core.crs.CRS_TABLE "
+                "(incl. synthesized WGS84 UTM zones)")
+        fwd = lambda x, y: _crs.transform(sdef, ddef, x, y)  # noqa: E731
+        inv = lambda x, y: _crs.transform(ddef, sdef, x, y)  # noqa: E731
+
+    # target extent: forward-map the source BOUNDARY (corner-only
+    # mapping under-covers curved edges of non-cylindrical projections)
+    t = np.linspace(0.0, 1.0, 33)
+    bx = np.concatenate([x0 + t * (x1 - x0), np.full_like(t, x1),
+                         x1 + t * (x0 - x1), np.full_like(t, x0)])
+    by = np.concatenate([np.full_like(t, y0), y0 + t * (y1 - y0),
+                         np.full_like(t, y1), y1 + t * (y0 - y1)])
+    fx, fy = fwd(bx, by)
+    cx0, cx1 = float(np.min(fx)), float(np.max(fx))
+    cy0, cy1 = float(np.min(fy)), float(np.max(fy))
     if cell_size is None:
-        cell_size = float(cx1[0] - cx0[0]) / meta.width
+        cell_size = (cx1 - cx0) / meta.width
     new_meta = RasterMeta(
-        float(cx0[0]), float(cy1[0]), cell_size,
-        int(np.ceil((cx1[0] - cx0[0]) / cell_size)),
-        int(np.ceil((cy1[0] - cy0[0]) / cell_size)),
+        cx0, cy1, cell_size,
+        int(np.ceil((cx1 - cx0) / cell_size)),
+        int(np.ceil((cy1 - cy0) / cell_size)),
         meta.tile_size, meta.nodata)
     return _inverse_map_resample(tiles, meta, new_meta,
                                  lambda x, y: inv(x, y),

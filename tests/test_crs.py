@@ -151,3 +151,44 @@ def test_make_reproject_general_pair(ray_session):
     got = fg.coords
     assert np.max(np.abs(got[:, 0] - x)) < 1e-4  # same 4-series envelope
     assert np.max(np.abs(got[:, 1] - y)) < 1e-4
+
+
+def test_raster_reproject_general_crs_marker_cell():
+    """Reproject a 4326 raster to UTM 33N via the parameterized CRS
+    engine: a marked source cell must land at its forward-mapped
+    coordinates, and a constant field stays constant."""
+    import pyarrow as pa
+    import ray
+
+    from opengxt_ray.core import crs as _crs
+    from opengxt_ray.raster.geometry import reproject_raster
+    from opengxt_ray.raster.tiles import (RasterMeta, partials_from_coo,
+                                          reduce_tiles)
+
+    meta = RasterMeta(12.0, 48.0, 0.01, 100, 100, tile_size=64)
+    rows, cols = np.meshgrid(np.arange(100), np.arange(100), indexing="ij")
+    vals = np.full(rows.size, 5.0)
+    # marker at cell (30, 40)
+    vals[(rows.ravel() == 30) & (cols.ravel() == 40)] = 99.0
+    part = partials_from_coo(meta, rows.ravel(), cols.ravel(), vals)
+    tiles = reduce_tiles(ray.data.from_arrow(part))
+
+    out, new_meta = reproject_raster(tiles, meta, src="EPSG:4326",
+                                     dst="EPSG:32633")
+    dense = np.full((new_meta.height, new_meta.width), np.nan)
+    for r in out.take_all():
+        arr = np.frombuffer(r["data"], np.float64)
+        h, w = new_meta.tile_shape(r["tx"], r["ty"])
+        dense[r["ty"] * new_meta.tile_size:r["ty"] * new_meta.tile_size + h,
+              r["tx"] * new_meta.tile_size:r["tx"] * new_meta.tile_size + w] \
+            = arr.reshape(h, w)
+    # constant region: everything inside maps to 5 or 99
+    valid = ~np.isnan(dense)
+    assert valid.mean() > 0.8
+    assert set(np.unique(dense[valid])) <= {5.0, 99.0}
+    # marker cell centre → forward coords → output cell must be 99
+    mx, my = meta.cell_center(np.array([40]), np.array([30]))
+    utm = _crs.parse_crs("EPSG:32633")
+    fx, fy = _crs.forward(utm, mx, my)
+    oc, orow = new_meta.world_to_cell(fx, fy)
+    assert dense[int(orow[0]), int(oc[0])] == 99.0
