@@ -543,6 +543,10 @@ def _populate() -> None:
     E("ImageEmbeddings", "multimodal", MM.image_embeddings)
     E("AudioFrameSample", "multimodal", MM.audio_frames)
     E("VideoFrameFeatures", "multimodal", MM.video_frame_features)
+    E("RasterInterpolationIDWFixed", "raster", RI.idw_fixed_radius,
+      "GT/gridcoverage/IDWInterpolator.java:107-160 (SearchRadiusType"
+      ".Fixed; halo co-shuffle scale path — no broadcast, no sample "
+      "cap)")
     E("SynthMedia", "multimodal", MM.synth_media_batch)
 
     # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/

@@ -105,3 +105,48 @@ def test_tin_max_samples_guard():
     meta = RasterMeta(0.0, 50.0, 1.0, 100, 50, tile_size=32)
     with pytest.raises(ValueError, match="max_samples"):
         tin_interpolation(ds, meta, value_col="v", max_samples=10)
+
+
+def test_idw_fixed_radius_matches_brute():
+    """Fixed-radius IDW halo co-shuffle vs dense numpy oracle: only
+    samples within the radius weight a cell; empty cells stay NaN;
+    exact hits short-circuit."""
+    import ray
+
+    from opengxt_ray.raster.interpolate import idw_fixed_radius
+    from opengxt_ray.raster.tiles import RasterMeta
+
+    rng = np.random.default_rng(61)
+    n = 120
+    sx = rng.uniform(0, 100, n)
+    sy = rng.uniform(0, 100, n)
+    sv = rng.uniform(-5, 5, n)
+    meta = RasterMeta(0.0, 100.0, 2.0, 50, 50, tile_size=16)
+    # one sample exactly on a cell centre
+    cxc, cyc = meta.cell_center(np.array([7]), np.array([9]))
+    sx[0], sy[0] = float(cxc[0]), float(cyc[0])
+    pts = ray.data.from_arrow(pa.table({
+        "lon": pa.array(sx), "lat": pa.array(sy), "z": pa.array(sv)}))
+    R, P = 9.0, 2.0
+    tiles = idw_fixed_radius(pts, meta, value_col="z", radius=R, power=P)
+    dense = np.full((meta.height, meta.width), np.nan)
+    for r in tiles.take_all():
+        arr = np.frombuffer(r["data"], np.float64)
+        h, w = meta.tile_shape(r["tx"], r["ty"])
+        ts = meta.tile_size
+        dense[r["ty"]*ts:r["ty"]*ts+h, r["tx"]*ts:r["tx"]*ts+w] = \
+            arr.reshape(h, w)
+    cols, rows = np.meshgrid(np.arange(meta.width), np.arange(meta.height))
+    gx, gy = meta.cell_center(cols, rows)
+    d = np.hypot(gx[..., None] - sx, gy[..., None] - sy)
+    inr = (d <= R) & (d >= 1e-12)
+    with np.errstate(divide="ignore"):
+        w_ = np.where(inr, 1.0 / d ** P, 0.0)
+    den = w_.sum(axis=2)
+    want = np.where(den > 0, (w_ @ sv) / np.where(den == 0, 1, den), np.nan)
+    hit = (d < 1e-12).any(axis=2)
+    idx = np.argmax(d < 1e-12, axis=2)
+    want = np.where(hit, sv[idx], want)
+    np.testing.assert_allclose(dense, want, rtol=1e-9, equal_nan=True)
+    assert np.isnan(want).any()  # oracle exercises empty cells
+    assert dense[9, 7] == sv[0]  # exact-hit short circuit
