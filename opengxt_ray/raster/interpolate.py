@@ -213,9 +213,16 @@ def tps(points_ds, meta: RasterMeta, *, value_col: str,
         xcol: str = "lon", ycol: str = "lat", smooth: float = 0.0,
         concurrency=None, parallelism: int = 8, max_samples: int = 2000):
     """Thin-plate spline surface: r²·log r RBF solved on the driver
-    (small sample side), evaluated per tile."""
-    pdf = points_ds.select_columns([xcol, ycol, value_col]).limit(
-        max_samples).to_pandas()
+    (small sample side), evaluated per tile. Raises past
+    ``max_samples`` (no-silent-caps — the dense solve is O(n³); thin
+    the samples or raise the limit explicitly)."""
+    n_in = points_ds.count()
+    if n_in > max_samples:
+        raise ValueError(
+            f"tps: {n_in} samples exceed max_samples={max_samples}; the "
+            "dense RBF solve is O(n^3) — thin the samples or raise "
+            "max_samples explicitly")
+    pdf = points_ds.select_columns([xcol, ycol, value_col]).to_pandas()
     sx = pdf[xcol].to_numpy()
     sy = pdf[ycol].to_numpy()
     sv = pdf[value_col].to_numpy().astype(np.float64)
