@@ -1300,6 +1300,29 @@ def _q_flow_map(sf_dir: str):
     return out.map_batches(_radius, batch_format="pyarrow")
 
 
+def _q_idw_fixed(sf_dir: str):
+    """Fixed-radius IDW (halo co-shuffle scale path) of c_acctbal over
+    geocoded customers on the 1-degree grid, radius 5, power 2 — the
+    cell IDW Σ(v/d²)/Σ(1/d²) is SQL-expressible cell-by-cell. Engine
+    hypot vs SQL sqrt differ ~1 ulp; values rounded to 6 dp."""
+    import ray
+
+    from opengxt_ray.core.ssutils import format_round
+    from opengxt_ray.raster import raster_to_points
+    from opengxt_ray.raster.interpolate import idw_fixed_radius
+
+    pts = _read_pts(sf_dir, "customer", "c_custkey",
+                    columns=["c_custkey", "c_acctbal"])
+    tiles = idw_fixed_radius(pts, _kd_meta(), value_col="c_acctbal",
+                             radius=5.0, power=2.0)
+    cells = raster_to_points(tiles, _kd_meta(), drop_nodata=True)
+    return cells.map_batches(
+        lambda b: pa.table({
+            "col": b["col"], "row": b["row"],
+            "idw6": pa.array(format_round(b["val"].to_numpy(), 6)),
+        }), batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -1368,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_windrose": _q_multi_windrose,
         "polar_grids": _q_polar_grids,
         "flow_map": _q_flow_map,
+        "idw_fixed": _q_idw_fixed,
     }
 
 
@@ -2410,6 +2434,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
         """,
         "fingerprint": _winnow_sql(25, 16),
+        # fixed-radius IDW per 1° cell: Σ(v/d²)/Σ(1/d²) over d ≤ 5
+        # (range join bounds the candidate pairs; engine hypot vs SQL
+        # sqrt differ ~1 ulp — inside the 6-dp rounding)
+        "idw_fixed": f"""
+            WITH pts AS (
+                SELECT {lon_c} AS x, {lat_c} AS y, c_acctbal AS v
+                FROM customer
+            ),
+            cells AS (
+                SELECT c.i AS col, r.i AS row,
+                       -180.0 + (c.i + 0.5) * 1.0 AS cx,
+                       90.0 - (r.i + 0.5) * 1.0 AS cy
+                FROM range(0, 360) c(i), range(0, 180) r(i)
+            ),
+            j AS (
+                SELECT col, row,
+                       sqrt((p.x - cx) * (p.x - cx)
+                            + (p.y - cy) * (p.y - cy)) AS d, p.v
+                FROM cells JOIN pts p
+                  ON p.x BETWEEN cx - 5.0 AND cx + 5.0
+                 AND p.y BETWEEN cy - 5.0 AND cy + 5.0
+            )
+            SELECT CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+                   round(SUM(v / (d * d)) / SUM(1.0 / (d * d)), 6) AS idw6
+            FROM j WHERE d <= 5.0 AND d >= 1e-12
+            GROUP BY 1, 2
+        """,
         # MultiWindRose rose attrs: centers = geocoded supplier keys
         # 1-3, radius 60, 8 sectors (half-step offset binning like the
         # engine); engine rose rows have no sector column, so the
