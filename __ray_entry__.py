@@ -1323,6 +1323,21 @@ def _q_idw_fixed(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def _q_table_sample(sf_dir: str):
+    """Deterministic 10% hash sample of orders by o_orderkey (bit-exact
+    multiplicative-hash oracle in DuckDB)."""
+    import ray
+
+    from opengxt_ray.ops.sample import deterministic_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+    out = deterministic_sample(ds, "o_orderkey", rate_bp=1000, salt=7)
+    return out.map_batches(
+        lambda b: b.select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 (driver smoke check)."""
     from opengxt_ray.pipelines.flagship import flagship
@@ -1392,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polar_grids": _q_polar_grids,
         "flow_map": _q_flow_map,
         "idw_fixed": _q_idw_fixed,
+        "table_sample": _q_table_sample,
     }
 
 
@@ -2460,6 +2476,15 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(v / (d * d)) / SUM(1.0 / (d * d)), 6) AS idw6
             FROM j WHERE d <= 5.0 AND d >= 1e-12
             GROUP BY 1, 2
+        """,
+        # Knuth multiplicative hash sample, high-32-bits mod 10000 —
+        # exact HUGEINT wraparound replication of ops/sample.py
+        "table_sample": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE CAST((CAST(((CAST(o_orderkey AS HUGEINT) + 7)
+                              * 11400714819323198485)
+                             % 18446744073709551616 AS UBIGINT)
+                        // 4294967296) % 10000 AS BIGINT) < 1000
         """,
         # MultiWindRose rose attrs: centers = geocoded supplier keys
         # 1-3, radius 60, 8 sectors (half-step offset binning like the

@@ -543,6 +543,12 @@ def _populate() -> None:
     E("ImageEmbeddings", "multimodal", MM.image_embeddings)
     E("AudioFrameSample", "multimodal", MM.audio_frames)
     E("VideoFrameFeatures", "multimodal", MM.video_frame_features)
+    from .ops import sample as SMP
+
+    E("TableSample", "trainingdata", SMP.deterministic_sample,
+      "engine extension (SURVEY §2.8: the reference has no table "
+      "sampling op) — deterministic multiplicative-hash sample, "
+      "reproducible across partitionings/cluster sizes")
     E("RasterInterpolationIDWFixed", "raster", RI.idw_fixed_radius,
       "GT/gridcoverage/IDWInterpolator.java:107-160 (SearchRadiusType"
       ".Fixed; halo co-shuffle scale path — no broadcast, no sample "
