@@ -316,6 +316,106 @@ def _inverse_map_resample(tiles, meta: RasterMeta, new_meta: RasterMeta,
     return out, new_meta
 
 
+def _inverse_map_resample_coshuffle(tiles, meta: RasterMeta,
+                                    new_meta: RasterMeta, inv_fn, fwd_fn,
+                                    *, num_partitions: int | None = None):
+    """SCALE PATH for inverse-map resampling (nearest only): no driver
+    gather — each SOURCE tile forward-maps its boundary to find the
+    output tiles it can serve and ships itself only there; each output
+    tile assembles its samples from the co-shuffled source tiles
+    (missing source tiles = nodata, which also covers all-nodata tiles
+    absent from the dataset). Bilinear needs cross-source-tile
+    neighbor pixels and stays on the broadcast path (documented)."""
+    import ray
+
+    from ..core.util import default_shuffle_partitions
+
+    ts = meta.tile_size
+    nts = new_meta.tile_size
+    nt_world = nts * new_meta.cell_size
+
+    def _route(batch: pa.Table) -> pa.Table:
+        keys, txs_o, tys_o, datas = [], [], [], []
+        txs = batch["tx"].to_numpy()
+        tys = batch["ty"].to_numpy()
+        t = np.linspace(0.0, 1.0, 9)
+        for i in range(batch.num_rows):
+            tx, ty = int(txs[i]), int(tys[i])
+            h, w = meta.tile_shape(tx, ty)
+            x0 = meta.origin_x + tx * ts * meta.cell_size
+            x1 = x0 + w * meta.cell_size
+            y1 = meta.origin_y - ty * ts * meta.cell_size
+            y0 = y1 - h * meta.cell_size
+            bx = np.concatenate([x0 + t * (x1 - x0), np.full_like(t, x1),
+                                 x1 + t * (x0 - x1), np.full_like(t, x0)])
+            by = np.concatenate([np.full_like(t, y0), y0 + t * (y1 - y0),
+                                 np.full_like(t, y1), y1 + t * (y0 - y1)])
+            fx, fy = fwd_fn(bx, by)
+            # half-output-tile safety margin for boundary curvature
+            otx0 = int(np.floor((np.min(fx) - new_meta.origin_x)
+                                / nt_world - 0.5))
+            otx1 = int(np.floor((np.max(fx) - new_meta.origin_x)
+                                / nt_world + 0.5))
+            oty0 = int(np.floor((new_meta.origin_y - np.max(fy))
+                                / nt_world - 0.5))
+            oty1 = int(np.floor((new_meta.origin_y - np.min(fy))
+                                / nt_world + 0.5))
+            otx0 = max(otx0, 0)
+            oty0 = max(oty0, 0)
+            otx1 = min(otx1, new_meta.tiles_x - 1)
+            oty1 = min(oty1, new_meta.tiles_y - 1)
+            for ox in range(otx0, otx1 + 1):
+                for oy in range(oty0, oty1 + 1):
+                    keys.append(ox * (1 << 32) + oy)
+                    txs_o.append(tx)
+                    tys_o.append(ty)
+                    datas.append(batch["data"][i].as_py())
+        return pa.table({"okey": pa.array(keys, pa.int64()),
+                         "stx": pa.array(txs_o, pa.int32()),
+                         "sty": pa.array(tys_o, pa.int32()),
+                         "data": pa.array(datas, pa.binary())})
+
+    def _assemble(group: pa.Table) -> pa.Table:
+        k = int(group["okey"][0].as_py())
+        otx, oty = k >> 32, k & 0xFFFFFFFF
+        h, w = new_meta.tile_shape(int(otx), int(oty))
+        cols = np.arange(otx * nts, otx * nts + w)
+        rows = np.arange(oty * nts, oty * nts + h)
+        x, y = new_meta.cell_center(*np.meshgrid(cols, rows))
+        sx, sy = inv_fn(x.ravel(), y.ravel())
+        fc = (sx - meta.origin_x) / meta.cell_size - 0.5
+        fr = (meta.origin_y - sy) / meta.cell_size - 0.5
+        inb = ((fc > -0.5) & (fc < meta.width - 0.5)
+               & (fr > -0.5) & (fr < meta.height - 0.5))
+        sc = np.clip(np.round(fc).astype(np.int64), 0, meta.width - 1)
+        sr = np.clip(np.round(fr).astype(np.int64), 0, meta.height - 1)
+        vals = np.full(len(sc), np.nan)
+        stx = sc // ts
+        sty = sr // ts
+        want = stx * (1 << 32) + sty
+        g_tx = group["stx"].to_numpy()
+        g_ty = group["sty"].to_numpy()
+        for j in range(group.num_rows):
+            sh, sw = meta.tile_shape(int(g_tx[j]), int(g_ty[j]))
+            tile = np.frombuffer(group["data"][j].as_py(),
+                                 np.float64).reshape(sh, sw)
+            m = want == (int(g_tx[j]) * (1 << 32) + int(g_ty[j]))
+            if m.any():
+                vals[m] = tile[sr[m] - int(g_ty[j]) * ts,
+                               sc[m] - int(g_tx[j]) * ts]
+        vals = np.where(inb, vals, np.nan)
+        return pa.table({"tx": pa.array([int(otx)], pa.int32()),
+                         "ty": pa.array([int(oty)], pa.int32()),
+                         "data": pa.array([vals.astype(np.float64)
+                                           .tobytes()], pa.binary())})
+
+    out = tiles.map_batches(_route, batch_format="pyarrow").groupby(
+        "okey",
+        num_partitions=num_partitions or default_shuffle_partitions()
+    ).map_groups(_assemble, batch_format="pyarrow")
+    return out, new_meta
+
+
 def rotate(tiles, meta: RasterMeta, *, angle_deg: float,
            anchor: tuple[float, float] | None = None,
            method: str = "nearest", parallelism: int = 8):
@@ -358,7 +458,8 @@ _EARTH_R = 6378137.0
 
 def reproject_raster(tiles, meta: RasterMeta, *, src: str = "EPSG:4326",
                      dst: str = "EPSG:3857", cell_size: float | None = None,
-                     method: str = "nearest", parallelism: int = 8):
+                     method: str = "nearest", parallelism: int = 8,
+                     broadcast: bool | None = None):
     """RasterReprojectOperation — the web pair 4326↔3857 analytically,
     plus (round 3) any pair resolvable by the parameterized Snyder
     engine in ``core.crs`` (Korea 2000 belts/Unified CS, ETRS89/NAD83
@@ -413,6 +514,20 @@ def reproject_raster(tiles, meta: RasterMeta, *, src: str = "EPSG:4326",
         int(np.ceil((cx1 - cx0) / cell_size)),
         int(np.ceil((cy1 - cy0) / cell_size)),
         meta.tile_size, meta.nodata)
+    # scale path: past ~4M source cells the dense driver broadcast is
+    # the wrong shape — co-shuffle source tiles to the output tiles
+    # they serve instead (nearest only; bilinear needs cross-tile
+    # neighbor pixels and stays on the broadcast path)
+    if broadcast is None:
+        broadcast = (method != "nearest"
+                     or meta.width * meta.height <= 4_000_000)
+    if not broadcast:
+        if method != "nearest":
+            raise ValueError("the co-shuffle reproject path supports "
+                             "method='nearest' only")
+        return _inverse_map_resample_coshuffle(
+            tiles, meta, new_meta, lambda x, y: inv(x, y),
+            lambda x, y: fwd(x, y))
     return _inverse_map_resample(tiles, meta, new_meta,
                                  lambda x, y: inv(x, y),
                                  method=method, parallelism=parallelism)

@@ -192,3 +192,41 @@ def test_raster_reproject_general_crs_marker_cell():
     fx, fy = _crs.forward(utm, mx, my)
     oc, orow = new_meta.world_to_cell(fx, fy)
     assert dense[int(orow[0]), int(oc[0])] == 99.0
+
+
+def test_reproject_coshuffle_matches_broadcast():
+    """The co-shuffled reproject scale path must produce the same grid
+    as the broadcast path, NaNs included (nearest sampling)."""
+    import pyarrow as pa
+    import ray
+
+    from opengxt_ray.raster.geometry import reproject_raster
+    from opengxt_ray.raster.tiles import (RasterMeta, partials_from_coo,
+                                          reduce_tiles)
+
+    rng = np.random.default_rng(71)
+    meta = RasterMeta(5.0, 52.0, 0.02, 120, 90, tile_size=32)
+    rows, cols = np.meshgrid(np.arange(90), np.arange(120), indexing="ij")
+    vals = rng.uniform(0, 100, rows.size)
+    part = partials_from_coo(meta, rows.ravel(), cols.ravel(), vals)
+    tiles = reduce_tiles(ray.data.from_arrow(part)).materialize()
+
+    def _dense(out, nm):
+        d = np.full((nm.height, nm.width), np.nan)
+        for r in out.take_all():
+            arr = np.frombuffer(r["data"], np.float64)
+            h, w = nm.tile_shape(r["tx"], r["ty"])
+            ts = nm.tile_size
+            d[r["ty"]*ts:r["ty"]*ts+h, r["tx"]*ts:r["tx"]*ts+w] = \
+                arr.reshape(h, w)
+        return d
+
+    o1, m1 = reproject_raster(tiles, meta, src="EPSG:4326",
+                              dst="EPSG:32632", broadcast=True)
+    o2, m2 = reproject_raster(tiles, meta, src="EPSG:4326",
+                              dst="EPSG:32632", broadcast=False)
+    assert (m1.width, m1.height, m1.origin_x) == \
+        (m2.width, m2.height, m2.origin_x)
+    d1, d2 = _dense(o1, m1), _dense(o2, m2)
+    np.testing.assert_array_equal(d1, d2)
+    assert np.isfinite(d1).mean() > 0.5
