@@ -110,10 +110,20 @@ def resample(tiles, meta: RasterMeta, *, cell_size: float,
              method: str = "nearest", parallelism: int = 8):
     """Resample to a new cell size (nearest / bilinear).
 
-    Target tiles gather from source via a driver-broadcast dense copy
-    for rasters ≤ 64M cells; the tiled gather path (source-tile
-    replication per target tile) is the documented scale path.
+    Nearest resampling of rasters past 4M cells routes through the
+    co-shuffled tile path (no dense driver broadcast — source tiles
+    ship only to the output tiles they serve); bilinear stays on the
+    broadcast copy (documented: it needs cross-tile neighbor pixels).
     """
+    if method == "nearest" and meta.width * meta.height > _COSHUFFLE_CELLS:
+        new_meta = RasterMeta(
+            meta.origin_x, meta.origin_y, cell_size,
+            int(np.ceil(meta.width * meta.cell_size / cell_size)),
+            int(np.ceil(meta.height * meta.cell_size / cell_size)),
+            meta.tile_size, meta.nodata)
+        ident = lambda x, y: (x, y)  # noqa: E731 — same world frame
+        return _inverse_map_resample_coshuffle(tiles, meta, new_meta,
+                                               ident, ident, clip_oob=True)
     dense = _gather_dense(tiles, meta)
     ref = ray.put(dense)
     new_meta = RasterMeta(
@@ -318,7 +328,8 @@ def _inverse_map_resample(tiles, meta: RasterMeta, new_meta: RasterMeta,
 
 def _inverse_map_resample_coshuffle(tiles, meta: RasterMeta,
                                     new_meta: RasterMeta, inv_fn, fwd_fn,
-                                    *, num_partitions: int | None = None):
+                                    *, num_partitions: int | None = None,
+                                    clip_oob: bool = False):
     """SCALE PATH for inverse-map resampling (nearest only): no driver
     gather — each SOURCE tile forward-maps its boundary to find the
     output tiles it can serve and ships itself only there; each output
@@ -403,7 +414,8 @@ def _inverse_map_resample_coshuffle(tiles, meta: RasterMeta,
             if m.any():
                 vals[m] = tile[sr[m] - int(g_ty[j]) * ts,
                                sc[m] - int(g_tx[j]) * ts]
-        vals = np.where(inb, vals, np.nan)
+        if not clip_oob:  # resample clamps to the edge (broadcast
+            vals = np.where(inb, vals, np.nan)  # parity); others NaN
         return pa.table({"tx": pa.array([int(otx)], pa.int32()),
                          "ty": pa.array([int(oty)], pa.int32()),
                          "data": pa.array([vals.astype(np.float64)
@@ -449,11 +461,22 @@ def rotate(tiles, meta: RasterMeta, *, angle_deg: float,
         iy = ay - (x - ax) * s + (y - ay) * c
         return ix, iy
 
+    if method == "nearest" and meta.width * meta.height > _COSHUFFLE_CELLS:
+        def _fwd(x, y):
+            return (ax + (x - ax) * c - (y - ay) * s,
+                    ay + (x - ax) * s + (y - ay) * c)
+
+        return _inverse_map_resample_coshuffle(tiles, meta, new_meta,
+                                               _inv, _fwd)
     return _inverse_map_resample(tiles, meta, new_meta, _inv,
                                  method=method, parallelism=parallelism)
 
 
 _EARTH_R = 6378137.0
+
+# nearest-resample ops switch from dense broadcast to the co-shuffled
+# tile path past this many source cells (patchable for tests)
+_COSHUFFLE_CELLS = 4_000_000
 
 
 def reproject_raster(tiles, meta: RasterMeta, *, src: str = "EPSG:4326",
@@ -520,7 +543,7 @@ def reproject_raster(tiles, meta: RasterMeta, *, src: str = "EPSG:4326",
     # neighbor pixels and stays on the broadcast path)
     if broadcast is None:
         broadcast = (method != "nearest"
-                     or meta.width * meta.height <= 4_000_000)
+                     or meta.width * meta.height <= _COSHUFFLE_CELLS)
     if not broadcast:
         if method != "nearest":
             raise ValueError("the co-shuffle reproject path supports "

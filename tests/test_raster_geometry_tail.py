@@ -146,3 +146,41 @@ def test_raster_fuzzy_linear_and_branches(grid16):
     wantd = 1.0 - np.clip((dense - mn) / (mx - mn), 0, 1)
     wantd = np.where(dense <= mn, 1.0, np.where(dense >= mx, 0.0, wantd))
     np.testing.assert_allclose(gotd, wantd, rtol=1e-12)
+
+
+def test_resample_and_rotate_coshuffle_match_broadcast(monkeypatch):
+    """Lower the co-shuffle threshold so the scale path runs on a test
+    raster; nearest resample (edge-clamp) and rotate (NaN outside)
+    must match the broadcast path exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from opengxt_ray.raster import geometry as G
+    from opengxt_ray.raster.tiles import RasterMeta, partials_from_coo, \
+        reduce_tiles
+
+    rng = np.random.default_rng(83)
+    meta = RasterMeta(0.0, 90.0, 1.0, 123, 77, tile_size=32)
+    rows, cols = np.meshgrid(np.arange(77), np.arange(123), indexing="ij")
+    part = partials_from_coo(meta, rows.ravel(), cols.ravel(),
+                             rng.uniform(0, 9, rows.size))
+    tiles = reduce_tiles(ray.data.from_arrow(part)).materialize()
+
+    def _dense(out, nm):
+        d = np.full((nm.height, nm.width), np.nan)
+        for r in out.take_all():
+            arr = np.frombuffer(r["data"], np.float64)
+            h, w = nm.tile_shape(r["tx"], r["ty"])
+            ts = nm.tile_size
+            d[r["ty"]*ts:r["ty"]*ts+h, r["tx"]*ts:r["tx"]*ts+w] = \
+                arr.reshape(h, w)
+        return d
+
+    o1, m1 = G.resample(tiles, meta, cell_size=0.7)
+    r1, rm1 = G.rotate(tiles, meta, angle_deg=30.0)
+    monkeypatch.setattr(G, "_COSHUFFLE_CELLS", 0)
+    o2, m2 = G.resample(tiles, meta, cell_size=0.7)
+    r2, rm2 = G.rotate(tiles, meta, angle_deg=30.0)
+    np.testing.assert_array_equal(_dense(o1, m1), _dense(o2, m2))
+    np.testing.assert_array_equal(_dense(r1, rm1), _dense(r2, rm2))
