@@ -253,3 +253,50 @@ def test_registry_has_presentation_ops():
                  "PolarGridsFromFeatures", "PolarGridsFromGeometry",
                  "RingMap"]:
         assert registry.get(name).build is not None
+
+
+def test_multi_windrose_two_inputs_stack_bands():
+    """Two input collections stack radially per sector: band widths
+    proportional to each input's share of the sector sum, total radius
+    = sum/maxVal * search_radius (MultiWindRoseOperation.java:330-80)."""
+    rng = np.random.default_rng(77)
+    n = 300
+    ctr = pa.table({"geom": pa.array([_wkb.encode_point(0.0, 0.0)],
+                                     pa.binary())})
+    ds1 = _points_ds(rng.uniform(-40, 40, n), rng.uniform(-40, 40, n),
+                     w=rng.uniform(1, 5, n))
+    ds2 = _points_ds(rng.uniform(-40, 40, n), rng.uniform(-40, 40, n),
+                     w=rng.uniform(1, 5, n))
+    R, CNT = 50.0, 4
+    _c, rose, _a = PR.multi_windrose([ds1, ds2], ["w", "w"], ctr, R,
+                                     rose_count=CNT)
+    rs = rose.to_pandas()
+    assert set(rs["rose_tg"]) == {"input0", "input1"}
+    # per sector: input0 band from 0, input1 band stacked outside it;
+    # outer radius of the stack = sum/maxVal * R
+    fg = _wkb.decode(rs["geom"].tolist())
+    radii = []
+    for i in range(len(rs)):
+        pts = fg.geom_coords(i)
+        d = np.hypot(pts[:, 0], pts[:, 1])
+        radii.append((d.min(), d.max()))
+    rs["r_in"] = [r[0] for r in radii]
+    rs["r_out"] = [r[1] for r in radii]
+    # group rows into sectors by matching stacked pairs: for each
+    # input1 row there is an input0 row whose outer == its inner
+    i0 = rs[rs["rose_tg"] == "input0"].sort_values("r_out")
+    i1 = rs[rs["rose_tg"] == "input1"].sort_values("r_in")
+    assert len(i0) == len(i1) == CNT
+    # pair bands by shared boundary radius; input0 starts at 0
+    sector_sums = []
+    for _, row1 in i1.iterrows():
+        match = i0[np.isclose(i0["r_out"], row1["r_in"], rtol=1e-9)]
+        assert len(match) == 1
+        row0 = match.iloc[0]
+        assert row0["r_in"] == pytest.approx(0.0, abs=1e-9)
+        assert row1["r_out"] > row1["r_in"] > 0
+        sector_sums.append((row0["val"] + row1["val"], row1["r_out"]))
+    # stack outer radius = sector_sum / max_sector_sum * R
+    smax = max(s for s, _ in sector_sums)
+    for s, rout in sector_sums:
+        assert rout == pytest.approx(s / smax * R, rel=1e-9)
