@@ -677,17 +677,36 @@ def hot_cell_salts(points_ds, *, hot_threshold: int = 200_000,
     for cells exceeding hot_threshold (north_rule skew splitting).
 
     nsplit fixed, or derived per cell as ceil(count/target_group_rows).
+
+    The > threshold filter runs INSIDE the Dataset (map_batches over the
+    count blocks), so the driver materializes only the handful of hot
+    cells — at planetary res-7 scale the full per-cell count table is
+    ~10⁸ rows and must never cross the driver boundary (round-3 verdict
+    nit #3).
     """
-    counts = points_ds.select_columns(["cell"]).groupby("cell").count()
+    hot = _hot_cells_ds(points_ds, hot_threshold)
     out: dict[int, int] = {}
-    for row in counts.iter_rows():
+    for row in hot.iter_rows():
         c = row["count()"]
-        if c > hot_threshold:
-            if target_group_rows:
-                out[int(row["cell"])] = int(np.ceil(c / target_group_rows))
-            else:
-                out[int(row["cell"])] = nsplit or 8
+        if target_group_rows:
+            out[int(row["cell"])] = int(np.ceil(c / target_group_rows))
+        else:
+            out[int(row["cell"])] = nsplit or 8
     return out
+
+
+def _hot_cells_ds(points_ds, hot_threshold: int):
+    """Per-cell counts filtered to count > hot_threshold — distributed;
+    only hot rows survive to the driver."""
+    import pyarrow.compute as pc
+
+    counts = points_ds.select_columns(["cell"]).groupby("cell").count()
+
+    def _hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["count()"],
+                                       pa.scalar(hot_threshold)))
+
+    return counts.map_batches(_hot, batch_format="pyarrow")
 
 
 def slim_join_reattach(result_ds, payload_ds, *, key: str = "fid",
