@@ -336,7 +336,25 @@ BENCHES = {
 }
 
 
+BENCH_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+# long fixed-cost job (~54 s): one rep — its variance is proportionally
+# small and 3× would dominate the whole suite's wall time
+SINGLE_REP = {"dedup_10x"}
+
+
+def _median(ts: list[float]) -> float:
+    s = sorted(ts)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2.0, 3)
+
+
 def run_all(sf_dir: str, num_cpus: int) -> dict:
+    """Each pipeline runs GRAFT_BENCH_REPS times (default 3); the
+    reported per-query time is the MEDIAN and every sample is emitted
+    under "samples" — single-shot readings on this box swing ±2×
+    (knn_join measured 3.9-7.9 s back-to-back), which drowned
+    round-over-round comparison in ambient noise (round-3 verdict #4).
+    """
     import ray
 
     if not ray.is_initialized():
@@ -350,22 +368,59 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
 
     queries = {}
     rows = {}
+    samples = {}
     for name, fn in BENCHES.items():
-        t0 = time.perf_counter()
-        n = fn(sf_dir)
-        queries[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = n
-        # drop dataset refs so actor pools / pinned objects from the
-        # previous query release before the next one is timed
-        gc.collect()
+        reps = 1 if name in SINGLE_REP else BENCH_REPS
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = fn(sf_dir)
+            ts.append(round(time.perf_counter() - t0, 3))
+            rows[name] = n
+            # drop dataset refs so actor pools / pinned objects from the
+            # previous run release before the next one is timed
+            gc.collect()
+        queries[name] = _median(ts)
+        samples[name] = ts
     total = round(sum(queries.values()), 3)
     headline = rows["pip_join"] / queries["pip_join"] if queries["pip_join"] else 0
     return {
         "metric": "e2e_seconds", "value": total, "unit": "sec",
         "queries": queries, "sf": sf_dir, "num_cpus": num_cpus,
         "headline_rows_per_sec": round(headline),
-        "rows": rows,
+        "rows": rows, "samples": samples, "reps": BENCH_REPS,
     }
+
+
+def dedup_scale(sf_dir: str, docs_list=(100_000, 1_000_000)) -> dict:
+    """Dedup cost-amortization measurement (round-3 verdict #2): the
+    distributed-CC path at increasing corpus sizes, with per-round CC
+    phase timings — proves docs/s rises with corpus size while the
+    round count stays flat (the per-round shuffles are fixed-price)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    import ray.data
+
+    ray.data.range(8).count()
+    from opengxt_ray.textops.dedup import minhash_dedup
+
+    out = []
+    for n_docs in docs_list:
+        log: list = []
+        t0 = time.perf_counter()
+        n = minhash_dedup(synth_dedup_corpus(n_docs),
+                          small_graph_threshold=0,
+                          cc_round_log=log).count()
+        dt = round(time.perf_counter() - t0, 3)
+        out.append({"docs": n_docs, "rows": n, "sec": dt,
+                    "docs_per_sec": round(n_docs / dt),
+                    "cc_rounds": log,
+                    "cc_sec": round(sum(r["sec"] for r in log), 3)})
+    return {"metric": "dedup_scale", "unit": "sec", "num_cpus": NUM_CPUS,
+            "points": out}
 
 
 SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "96000000"))
@@ -518,6 +573,14 @@ if __name__ == "__main__":
         print(json.dumps(_scaling_child(sys.argv[3], int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(scaling(SF_DIR)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--dedup-scale":
+        docs = tuple(int(d) for d in (sys.argv[2].split(",") if
+                                      len(sys.argv) > 2
+                                      else ("100000", "1000000")))
+        import ray
+
+        print(json.dumps(dedup_scale(SF_DIR, docs)))
+        ray.shutdown()
     else:
         import ray
 

@@ -211,7 +211,8 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 def connected_components(edges, *, num_partitions: int | None = None,
                          max_rounds: int = 15,
-                         small_graph_threshold: int = 5_000_000):
+                         small_graph_threshold: int = 5_000_000,
+                         round_log: list | None = None):
     """See :func:`_connected_components_distributed`. Edge graphs up to
     ``small_graph_threshold`` edges short-circuit to a driver-side
     union-find — the edge table is (int64, int64) only (≤ ~80 MB at the
@@ -251,12 +252,14 @@ def connected_components(edges, *, num_partitions: int | None = None,
             "node": pa.array(nodes, pa.int64()),
             "rep": pa.array(reps, pa.int64())}))
     return _connected_components_distributed(
-        edges, num_partitions=num_partitions, max_rounds=max_rounds)
+        edges, num_partitions=num_partitions, max_rounds=max_rounds,
+        round_log=round_log)
 
 
 def _connected_components_distributed(edges, *,
                                       num_partitions: int | None = None,
-                                      max_rounds: int = 15):
+                                      max_rounds: int = 15,
+                                      round_log: list | None = None):
     """Min-label connected components over a SYMMETRIC edge Dataset
     (src, dst) → label Dataset (node, rep) with rep = component min.
 
@@ -372,8 +375,11 @@ def _connected_components_distributed(edges, *,
     # detects convergence AND skips the final round's jump shuffles.
     # Hash-to-min over star-edge graphs is at the fixed point right
     # after init, so the common LSH-dedup case pays exactly one relax.
+    import time as _time
+
     prev_sum = lab.sum("rep")
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
+        _t0 = _time.perf_counter()
         # relax: every edge (src,dst) proposes lab(src) to dst
         prov = lab.map_batches(_prov_rows, batch_format="pyarrow")
         cons = edges.map_batches(_edge_rows, batch_format="pyarrow")
@@ -388,8 +394,18 @@ def _connected_components_distributed(edges, *,
             .materialize()
         s = lab.sum("rep")
         if s == prev_sum:
+            if round_log is not None:
+                round_log.append({
+                    "round": _round, "phase": "relax",
+                    "sec": round(_time.perf_counter() - _t0, 3),
+                    "converged": True})
             break
         prev_sum = s
+        if round_log is not None:
+            round_log.append({"round": _round, "phase": "relax",
+                              "sec": round(_time.perf_counter() - _t0, 3),
+                              "converged": False})
+            _t0 = _time.perf_counter()
         # pointer jump: rep ← lab(rep). repartition-coalesce: union +
         # map_groups output block counts compound across rounds (round
         # 3 measured rounds growing 3.6→12→52 s from block-count
@@ -401,6 +417,10 @@ def _connected_components_distributed(edges, *,
             _jump_bucket, batch_format="pyarrow") \
             .repartition(num_partitions).materialize()
         prev_sum = lab.sum("rep")
+        if round_log is not None:
+            round_log.append({"round": _round, "phase": "jump",
+                              "sec": round(_time.perf_counter() - _t0, 3),
+                              "converged": False})
     return lab
 
 
@@ -611,7 +631,8 @@ def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
                   max_rounds: int = 15,
                   verify_threshold: float | None = None,
                   small_graph_threshold: int = 5_000_000,
-                  dedup_edges: bool = True):
+                  dedup_edges: bool = True,
+                  cc_round_log: list | None = None):
     """Full near-dup pipeline → Dataset (doc_id, rep_id): each doc mapped
     to its duplicate-cluster representative (the component-min id). Docs
     with no near-dups map to themselves.
@@ -707,7 +728,8 @@ def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
 
     lab = connected_components(edges, num_partitions=num_partitions,
                                max_rounds=max_rounds,
-                               small_graph_threshold=small_graph_threshold)
+                               small_graph_threshold=small_graph_threshold,
+                               round_log=cc_round_log)
 
     ids = ds.map_batches(lambda b: pa.table({"node": b[id_col]}),
                          batch_format="pyarrow")
