@@ -53,6 +53,119 @@ def encode_png(rgba: np.ndarray) -> bytes:
             chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
+def decode_png_any(data: bytes) -> np.ndarray:
+    """Full baseline PNG decoder — stdlib ``zlib``/``struct`` only.
+
+    Supports bit depth 8 with all five scanline filters (None/Sub/Up/
+    Average/Paeth) and all five color types (grayscale, RGB, palette,
+    gray+alpha, RGBA); no interlace (Adam7 raises — rare in data
+    pipelines and cleanly detectable). Returns ``(H, W)`` uint8 for
+    grayscale or ``(H, W, C)`` uint8 otherwise. This is the real
+    decode path behind ``textops.multimodal.ImageFeatureExtractor``
+    (de-stubs the round-3 media-decode envelope for PNG payloads).
+    """
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG byte stream")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = []
+    plte = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13])
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, np.uint8,
+                         count=h * (stride + 1)).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        line = rows[y, 1:]
+        ft = int(ftypes[y])
+        if ft == 0:  # None
+            cur = line.copy()
+        elif ft == 1:  # Sub — prefix sum per channel column (mod 256)
+            cur = line.copy()
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(cur[c::bpp],
+                                        dtype=np.uint64).astype(np.uint8)
+        elif ft == 2:  # Up
+            cur = (line.astype(np.uint16) + prev).astype(np.uint8)
+        elif ft == 3:  # Average — sequential in x, vectorized over bpp
+            cur = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint16)
+            for x in range(0, stride, bpp):
+                seg = (line[x:x + bpp]
+                       + ((left + prev[x:x + bpp]) >> 1)).astype(np.uint8)
+                cur[x:x + bpp] = seg
+                left = seg.astype(np.uint16)
+        elif ft == 4:  # Paeth — sequential in x, vectorized over bpp
+            cur = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
+            for x in range(0, stride, bpp):
+                up = prev[x:x + bpp].astype(np.int16)
+                p = left + up - ul
+                pa_ = np.abs(p - left)
+                pb_ = np.abs(p - up)
+                pc_ = np.abs(p - ul)
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                np.where(pb_ <= pc_, up, ul))
+                seg = (line[x:x + bpp].astype(np.int16) + pred).astype(
+                    np.uint8)
+                cur[x:x + bpp] = seg
+                left = seg.astype(np.int16)
+                ul = up
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = cur
+        prev = cur
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[out.reshape(h, w)]
+    if channels == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, channels)
+
+
+def png_to_gray(img: np.ndarray) -> np.ndarray:
+    """Decoded PNG array → (H, W) uint8 luma (ITU-R 601 weights for
+    color; alpha ignored)."""
+    if img.ndim == 2:
+        return img
+    c = img.shape[2]
+    if c == 2:  # gray + alpha
+        return img[..., 0]
+    rgb = img[..., :3].astype(np.float64)
+    return np.clip(np.round(rgb @ np.array([0.299, 0.587, 0.114])),
+                   0, 255).astype(np.uint8)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Minimal reader for PNGs produced by :func:`encode_png`
     (filter-0 RGBA only) — the round-trip oracle."""

@@ -1,10 +1,13 @@
 """Multimodal columns — image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels are STUBBED (no image/audio libraries in this
-container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded from the payload hash) produces
+IMAGE decode is REAL for PNG payloads: a full stdlib baseline PNG
+decoder (``raster/image.py decode_png_any`` — all five filters, all
+five 8-bit color types) runs whenever the payload carries the PNG
+signature, regardless of the ``fake`` flag. Other codecs (JPEG, audio,
+video) remain STUBBED (no media libraries in this container):
+they raise ``NotImplementedError`` unless ``fake=True``, in which case
+a deterministic fake decoder (seeded from the payload hash) produces
 arrays of the declared shape. Everything around the decode — schema
 convention, batch sizing for large payloads, actor-pool signature,
 broadcast model ref, output layout — is real and tested.
@@ -27,15 +30,25 @@ from ..core.util import default_concurrency
 
 
 def synth_media_batch(batch: pa.Table, *, kind: str = "image") -> pa.Table:
-    """Deterministic fake media payloads from an ``id`` column (for
-    tests/benches; payload bytes are a seeded byte pattern)."""
+    """Deterministic media payloads from an ``id`` column (for
+    tests/benches). ``kind="png"`` emits REAL encoded PNG bytes
+    (seeded RGBA noise through the stdlib codec — exercises the real
+    decode path); other kinds emit a seeded opaque byte pattern for
+    the fake-decode stubs."""
     ids = batch["id"].to_numpy()
     payloads = []
     w = np.full(len(ids), 64, dtype=np.int32)
     h = np.full(len(ids), 48, dtype=np.int32)
     for i in ids:
         rs = np.random.RandomState(int(i) % (2 ** 31))
-        payloads.append(rs.bytes(256))
+        if kind == "png":
+            from ..raster.image import encode_png
+
+            rgba = rs.randint(0, 256, size=(48, 64, 4)).astype(np.uint8)
+            rgba[..., 3] = 255
+            payloads.append(encode_png(rgba))
+        else:
+            payloads.append(rs.bytes(256))
     return pa.table({
         "media_id": pa.array(ids),
         "payload": pa.array(payloads, pa.binary()),
@@ -69,10 +82,18 @@ class ImageFeatureExtractor:
         self.proj = rs.standard_normal((resize[0] * resize[1], out_dim))
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # REAL decode path (stdlib baseline PNG codec) — used
+            # regardless of `fake`; the declared w/h metadata is
+            # advisory, the decoded dimensions win
+            from ..raster.image import decode_png_any, png_to_gray
+
+            return png_to_gray(decode_png_any(payload))
         if not self.fake:
             raise NotImplementedError(
-                "real image decode requires PIL/cv2 (not in this container); "
-                "run with fake=True for the deterministic stub")
+                "non-PNG image decode requires PIL/cv2 (not in this "
+                "container); PNG payloads decode for real, or run with "
+                "fake=True for the deterministic stub")
         return _fake_decode(payload, (h, w))
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
