@@ -13,13 +13,16 @@ formulas, vectorized in numpy:
 - ``merc``   — spherical web Mercator (EPSG:3857);
 - ``longlat``— identity (EPSG:4326).
 
-DATUM ENVELOPE (documented): only CRSs whose datum is WGS84-compatible
-at the centimeter level (WGS84 itself, GRS80-based ETRS89 / NAD83 /
-Korea 2000 / RGF93) are listed — no Helmert/grid datum shifts are
-applied, so ellipsoid parameters differ per CRS but geographic
-coordinates are treated as interchangeable with WGS84. CRSs on legacy
-datums (OSGB36, Tokyo, …) are deliberately absent: without a shift the
-error would be tens of meters, which violates the no-silent-error rule.
+DATUM HANDLING: WGS84-compatible datums (WGS84 itself, GRS80-based
+ETRS89 / NAD83 / Korea 2000 / RGF93) are treated as interchangeable
+with WGS84 (centimeter-level, documented). Legacy datums (OSGB36,
+ED50, Tokyo) carry a published 7-parameter Helmert shift to WGS84
+(position-vector convention, EPSG method 9606): geodetic → geocentric
+XYZ on the source ellipsoid → Helmert → geodetic on the target
+ellipsoid. Single-Helmert accuracy is the published one (~3.5 m for
+OSGB36 vs the OSTN grid, ~5-10 m for the 3-parameter ED50/Tokyo
+shifts) — adequate for analysis joins; survey-grade grid shifts
+(OSTN15/NADCON) remain out of scope (documented).
 """
 
 from __future__ import annotations
@@ -45,6 +48,26 @@ class CRSDef:
     k0: float = 1.0
     x0: float = 0.0
     y0: float = 0.0
+    datum: str = "WGS84"  # key into DATUM_SHIFTS (Helmert toWGS84)
+
+
+#: Published toWGS84 Helmert parameters, position-vector convention:
+#: (dx, dy, dz [m], rx, ry, rz [arc-seconds], s [ppm]). WGS84-compatible
+#: datums map to the zero shift (documented cm-level equivalence).
+DATUM_SHIFTS: dict[str, tuple] = {
+    "WGS84": (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+    # OSGB36 → WGS84 (OS "A guide to coordinate systems in GB", ~3.5 m)
+    "OSGB36": (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421,
+               -20.4894),
+    # ED50 → WGS84 (EPSG 1133 mean-European 3-parameter)
+    "ED50": (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0),
+    # Tokyo → WGS84 (EPSG "Tokyo to WGS 84 (1)" 3-parameter)
+    "TOKYO": (-148.0, 507.0, 685.0, 0.0, 0.0, 0.0, 0.0),
+}
+
+_AIRY1830 = (6_377_563.396, 1.0 / 299.3249646)
+_INTL1924 = (6_378_388.0, 1.0 / 297.0)
+_BESSEL1841 = (6_377_397.155, 1.0 / 299.1528128)
 
 
 def _tm(a, f, lat0, lon0, k0, x0, y0):
@@ -75,6 +98,18 @@ CRS_TABLE: dict[str, CRSDef] = {
     # ETRS89 / LCC Europe
     "EPSG:3034": _lcc(*_GRS80, 52.0, 10.0, 35.0, 65.0, 4_000_000.0,
                       2_800_000.0),
+    # Legacy datums via Helmert (round 4) -----------------------------
+    # OSGB36 geographic + British National Grid
+    "EPSG:4277": CRSDef("longlat", *_AIRY1830, datum="OSGB36"),
+    "EPSG:27700": CRSDef("tmerc", *_AIRY1830, lat0=49.0, lon0=-2.0,
+                         k0=0.9996012717, x0=400_000.0, y0=-100_000.0,
+                         datum="OSGB36"),
+    # ED50 geographic + ED50 / UTM 31N
+    "EPSG:4230": CRSDef("longlat", *_INTL1924, datum="ED50"),
+    "EPSG:23031": CRSDef("tmerc", *_INTL1924, lat0=0.0, lon0=3.0,
+                         k0=0.9996, x0=500_000.0, y0=0.0, datum="ED50"),
+    # Tokyo geographic (Bessel 1841)
+    "EPSG:4301": CRSDef("longlat", *_BESSEL1841, datum="TOKYO"),
 }
 
 # ETRS89 / UTM 28N..38N (EPSG:25828..25838) and NAD83 / UTM 1N..23N
@@ -250,8 +285,73 @@ def inverse(c: CRSDef, x, y):
     raise ValueError(f"unknown projection kind {c.kind}")
 
 
+# ---------------------------------------------------------------------------
+# datum shifts (Helmert 7-parameter, EPSG method 9606 position-vector)
+# ---------------------------------------------------------------------------
+
+def _geodetic_to_ecef(a: float, f: float, lon, lat, h=0.0):
+    e2 = f * (2 - f)
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64))
+    N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    cphi = np.cos(phi)
+    return ((N + h) * cphi * np.cos(lam), (N + h) * cphi * np.sin(lam),
+            (N * (1 - e2) + h) * np.sin(phi))
+
+
+def _ecef_to_geodetic(a: float, f: float, X, Y, Z):
+    """Iterative latitude recovery (converges to sub-mm in ≤6 rounds
+    for |h| ≪ a)."""
+    e2 = f * (2 - f)
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    Z = np.asarray(Z, np.float64)
+    lam = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1 - e2))
+    for _ in range(8):
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        h = p / np.cos(phi) - N
+        phi = np.arctan2(Z, p * (1 - e2 * N / (N + h)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert_apply(params: tuple, X, Y, Z, inverse: bool = False):
+    """Position-vector 7-parameter similarity transform. The inverse
+    uses negated parameters (standard small-parameter reversal; the
+    second-order error at 500 m / 1″ scale is < 1 cm)."""
+    dx, dy, dz, rx, ry, rz, s = params
+    if inverse:
+        dx, dy, dz, rx, ry, rz, s = (-dx, -dy, -dz, -rx, -ry, -rz, -s)
+    sec = np.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * sec, ry * sec, rz * sec
+    m = 1.0 + s * 1e-6
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    Z = np.asarray(Z, np.float64)
+    return (dx + m * (X - rz * Y + ry * Z),
+            dy + m * (rz * X + Y - rx * Z),
+            dz + m * (-ry * X + rx * Y + Z))
+
+
+def _datum_shift(src: CRSDef, dst: CRSDef, lon, lat):
+    """Geographic coords on src's datum → dst's datum (via WGS84
+    geocentric; identity when both datums share the zero shift)."""
+    sp = DATUM_SHIFTS.get(src.datum, DATUM_SHIFTS["WGS84"])
+    dp = DATUM_SHIFTS.get(dst.datum, DATUM_SHIFTS["WGS84"])
+    if sp == dp:
+        return lon, lat
+    X, Y, Z = _geodetic_to_ecef(src.a, src.f, lon, lat)
+    if any(sp):
+        X, Y, Z = _helmert_apply(sp, X, Y, Z)
+    if any(dp):
+        X, Y, Z = _helmert_apply(dp, X, Y, Z, inverse=True)
+    return _ecef_to_geodetic(dst.a, dst.f, X, Y, Z)
+
+
 def transform(src: CRSDef, dst: CRSDef, x, y):
-    """src coords → dst coords through geographic (no datum shift —
-    see module docstring for the WGS84-compatible-datum envelope)."""
+    """src coords → dst coords through geographic, applying the
+    Helmert datum shift when the datums differ (module docstring)."""
     lon, lat = inverse(src, x, y)
+    lon, lat = _datum_shift(src, dst, lon, lat)
     return forward(dst, lon, lat)

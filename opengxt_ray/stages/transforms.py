@@ -701,12 +701,15 @@ def make_reproject(src: str, dst: str, *, geom_col="geom"):
     SpatialJoinOperation.java:97-102), and — round-3 widening — any
     pair from the parameterized ``core.crs`` table (Korea 2000 belts +
     Unified CS, ETRS89/NAD83 UTM, Lambert-93, ETRS89-LCC; Snyder
-    tmerc/lcc on per-CRS ellipsoids, WGS84-compatible datums only —
-    see opengxt_ray/core/crs.py for the documented datum envelope).
+    tmerc/lcc on per-CRS ellipsoids; round 4 adds legacy datums via
+    published 7-parameter Helmert shifts — OSGB36 / EPSG:27700 British
+    National Grid, ED50 / EPSG:23031, Tokyo EPSG:4301 — applied
+    automatically inside ``crs.transform`` when the datums differ).
 
-    Full PROJ pipelines (datum grids, legacy datums) remain out of
-    scope without pyproj; the engine's CRS convention stores the code
-    in schema metadata.
+    Survey-grade datum GRIDS (OSTN15/NADCON) remain out of scope
+    without pyproj (single-Helmert accuracy ~3.5-10 m, documented in
+    core/crs.py); the engine's CRS convention stores the code in
+    schema metadata.
     """
 
     def fwd(c):  # 4326 → 3857

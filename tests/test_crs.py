@@ -230,3 +230,127 @@ def test_reproject_coshuffle_matches_broadcast():
     d1, d2 = _dense(o1, m1), _dense(o2, m2)
     np.testing.assert_array_equal(d1, d2)
     assert np.isfinite(d1).mean() > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Round 4: Helmert 7-parameter datum shifts
+# ---------------------------------------------------------------------------
+
+def test_osgb36_caister_worked_example():
+    """OS 'A guide to coordinate systems in Great Britain' TM worked
+    example (Caister water tower): OSGB36 52°39'27.2531"N,
+    1°43'4.5177"E ↔ National Grid E 651409.903 N 313177.270 — pure
+    Airy-1830 projection, mm-tight both ways."""
+    from opengxt_ray.core import crs as C
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    bng = C.parse_crs("EPSG:27700")
+    e, n = C.forward(bng, np.array([lon]), np.array([lat]))
+    assert abs(e[0] - 651409.903) < 0.01
+    assert abs(n[0] - 313177.270) < 0.01
+    lon2, lat2 = C.inverse(bng, np.array([651409.903]),
+                           np.array([313177.270]))
+    assert abs(lon2[0] - lon) < 1e-7 and abs(lat2[0] - lat) < 1e-7
+    # and through the Helmert: the same point's WGS84 expression moves
+    # ~west by the documented ~1.1" lon / ~1.5" lat datum offset, and
+    # projecting the shifted coords straight back (shift applied again
+    # in reverse) reproduces the grid exactly
+    wgs = C.parse_crs("EPSG:4326")
+    lon_w, lat_w = C.transform(bng, wgs, np.array([651409.903]),
+                               np.array([313177.270]))
+    e2, n2 = C.transform(wgs, bng, lon_w, lat_w)
+    assert abs(e2[0] - 651409.903) < 0.01
+    assert abs(n2[0] - 313177.270) < 0.01
+    assert 0.5 / 3600 < abs(lon_w[0] - lon) < 10 / 3600
+    assert 0.5 / 3600 < abs(lat_w[0] - lat) < 10 / 3600
+
+
+def test_osgb36_greenwich_meridian_offset():
+    """The Airy transit circle sits ~5.31\" W of the WGS84 zero
+    meridian; in OSGB36 its longitude is ~0 by construction. The
+    datum shift must absorb the offset."""
+    from opengxt_ray.core import crs as C
+
+    wgs = C.parse_crs("EPSG:4326")
+    osgb = C.parse_crs("EPSG:4277")
+    lon, lat = C.transform(wgs, osgb, np.array([-5.3101 / 3600]),
+                           np.array([51 + 28 / 60 + 40.1247 / 3600]))
+    assert abs(lon[0]) < 0.0005  # ≈ 35 m — inside single-Helmert band
+    # and WITHOUT the shift the offset would remain (sanity: ~5")
+    assert abs(-5.3101 / 3600) > 0.001 / 3600
+
+
+def test_datum_roundtrips_subcentimeter():
+    """transform(src→dst→src) closes to sub-cm for every legacy datum
+    (the negated-parameter Helmert inverse is 2nd-order exact)."""
+    from opengxt_ray.core import crs as C
+
+    wgs = C.parse_crs("EPSG:4326")
+    pts = {
+        "EPSG:27700": (np.array([-2.0, 0.5, -4.1]),
+                       np.array([50.5, 52.0, 57.2])),
+        "EPSG:23031": (np.array([0.5, 2.9]), np.array([39.5, 48.0])),
+        "EPSG:4301": (np.array([139.7, 135.5]), np.array([35.7, 34.7])),
+    }
+    for code, (lon, lat) in pts.items():
+        crs = C.parse_crs(code)
+        x, y = C.transform(wgs, crs, lon, lat)
+        lon2, lat2 = C.transform(crs, wgs, x, y)
+        # 1e-7 deg ≈ 1 cm
+        assert np.abs(lon2 - lon).max() < 2e-7
+        assert np.abs(lat2 - lat).max() < 2e-7
+
+
+def test_datum_shift_magnitudes_match_published_bands():
+    """Same physical point expressed in the legacy datum moves by the
+    published magnitude: ED50 ~100-250 m in W. Europe, Tokyo
+    ~350-500 m in Japan, OSGB36 ~50-120 m in GB."""
+    from opengxt_ray.core import crs as C
+
+    wgs = C.parse_crs("EPSG:4326")
+
+    def shift_m(code, lon, lat):
+        g = C.CRSDef("longlat", C.parse_crs(code).a, C.parse_crs(code).f,
+                     datum=C.parse_crs(code).datum)
+        lon2, lat2 = C.transform(wgs, g, np.array([lon]), np.array([lat]))
+        return float(np.hypot((lon2[0] - lon) * 111_320 *
+                              np.cos(np.radians(lat)),
+                              (lat2[0] - lat) * 110_574))
+
+    assert 80 < shift_m("EPSG:4230", 2.35, 48.86) < 250     # ED50, Paris
+    assert 350 < shift_m("EPSG:4301", 139.7, 35.7) < 550    # Tokyo
+    assert 50 < shift_m("EPSG:4277", -1.0, 52.0) < 130      # OSGB36
+
+
+def test_ecef_geodetic_roundtrip_vectorized():
+    from opengxt_ray.core import crs as C
+
+    a, f = 6_377_563.396, 1 / 299.3249646
+    lon = np.linspace(-179, 179, 23)
+    lat = np.linspace(-89, 89, 23)
+    X, Y, Z = C._geodetic_to_ecef(a, f, lon, lat)
+    lon2, lat2 = C._ecef_to_geodetic(a, f, X, Y, Z)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_make_reproject_legacy_datum_pair():
+    """The reproject stage resolves the new legacy-datum CRSs and the
+    Helmert shift is applied (lon -2 sits ~100 m EAST of the OSGB36
+    central meridian once shifted — without the shift it would land at
+    exactly E 400000)."""
+    import pyarrow as pa
+
+    from opengxt_ray.core import wkb as W
+    from opengxt_ray.stages.transforms import make_reproject
+
+    fn = make_reproject("EPSG:4326", "EPSG:27700")
+    t = pa.table({"geom": pa.array([W.encode_point(-2.0, 52.0)],
+                                   pa.binary())})
+    x, y = W.decode(fn(t)["geom"].to_pylist()).geom_coords(0)[0]
+    assert 50 < abs(x - 400_000) < 150   # shift visible, sane size
+    assert abs(y - 233_500) < 500
+    back = make_reproject("EPSG:27700", "EPSG:4326")
+    lon, lat = W.decode(back(fn(t))["geom"].to_pylist()).geom_coords(0)[0]
+    assert abs(lon - -2.0) < 2e-7 and abs(lat - 52.0) < 2e-7
