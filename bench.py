@@ -474,6 +474,62 @@ def bench_pip_join_large(sf_dir: str, n_rows: int = SCALING_ROWS) -> int:
     return out.count()
 
 
+def memproof(sf_dir: str, n_rows: int = 240_000_000,
+             store_bytes: int = 12_000_000_000) -> dict:
+    """Streaming proof at 100× the small-test scale (round-3 verdict
+    item #9): the geocode+PIP headline job at ``n_rows`` with the
+    object store CAPPED at ``store_bytes`` — far below the job's total
+    block volume — while a sampler thread records peak object-store
+    usage and Ray's spill counters. Done = completes with bounded
+    store usage (streaming backpressure, no driver/object-store
+    blow-up) and steady rows/s."""
+    import threading
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False, object_store_memory=store_bytes)
+    total_store = ray.cluster_resources().get("object_store_memory", 0)
+    peak = {"used": 0.0}
+    stop = threading.Event()
+
+    def _poll():
+        while not stop.is_set():
+            avail = ray.available_resources().get("object_store_memory",
+                                                  total_store)
+            peak["used"] = max(peak["used"], total_store - avail)
+            stop.wait(0.25)
+
+    th = threading.Thread(target=_poll, daemon=True)
+    th.start()
+    t0 = time.perf_counter()
+    n = bench_pip_join_large(sf_dir, n_rows)
+    dt = round(time.perf_counter() - t0, 3)
+    stop.set()
+    th.join(timeout=2)
+    spilled_mb = None
+    try:
+        from ray._private.internal_api import memory_summary
+
+        for ln in memory_summary(stats_only=True).splitlines():
+            if "Spilled" in ln:
+                spilled_mb = ln.strip()
+                break
+    except Exception:
+        pass
+    return {
+        "metric": "memproof", "unit": "sec", "rows": n, "sec": dt,
+        "rows_per_sec": round(n / dt), "num_cpus": NUM_CPUS,
+        "object_store_cap_bytes": int(total_store),
+        "peak_object_store_used_bytes": int(peak["used"]),
+        "peak_object_store_frac": round(peak["used"] / total_store, 3)
+        if total_store else None,
+        "spilled": spilled_mb,
+    }
+
+
 def _scaling_child(sf_dir: str, num_cpus: int) -> dict:
     """Run only the headline join in this process; print JSON."""
     import ray
@@ -573,6 +629,12 @@ if __name__ == "__main__":
         print(json.dumps(_scaling_child(sys.argv[3], int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(scaling(SF_DIR)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--memproof":
+        rows = int(sys.argv[2]) if len(sys.argv) > 2 else 240_000_000
+        import ray
+
+        print(json.dumps(memproof(SF_DIR, rows)))
+        ray.shutdown()
     elif len(sys.argv) > 1 and sys.argv[1] == "--dedup-scale":
         docs = tuple(int(d) for d in (sys.argv[2].split(",") if
                                       len(sys.argv) > 2
