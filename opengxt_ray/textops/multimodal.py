@@ -1,11 +1,13 @@
 """Multimodal columns — image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-IMAGE decode is REAL for PNG payloads: a full stdlib baseline PNG
-decoder (``raster/image.py decode_png_any`` — all five filters, all
-five 8-bit color types) runs whenever the payload carries the PNG
-signature, regardless of the ``fake`` flag. Other codecs (JPEG, audio,
-video) remain STUBBED (no media libraries in this container):
+IMAGE decode is REAL for PNG and baseline-JPEG payloads: a full stdlib
+PNG decoder (``raster/image.py decode_png_any`` — all five filters,
+all five 8-bit color types) and a baseline-sequential JPEG codec
+(``raster/jpeg.py`` — Huffman + DCT, arbitrary chroma sampling,
+restart markers) run whenever the payload carries the matching
+signature, regardless of the ``fake`` flag. Remaining codecs (audio,
+video, progressive JPEG) are STUBBED (no media libraries here):
 they raise ``NotImplementedError`` unless ``fake=True``, in which case
 a deterministic fake decoder (seeded from the payload hash) produces
 arrays of the declared shape. Everything around the decode — schema
@@ -47,6 +49,11 @@ def synth_media_batch(batch: pa.Table, *, kind: str = "image") -> pa.Table:
             rgba = rs.randint(0, 256, size=(48, 64, 4)).astype(np.uint8)
             rgba[..., 3] = 255
             payloads.append(encode_png(rgba))
+        elif kind == "jpeg":
+            from ..raster.jpeg import encode_jpeg_baseline
+
+            rgb = rs.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+            payloads.append(encode_jpeg_baseline(rgb, quality=90))
         else:
             payloads.append(rs.bytes(256))
     return pa.table({
@@ -82,18 +89,23 @@ class ImageFeatureExtractor:
         self.proj = rs.standard_normal((resize[0] * resize[1], out_dim))
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        # REAL decode paths (stdlib codecs) — used regardless of
+        # `fake`; the declared w/h metadata is advisory, the decoded
+        # dimensions win
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            # REAL decode path (stdlib baseline PNG codec) — used
-            # regardless of `fake`; the declared w/h metadata is
-            # advisory, the decoded dimensions win
             from ..raster.image import decode_png_any, png_to_gray
 
             return png_to_gray(decode_png_any(payload))
+        if payload[:2] == b"\xff\xd8":
+            from ..raster.image import png_to_gray
+            from ..raster.jpeg import decode_jpeg_baseline
+
+            return png_to_gray(decode_jpeg_baseline(payload))
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG image decode requires PIL/cv2 (not in this "
-                "container); PNG payloads decode for real, or run with "
-                "fake=True for the deterministic stub")
+                "image decode beyond PNG/baseline-JPEG requires PIL/cv2 "
+                "(not in this container); run with fake=True for the "
+                "deterministic stub")
         return _fake_decode(payload, (h, w))
 
     def _resize(self, img: np.ndarray) -> np.ndarray:

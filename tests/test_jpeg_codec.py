@@ -1,0 +1,104 @@
+"""Baseline JPEG codec tests (raster/jpeg.py): encoder↔decoder round
+trips across quality / subsampling / restart intervals / odd sizes,
+spec-edge behavior, and the real (non-stub) embedding path."""
+
+import numpy as np
+import pytest
+import ray
+
+from opengxt_ray.raster.jpeg import (decode_jpeg_baseline,
+                                     encode_jpeg_baseline)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def _gradient(h, w):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    return ((y[:, None] + x[None, :]) / 2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("q,floor", [(50, 40), (85, 48), (95, 55)])
+def test_gray_roundtrip_quality(q, floor):
+    img = _gradient(48, 64)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=q))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > floor
+
+
+@pytest.mark.parametrize("ss,floor", [("444", 40), ("420", 28)])
+def test_rgb_roundtrip_subsampling(ss, floor):
+    g = _gradient(48, 64)
+    rgb = np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=2)
+    out = decode_jpeg_baseline(
+        encode_jpeg_baseline(rgb, quality=90, subsample=ss))
+    assert out.shape == rgb.shape
+    assert _psnr(rgb, out) > floor
+
+
+def test_odd_dimensions_and_constant_exact():
+    c = np.full((17, 23), 77, np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(c, quality=90))
+    assert out.shape == (17, 23)
+    assert int(np.abs(out.astype(int) - 77).max()) == 0
+    g = _gradient(19, 31)  # non-multiple of 8 both axes
+    rgb = np.stack([g, g, g], axis=2)
+    out = decode_jpeg_baseline(
+        encode_jpeg_baseline(rgb, quality=90, subsample="420"))
+    assert out.shape == (19, 31, 3)  # 4:2:0 MCU padding trimmed
+
+
+def test_restart_markers():
+    g = _gradient(48, 64)
+    rgb = np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=2)
+    plain = decode_jpeg_baseline(encode_jpeg_baseline(rgb, quality=90))
+    rst = decode_jpeg_baseline(
+        encode_jpeg_baseline(rgb, quality=90, restart_interval=2))
+    # restart only resets DC prediction — pixel output identical
+    assert (plain == rst).all()
+
+
+def test_noise_q100_near_lossless():
+    """q=100 quantizers are mostly 1s → the full AC path (ZRL, EOB,
+    long runs, every magnitude category) round-trips dense noise."""
+    rs = np.random.RandomState(9)
+    img = rs.randint(0, 256, size=(40, 56)).astype(np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=100))
+    assert _psnr(img, out) > 40
+
+
+def test_non_baseline_sof_raises():
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg_baseline(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # progressive SOF
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(b"\x00\x01not a jpeg")
+
+
+def test_image_embeddings_real_jpeg_path():
+    """End-to-end actor-pool stage on real JPEG payloads: embeddings
+    equal the projection of the DECODED pixels."""
+    from opengxt_ray.raster.image import png_to_gray
+    from opengxt_ray.textops.multimodal import (ImageFeatureExtractor,
+                                                image_embeddings,
+                                                synth_media_batch)
+
+    ds = ray.data.range(16, override_num_blocks=2).map_batches(
+        lambda b: synth_media_batch(b, kind="jpeg"), batch_format="pyarrow")
+    out = image_embeddings(ds, concurrency=2).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 16
+    rs = np.random.RandomState(3)
+    rgb = rs.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    ex = ImageFeatureExtractor()
+    gray = png_to_gray(decode_jpeg_baseline(
+        encode_jpeg_baseline(rgb, quality=90)))
+    exp = (ex._resize(gray).astype(np.float64).reshape(-1) / 255.0) @ ex.proj
+    got = np.asarray(out.loc[out.media_id == 3, "embedding"].iloc[0])
+    np.testing.assert_allclose(got, exp, rtol=1e-12)

@@ -158,4 +158,4 @@ def test_non_png_fake_false_raises():
 
     ex = ImageFeatureExtractor(fake=False)
     with pytest.raises(NotImplementedError):
-        ex._decode(b"\xff\xd8\xff\xe0 not-a-png", 8, 8)
+        ex._decode(b"GIF87a not-a-png-or-jpeg", 8, 8)
