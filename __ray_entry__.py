@@ -642,6 +642,36 @@ def _q_cell_assignment(sf_dir: str):
     return pts.map_batches(_cells, batch_format="pyarrow")
 
 
+def _q_hot_cells(sf_dir: str):
+    """Round-4 skew pre-pass gate: per-cell counts filtered to HOT
+    cells inside the Dataset (the driver materializes only rows above
+    threshold — ops/join.py hot_cell_salts) + ceil salt counts.
+    Integer-exact SQL oracle (GROUP BY cell HAVING count > thr)."""
+    import pandas as pd
+
+    from opengxt_ray.index import hexgrid
+    from opengxt_ray.ops import join as J
+
+    res, thr, target = 2, 4, 2
+    pts = _read_pts(sf_dir, "customer", "c_custkey")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cells = hexgrid.hex_cell(b["lon"].to_numpy(), b["lat"].to_numpy(),
+                                 res)
+        return pa.table({"cell": pa.array(cells, pa.uint64())})
+
+    cds = pts.map_batches(_cells, batch_format="pyarrow")
+    salts = J.hot_cell_salts(cds, hot_threshold=thr,
+                             target_group_rows=target)
+    cells = np.array(sorted(salts), dtype=np.uint64)
+    q = ((cells >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(
+        np.int64) - (1 << 28)
+    r = (cells & np.uint64((1 << 29) - 1)).astype(np.int64) - (1 << 28)
+    return pd.DataFrame({
+        "q": q, "r": r,
+        "nsplit": np.array([salts[int(c)] for c in cells], np.int64)})
+
+
 def _q_intersect_area(sf_dir: str):
     """Geometry-emitting Intersect overlay: 3°×2° rects around customer
     points × nation zones → per-piece intersection AREA (SQL-exact for
@@ -1408,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_map": _q_flow_map,
         "idw_fixed": _q_idw_fixed,
         "table_sample": _q_table_sample,
+        "hot_cells": _q_hot_cells,
     }
 
 
@@ -1887,6 +1918,36 @@ def oracle_sql() -> dict[str, str]:
                                     THEN -r0 - s0 ELSE q0 END) - s0
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
+        """,
+        "hot_cells": f"""
+            WITH frac AS (
+                SELECT (sqrt(3.0)/3.0 * ({lon_c}) - ({lat_c})/3.0)
+                       / 11.25 AS qf,
+                       (2.0/3.0 * ({lat_c})) / 11.25 AS rf
+                FROM customer
+            ),
+            rounded AS (
+                SELECT qf, rf, -qf - rf AS sf,
+                       round(qf, 0) AS q0, round(rf, 0) AS r0,
+                       round(-qf - rf, 0) AS s0
+                FROM frac
+            ),
+            cells AS (
+                SELECT CAST(CASE WHEN abs(q0-qf) > abs(r0-rf)
+                                  AND abs(q0-qf) > abs(s0-sf)
+                            THEN -r0 - s0 ELSE q0 END AS BIGINT) AS q,
+                       CAST(CASE WHEN NOT (abs(q0-qf) > abs(r0-rf)
+                                           AND abs(q0-qf) > abs(s0-sf))
+                                  AND abs(r0-rf) > abs(s0-sf)
+                            THEN -(CASE WHEN abs(q0-qf) > abs(r0-rf)
+                                         AND abs(q0-qf) > abs(s0-sf)
+                                        THEN -r0 - s0 ELSE q0 END) - s0
+                            ELSE r0 END AS BIGINT) AS r
+                FROM rounded
+            )
+            SELECT q, r,
+                   CAST(ceil(count(*) / 2.0) AS BIGINT) AS nsplit
+            FROM cells GROUP BY q, r HAVING count(*) > 4
         """,
         "lang_id": _lang_id_sql(),
         "simhash": _simhash_sql(),

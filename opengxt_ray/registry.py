@@ -554,6 +554,17 @@ def _populate() -> None:
       ".Fixed; halo co-shuffle scale path — no broadcast, no sample "
       "cap)")
     E("SynthMedia", "multimodal", MM.synth_media_batch)
+    from .raster import image as RIMG
+    from .raster import jpeg as RJPG
+
+    E("DecodePNG", "multimodal", RIMG.decode_png_any,
+      "engine extension (round 4): full stdlib baseline PNG decoder — "
+      "all 5 filters / 5 color types at bit depth 8; the real decode "
+      "path behind ImageEmbeddings")
+    E("DecodeJPEG", "multimodal", RJPG.decode_jpeg_baseline,
+      "engine extension (round 4): baseline-sequential JPEG decoder "
+      "(T.81 public spec) — Huffman + vectorized IDCT, chroma "
+      "subsampling, restart markers; paired encoder for synthesis")
 
     # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/
     # PolarGrids — round-3 closure of the "8 presentational absences")
