@@ -565,6 +565,17 @@ def _populate() -> None:
       "engine extension (round 4): baseline-sequential JPEG decoder "
       "(T.81 public spec) — Huffman + vectorized IDCT, chroma "
       "subsampling, restart markers; paired encoder for synthesis")
+    from .textops import avi as TAVI
+    from .textops import wav as TWAV
+
+    E("DecodeWAV", "multimodal", TWAV.decode_wav,
+      "engine extension (round 4): RIFF/WAVE PCM + IEEE-float decoder "
+      "(8/16/24/32-bit, multi-channel); the real path behind "
+      "AudioFrameSample")
+    E("DecodeAVI", "multimodal", TAVI.decode_avi_mjpeg,
+      "engine extension (round 4): AVI/MJPEG container decoder (RIFF "
+      "walk + per-frame baseline JPEG); the real path behind "
+      "VideoFrameFeatures")
 
     # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/
     # PolarGrids — round-3 closure of the "8 presentational absences")

@@ -1,13 +1,17 @@
 """Multimodal columns — image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-IMAGE decode is REAL for PNG and baseline-JPEG payloads: a full stdlib
-PNG decoder (``raster/image.py decode_png_any`` — all five filters,
-all five 8-bit color types) and a baseline-sequential JPEG codec
-(``raster/jpeg.py`` — Huffman + DCT, arbitrary chroma sampling,
-restart markers) run whenever the payload carries the matching
-signature, regardless of the ``fake`` flag. Remaining codecs (audio,
-video, progressive JPEG) are STUBBED (no media libraries here):
+DECODE IS REAL for the self-describing interchange formats, all with
+pure-stdlib codecs, used whenever the payload carries the matching
+signature regardless of the ``fake`` flag:
+- image: PNG (``raster/image.py decode_png_any`` — all five filters,
+  all five 8-bit color types) and baseline JPEG (``raster/jpeg.py`` —
+  Huffman + DCT, chroma sampling, restart markers);
+- audio: WAV RIFF PCM/float (``textops/wav.py`` — 8/16/24/32-bit,
+  multi-channel, mono-mixed for framing);
+- video: AVI/MJPEG (``textops/avi.py`` — RIFF walk + per-frame JPEG).
+Compressed/inter-frame codecs (MP3, H.264, progressive JPEG, …)
+remain STUBBED (no media libraries here):
 they raise ``NotImplementedError`` unless ``fake=True``, in which case
 a deterministic fake decoder (seeded from the payload hash) produces
 arrays of the declared shape. Everything around the decode — schema
@@ -54,6 +58,18 @@ def synth_media_batch(batch: pa.Table, *, kind: str = "image") -> pa.Table:
 
             rgb = rs.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
             payloads.append(encode_jpeg_baseline(rgb, quality=90))
+        elif kind == "wav":
+            from .wav import encode_wav
+
+            t = np.arange(4000) / 16_000.0
+            sig = 0.5 * np.sin(2 * np.pi * (200 + int(i) % 200) * t)
+            payloads.append(encode_wav(sig, 16_000))
+        elif kind == "avi":
+            from .avi import encode_avi_mjpeg
+
+            frames = [rs.randint(0, 256, size=(24, 32)).astype(np.uint8)
+                      for _ in range(8)]
+            payloads.append(encode_avi_mjpeg(frames, quality=95))
         else:
             payloads.append(rs.bytes(256))
     return pa.table({
@@ -144,10 +160,17 @@ class AudioFrameSampler:
         self.payload_col = payload_col
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            # REAL decode path (stdlib RIFF/PCM codec) — mono-mix
+            from .wav import decode_wav
+
+            samples, _rate = decode_wav(payload)
+            return samples.mean(axis=1)
         if not self.fake:
             raise NotImplementedError(
-                "real audio decode requires soundfile/ffmpeg; "
-                "run with fake=True for the deterministic stub")
+                "compressed audio decode requires soundfile/ffmpeg; WAV "
+                "payloads decode for real, or run with fake=True for "
+                "the deterministic stub")
         return (_fake_decode(payload, (4000,)).astype(np.float64) - 128) / 128
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -192,10 +215,19 @@ class VideoFrameSampler:
         self.payload_col = payload_col
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            # REAL decode path (stdlib AVI/MJPEG container + baseline
+            # JPEG frames) — grayscale (T, H, W) in [0, 1]
+            from ..raster.image import png_to_gray
+            from .avi import decode_avi_mjpeg
+
+            frames = [png_to_gray(f) for f in decode_avi_mjpeg(payload)]
+            return np.stack(frames).astype(np.float64) / 255.0
         if not self.fake:
             raise NotImplementedError(
-                "real video decode requires ffmpeg/PyAV; "
-                "run with fake=True for the deterministic stub")
+                "inter-frame video decode requires ffmpeg/PyAV; "
+                "AVI/MJPEG payloads decode for real, or run with "
+                "fake=True for the deterministic stub")
         h, w = self.frame_shape
         return _fake_decode(payload, (self.n_frames, h, w)).astype(
             np.float64) / 255.0
