@@ -576,6 +576,17 @@ def _populate() -> None:
       "engine extension (round 4): AVI/MJPEG container decoder (RIFF "
       "walk + per-frame baseline JPEG); the real path behind "
       "VideoFrameFeatures")
+    from .sources import dbstore as DBS
+
+    E("DBStoreRead", "source", DBS.read_db_table,
+      "GT/storage/DataStoreFactory.java:113-134 (JDBC DataStore "
+      "analogue on DuckDB — no DB server/network in this container): "
+      "parallel range reads via read-only connections, column/"
+      "predicate pushdown")
+    E("DBStoreWrite", "sink", DBS.write_db_table,
+      "GT/storage/FeatureInserter (buffered tx writer): streamed "
+      "iter_batches through the single-writer connection, one "
+      "all-or-nothing transaction")
 
     # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/
     # PolarGrids — round-3 closure of the "8 presentational absences")
