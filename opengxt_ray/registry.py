@@ -587,6 +587,15 @@ def _populate() -> None:
       "GT/storage/FeatureInserter (buffered tx writer): streamed "
       "iter_batches through the single-writer connection, one "
       "all-or-nothing transaction")
+    from .sources import dxf as DXF
+
+    E("DXFStoreRead", "source", DXF.read_dxf,
+      "GT/storage DXF DataStore (GeoTools dxf plugin): R12 group-code "
+      "reader — POINT/LINE/POLYLINE/LWPOLYLINE to WKB; "
+      "blocks/arcs/text out of scope (documented)")
+    E("DXFStoreWrite", "sink", DXF.write_dxf,
+      "GT/storage DXF DataStore: R12 writer (points, polylines, "
+      "closed rings; polygon holes as separate closed polylines)")
 
     # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/
     # PolarGrids — round-3 closure of the "8 presentational absences")
