@@ -145,8 +145,15 @@ def central_feature(ds, *, id_col, xcol="lon", ycol="lat",
 
     def _dist(batch: pa.Table) -> pa.Table:
         d = np.hypot(batch[xcol].to_numpy() - cx, batch[ycol].to_numpy() - cy)
-        return pa.table({id_col: batch[id_col], "x": batch[xcol],
-                         "y": batch[ycol], "d": pa.array(d)})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # per-batch partial top-k (deterministic (d, id) order): the
+        # global sort then moves only k rows per block instead of the
+        # whole dataset through an all-to-all (round-4 scale audit)
+        k = min(candidates, len(d))
+        keep = np.lexsort((ids, d))[:k]
+        t = batch.take(pa.array(keep))
+        return pa.table({id_col: t[id_col], "x": t[xcol], "y": t[ycol],
+                         "d": pa.array(d[keep])})
 
     near = (ds.map_batches(_dist, batch_format="pyarrow")
             .sort("d").limit(candidates).to_pandas())

@@ -387,9 +387,27 @@ def union_polygon(ds, *, geom_col: str = "geom", fid_col: str | None = None,
     slim = ds.map_batches(_slim, batch_format="pyarrow").materialize()
 
     if grid_size is None:
-        # bounded gather: bbox dims of ≤4096 rows pick a cell size such
-        # that a typical bbox covers ≤ 2×2 cells
-        samp = slim.limit(4096).to_pandas()
+        # bounded gather: bbox dims of ~4096 rows pick a cell size such
+        # that a typical bbox covers ≤ 2×2 cells. The sample is a
+        # multiplicative-hash subset (uniform even over source-sorted
+        # layers — a limit() here would size the grid from one region's
+        # features; round-4 scale audit), falling back to the whole
+        # table when it is small.
+        n_slim = slim.count()
+        if n_slim > 4096:
+            from .sample import sample_mask
+
+            rate_bp = max(1, min(10_000, -(-4096 * 10_000 // n_slim)))
+
+            def _samp(b: pa.Table) -> pa.Table:
+                keys = b["fid"].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(sample_mask(
+                    keys.astype(np.uint64), rate_bp)))
+
+            samp = slim.map_batches(_samp,
+                                    batch_format="pyarrow").to_pandas()
+        else:
+            samp = slim.to_pandas()
         if len(samp):
             dims = np.maximum(samp["maxx"] - samp["minx"],
                               samp["maxy"] - samp["miny"]).to_numpy()

@@ -191,3 +191,29 @@ def test_kmeans_matches_serial_lloyd():
     for g in range(3):
         seg = labels[g * 80:(g + 1) * 80]
         assert (seg == np.bincount(seg, minlength=3).argmax()).mean() > 0.95
+
+
+def test_central_feature_matches_bruteforce():
+    """central_feature (candidate pool near mean center + exact
+    scoring) must find the true pairwise-distance minimizer on a
+    clustered cloud; the round-4 per-batch partial top-k must not
+    change the answer across block layouts."""
+    import pyarrow as pa
+
+    from opengxt_ray.ops.distribution import central_feature
+
+    rs = np.random.RandomState(17)
+    x = np.concatenate([rs.normal(0, 1, 300), rs.normal(6, 0.5, 100)])
+    y = np.concatenate([rs.normal(0, 1, 300), rs.normal(-2, 0.5, 100)])
+    ids = np.arange(400)
+    d = np.hypot(x[:, None] - x[None, :], y[:, None] - y[None, :])
+    truth = int(ids[np.argmin(d.sum(axis=1))])
+    t = pa.table({"fid": pa.array(ids), "lon": pa.array(x),
+                  "lat": pa.array(y)})
+    for nblocks in (1, 7):
+        blocks = [t.slice(i, (len(ids) + nblocks - 1) // nblocks)
+                  for i in range(0, len(ids),
+                                 (len(ids) + nblocks - 1) // nblocks)]
+        ds = ray.data.from_arrow(blocks)
+        got = central_feature(ds, id_col="fid")
+        assert int(got["id"] if "id" in got else got["fid"]) == truth
