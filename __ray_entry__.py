@@ -642,6 +642,37 @@ def _q_cell_assignment(sf_dir: str):
     return pts.map_batches(_cells, batch_format="pyarrow")
 
 
+def _q_url_parse(sf_dir: str):
+    """Round-4 webtext URL parsing (host/domain/path-depth/query flag,
+    vectorized RE2 kernels) over deterministically synthesized page
+    URLs — the SQL oracle re-parses the same strings with DuckDB's
+    RE2 regexp functions."""
+    import ray
+
+    from opengxt_ray.textops.urlops import parse_urls
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+
+    def _mk(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy()
+        urls = [f"https://host{int(x) % 97}.example.com/p/{int(x)}"
+                + ("?q=1" if int(x) % 3 == 0 else "")
+                + ("/" if int(x) % 5 == 0 and int(x) % 3 != 0 else "")
+                for x in k]
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "url": pa.array(urls, pa.string())})
+
+    out = parse_urls(ds.map_batches(_mk, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b["c_custkey"],
+            "host": b["host"], "domain": b["domain"],
+            "path_depth": b["path_depth"],
+            "has_query": b["has_query"].cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def _q_hot_cells(sf_dir: str):
     """Round-4 skew pre-pass gate: per-cell counts filtered to HOT
     cells inside the Dataset (the driver materializes only rows above
@@ -1439,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_fixed": _q_idw_fixed,
         "table_sample": _q_table_sample,
         "hot_cells": _q_hot_cells,
+        "url_parse": _q_url_parse,
     }
 
 
@@ -1918,6 +1950,44 @@ def oracle_sql() -> dict[str, str]:
                                     THEN -r0 - s0 ELSE q0 END) - s0
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
+        """,
+        "url_parse": r"""
+            WITH u AS (
+                SELECT c_custkey,
+                       'https://host' || (c_custkey % 97)
+                       || '.example.com/p/' || c_custkey
+                       || CASE WHEN c_custkey % 3 = 0
+                               THEN '?q=1' ELSE '' END
+                       || CASE WHEN c_custkey % 5 = 0
+                                AND c_custkey % 3 <> 0
+                               THEN '/' ELSE '' END AS url
+                FROM customer
+            ),
+            parsed AS (
+                SELECT c_custkey, url,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+                           '[/?#].*$', ''), ':[0-9]+$', '') AS host,
+                       regexp_replace(regexp_replace(
+                           regexp_replace(lower(url),
+                                          '^[a-z][a-z0-9+.-]*://', ''),
+                           '^[^/?#]*', ''), '[?#].*$', '') AS path_only
+                FROM u
+            ),
+            seg AS (
+                SELECT c_custkey, url, host,
+                       regexp_replace(regexp_replace(path_only,
+                                      '/+$', ''), '^/+', '') AS s
+                FROM parsed
+            )
+            SELECT c_custkey, host,
+                   regexp_replace(host, '^.*\.([^.]+\.[^.]+)$',
+                                  '\1') AS domain,
+                   CASE WHEN length(s) = 0 THEN 0
+                        ELSE length(s) - length(replace(s, '/', '')) + 1
+                   END AS path_depth,
+                   CAST(url LIKE '%?%' AS BIGINT) AS has_query
+            FROM seg
         """,
         "hot_cells": f"""
             WITH frac AS (

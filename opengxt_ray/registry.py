@@ -596,6 +596,16 @@ def _populate() -> None:
     E("DXFStoreWrite", "sink", DXF.write_dxf,
       "GT/storage DXF DataStore: R12 writer (points, polylines, "
       "closed rings; polygon holes as separate closed polylines)")
+    from .textops import urlops as URL
+
+    E("UrlParse", "trainingdata", URL.parse_urls,
+      "engine extension (round 4, input_hint url column): vectorized "
+      "RE2 host/domain/path-depth/query parse; SQL-oracled gate "
+      "url_parse")
+    E("UrlNormalize", "trainingdata", URL.normalize_urls,
+      "engine extension (round 4): canonical URL for exact dedup — "
+      "lowercase scheme+host, default ports/fragments dropped, "
+      "trailing slash trimmed")
 
     # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/
     # PolarGrids — round-3 closure of the "8 presentational absences")

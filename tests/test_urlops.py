@@ -1,0 +1,39 @@
+"""URL operators (textops/urlops.py): parse + normalize edge cases."""
+
+import pyarrow as pa
+
+from opengxt_ray.textops.urlops import normalize_url_batch, parse_url_batch
+
+
+def test_parse_edges():
+    t = pa.table({"url": pa.array([
+        "https://Host3.Example.com/p/42?q=1",
+        "http://user:pw@sub.a.b.co:8080/x/y/z/#frag",
+        "https://example.org/",
+        "https://example.org",
+        "HTTP://WWW.FOO.COM:80/A/B/?x=2#y",
+    ])})
+    p = parse_url_batch(t)
+    assert p["host"].to_pylist() == [
+        "host3.example.com", "sub.a.b.co", "example.org", "example.org",
+        "www.foo.com"]
+    assert p["domain"].to_pylist() == [
+        "example.com", "b.co", "example.org", "example.org", "foo.com"]
+    assert p["path_depth"].to_pylist() == [2, 3, 0, 0, 2]
+    assert p["has_query"].to_pylist() == [True, False, False, False, True]
+
+
+def test_normalize():
+    t = pa.table({"url": pa.array([
+        "HTTPS://Example.COM:443/a/b/?q=1#frag",
+        "http://example.com:80/",
+        "https://example.com/path/",
+        "https://example.com/path",
+    ])})
+    n = normalize_url_batch(t)["norm_url"].to_pylist()
+    assert n == [
+        "https://example.com/a/b?q=1",
+        "http://example.com/",
+        "https://example.com/path",
+        "https://example.com/path",
+    ]
