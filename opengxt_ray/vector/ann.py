@@ -92,7 +92,22 @@ def brute_topk(ds, query_ids, query_matrix, *, k=10, vec_col="embedding",
             "score": pa.array(s[order]),
         })
 
-    return partials.groupby("query_id").map_groups(_final, batch_format="pyarrow")
+    return _final_by_query(partials, _final, len(query_ids))
+
+
+def _final_by_query(partials, final_fn, nq: int):
+    """groupby(query_id) finalizer with the key space BOUNDED by the
+    query count: coalesce the (tiny, k-rows-per-block) partials to
+    <= nq blocks first — the shuffle emits one reduce partition per
+    input block, and surplus partitions over distinct keys are
+    schema-less empties (multi_windrose lore). nq stays small at ANY
+    corpus scale, so this is not a small-data-only tune."""
+    from ..core.util import default_shuffle_partitions
+
+    partials = partials.repartition(
+        max(1, min(default_shuffle_partitions(), nq)))
+    return partials.groupby("query_id").map_groups(final_fn,
+                                                   batch_format="pyarrow")
 
 
 def _sample_keys(arr) -> np.ndarray:
@@ -266,4 +281,4 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, nlist=64, nprobe=8,
             "score": pa.array(s[order]),
         })
 
-    return partials.groupby("query_id").map_groups(_final, batch_format="pyarrow")
+    return _final_by_query(partials, _final, len(query_ids))
