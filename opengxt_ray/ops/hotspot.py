@@ -806,6 +806,8 @@ def _rogerson_prep(ds, case_col, pop_col, id_col, xcol, ycol):
             xcol: batch[xcol], ycol: batch[ycol],
             "__v1": pa.array(v1),
             "__sqrtp": pa.array(np.sqrt(pp)),
+            "__t1v": pa.array((1.0 - pp) * np.sqrt(pp)),
+            "__invsq": pa.array(1.0 / np.sqrt(pp)),
             "__ripi": pa.array(r - pp),
             "__pi": pa.array(pp),
         })
@@ -861,9 +863,19 @@ def global_rogerson_r(ds, case_col: str, pop_col: str, *, id_col: str,
     """Global Rogerson's R (GlobalRogersonROperation.java:66-142):
     R = GOF + SA; GOF = Σ(rᵢ−pᵢ)²/pᵢ,
     SA = Σᵢ ((rᵢ−pᵢ)/√pᵢ)·Σⱼ≠ᵢ aᵢⱼ(rⱼ−pⱼ)/√pⱼ;
-    E = (m−1−2Σᵢ>ⱼaᵢⱼ√(pᵢpⱼ))/ΣX. The reference's variance term is an
-    O(n³) nested loop marked "TODO Verify" there — omitted here
-    (variance=0, documented)."""
+    E = (m−1−2Σᵢ>ⱼaᵢⱼ√(pᵢpⱼ))/ΣX.
+
+    VARIANCE (round 4): the reference computes it with an O(n³)
+    nested loop marked "TODO Verify" (GlobalRogersonROperation.java:
+    114-131 + sumKJ). Its math reduces in closed form — with
+    S_j = Σ_{k≠j} a_jk √p_k, Y1_i = Σ_{j≠i}(1−p_j)a_ij√p_j,
+    U1_i = Σ_{j≠i} a_ij/√p_j, P = Σ_j p_j S_j, G = Σ_j 1/√p_j:
+        yij_i = (Y1_i − (P − p_i S_i)) / √p_i
+        yji_i = (1−p_i)√p_i·U1_i − p_i S_i (G − 1/√p_i)
+        Var = 2/ΣX² · Σ_i yij_i·yji_i
+    — i.e. two neighbor-sum halo passes + two scalar aggregates,
+    O(n·k) distributed instead of O(n³). Equality with the reference's
+    literal loop is pytest-verified (tests/test_rogerson.py)."""
     import ray
 
     prep, sum_x, _ = _rogerson_prep(ds, case_col, pop_col, id_col, xcol, ycol)
@@ -872,30 +884,62 @@ def global_rogerson_r(ds, case_col: str, pop_col: str, *, id_col: str,
     sums = neighbor_sums(prep, "__v1", id_col=id_col, band=band,
                          concept=concept, self_neighbors=False,
                          xcol=xcol, ycol=ycol, value_col2="__sqrtp")
+    sums2 = neighbor_sums(prep, "__t1v", id_col=id_col, band=band,
+                          concept=concept, self_neighbors=False,
+                          xcol=xcol, ycol=ycol, value_col2="__invsq")
+    sums2 = sums2.map_batches(
+        lambda b: pa.table({"id": b["id"], "__y1": b["local_sum"],
+                            "__u1": b["local_sumy"]}),
+        batch_format="pyarrow")
     own = prep.map_batches(
         lambda b: pa.table({"id": b[id_col], "__ripi0": b["__ripi"],
                             "__pi0": b["__pi"], "__sqrtp0": b["__sqrtp"]}),
         batch_format="pyarrow")
-    joined = sums.join(own, join_type="inner", num_partitions=default_join_partitions(), on=("id",))
+    # materialize between the two joins — two join operators in one
+    # streaming DAG deadlock small CPU sessions (repo lore)
+    joined = sums.join(own, join_type="inner",
+                       num_partitions=default_join_partitions(),
+                       on=("id",)).materialize()
+    joined = joined.join(sums2, join_type="inner",
+                         num_partitions=default_join_partitions(),
+                         on=("id",)).materialize()
 
     def _partial(batch: pa.Table) -> pa.Table:
         ls = batch["local_sum"].to_numpy()      # Σⱼ≠ᵢ aij (rj−pj)/√pj
-        lsy = batch["local_sumy"].to_numpy()    # Σⱼ≠ᵢ aij √pj
+        lsy = batch["local_sumy"].to_numpy()    # Σⱼ≠ᵢ aij √pj  (= S_i)
         ripi = batch["__ripi0"].to_numpy()
         pi = batch["__pi0"].to_numpy()
         sqrtp = batch["__sqrtp0"].to_numpy()
         gof = float(np.sum(ripi * ripi / pi))
         sa = float(np.sum((ripi / sqrtp) * ls))
         aijsum2 = float(np.sum(sqrtp * lsy))    # Σᵢ≠ⱼ aij √(pi pj) = 2Σᵢ>ⱼ
-        return pa.table({"gof": [gof], "sa": [sa], "aij2": [aijsum2]})
+        return pa.table({"gof": [gof], "sa": [sa], "aij2": [aijsum2],
+                         "ps": [float(np.sum(pi * lsy))],      # Σ p_j S_j
+                         "g": [float(np.sum(1.0 / sqrtp))]})   # Σ 1/√p_j
 
     agg = joined.map_batches(_partial, batch_format="pyarrow").aggregate(
-        *[ray.data.aggregate.Sum(c) for c in ("gof", "sa", "aij2")])
+        *[ray.data.aggregate.Sum(c)
+          for c in ("gof", "sa", "aij2", "ps", "g")])
     observed = agg["sum(gof)"] + agg["sum(sa)"]
     expected = (m - 1.0 - agg["sum(aij2)"]) / sum_x
+    P, G = agg["sum(ps)"], agg["sum(g)"]
+
+    def _var_partial(batch: pa.Table) -> pa.Table:
+        s_i = batch["local_sumy"].to_numpy()
+        pi = batch["__pi0"].to_numpy()
+        sqrtp = batch["__sqrtp0"].to_numpy()
+        y1 = batch["__y1"].to_numpy()
+        u1 = batch["__u1"].to_numpy()
+        yij = (y1 - (P - pi * s_i)) / sqrtp
+        yji = (1.0 - pi) * sqrtp * u1 - pi * s_i * (G - 1.0 / sqrtp)
+        return pa.table({"yy": [float(np.sum(yij * yji))]})
+
+    vagg = joined.map_batches(_var_partial, batch_format="pyarrow") \
+        .aggregate(ray.data.aggregate.Sum("yy"))
+    variance = (2.0 / sum_x ** 2) * vagg["sum(yy)"]
     return {"observed": float(observed), "expected": float(expected),
             "gof": float(agg["sum(gof)"]), "sa": float(agg["sum(sa)"]),
-            "variance": 0.0}
+            "variance": float(variance)}
 
 
 # ---------------------------------------------------------------------------

@@ -64,3 +64,35 @@ def test_global_rogerson(casepop):
     assert res["sa"] == pytest.approx(sa, rel=1e-9)
     assert res["observed"] == pytest.approx(gof + sa, rel=1e-9)
     assert res["expected"] == pytest.approx(expected, rel=1e-9)
+
+
+def test_global_rogerson_variance_matches_reference_loop(casepop):
+    """Round 4: the variance term. Oracle = the reference's LITERAL
+    O(n³) loop (GlobalRogersonROperation.java:95-131 + sumKJ),
+    transcribed with explicit per-pair sums — our closed-form
+    two-pass reduction must reproduce it exactly."""
+    ds, (x, y, cases, pop) = casepop
+    res = hotspot.global_rogerson_r(ds, "cases", "pop", id_col="pid",
+                                    band=None)
+    p = pop / pop.sum()
+    a = _aij(x, y)
+    np.fill_diagonal(a, 0.0)
+    n = len(p)
+    sqrtp = np.sqrt(p)
+    # sumKJ(source=s, pi) = sum_{k != s} a_sk * sqrt(p_k / pi)
+    S = a @ sqrtp  # S_s = sum_{k != s} a_sk sqrt(p_k)  (diag already 0)
+    yijyji = 0.0
+    for i in range(n):
+        yij = 0.0
+        yji = 0.0
+        for j in range(n):
+            if j == i:
+                continue
+            yij += ((1.0 - p[j]) * a[i, j] * np.sqrt(p[j] / p[i])
+                    - p[j] * (S[j] / sqrtp[i]))
+            yji += ((1.0 - p[i]) * a[i, j] * np.sqrt(p[i] / p[j])
+                    - p[i] * (S[i] / sqrtp[j]))
+        yijyji += yij * yji
+    z_var = (2.0 / cases.sum() ** 2) * yijyji
+    assert res["variance"] == pytest.approx(z_var, rel=1e-9)
+    assert res["variance"] != 0.0
