@@ -642,6 +642,19 @@ def _q_cell_assignment(sf_dir: str):
     return pts.map_batches(_cells, batch_format="pyarrow")
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition signals (unique-word fraction, top
+    adjacent-bigram share) — round-4 training-data quality op,
+    hash-exact vs a string_split/lead SQL oracle."""
+    import ray
+
+    from opengxt_ray.textops.quality import repetition_signals
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return repetition_signals(ds)
+
+
 def _q_url_parse(sf_dir: str):
     """Round-4 webtext URL parsing (host/domain/path-depth/query flag,
     vectorized RE2 kernels) over deterministically synthesized page
@@ -1471,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_sample": _q_table_sample,
         "hot_cells": _q_hot_cells,
         "url_parse": _q_url_parse,
+        "gopher_repetition": _q_gopher_repetition,
     }
 
 
@@ -1950,6 +1964,38 @@ def oracle_sql() -> dict[str, str]:
                                     THEN -r0 - s0 ELSE q0 END) - s0
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
+        """,
+        "gopher_repetition": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS i
+                FROM documents
+            ),
+            big AS (
+                SELECT doc_id, w,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY i)
+                           AS nw
+                FROM w
+            ),
+            bc AS (
+                SELECT doc_id, count(*) AS c FROM big
+                WHERE nw IS NOT NULL GROUP BY doc_id, w, nw
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_words,
+                       count(DISTINCT w) AS uniq
+                FROM w GROUP BY doc_id
+            )
+            SELECT a.doc_id, a.n_words,
+                   round(a.uniq / CAST(a.n_words AS DOUBLE), 6)
+                       AS uniq_frac6,
+                   round(COALESCE(m.mc, 0)
+                         / CAST(CASE WHEN a.n_words > 1
+                                THEN a.n_words - 1 ELSE 1 END AS DOUBLE),
+                         6) AS top_bigram_frac6
+            FROM agg a LEFT JOIN (SELECT doc_id, max(c) AS mc FROM bc
+                                  GROUP BY doc_id) m USING (doc_id)
         """,
         "url_parse": r"""
             WITH u AS (

@@ -606,6 +606,11 @@ def _populate() -> None:
       "engine extension (round 4): canonical URL for exact dedup — "
       "lowercase scheme+host, default ports/fragments dropped, "
       "trailing slash trimmed")
+    E("RepetitionSignals", "trainingdata", TQ.repetition_signals,
+      "engine extension (round 4): Gopher/MassiveText repetition "
+      "quality rules (Rae et al. 2021, public) — unique-word "
+      "fraction + top adjacent-bigram share; SQL-oracled gate "
+      "gopher_repetition")
 
     # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/
     # PolarGrids — round-3 closure of the "8 presentational absences")

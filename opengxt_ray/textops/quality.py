@@ -234,3 +234,55 @@ def ngram_jaccard_pairs(ds, pairs_ds, *, text_col="text", id_col="doc_id",
                          "jaccard": pa.array(sims, pa.float64())})
 
     return b_join.map_batches(_jac, batch_format="pyarrow")
+
+
+def repetition_signals_batch(batch: pa.Table, *, text_col: str = "text",
+                             id_col: str = "doc_id") -> pa.Table:
+    """Gopher/MassiveText-style repetition quality signals per doc
+    (Rae et al. 2021, public rules — engine extension; the reference
+    has no web-text surface):
+
+    - ``n_words``       — single-space token count (matches SQL
+      ``string_split(text, ' ')`` exactly, so the op is oracle-able);
+    - ``uniq_frac6``    — distinct words / words (low = repetitive);
+    - ``top_bigram_frac6`` — most frequent adjacent word pair's share
+      of the n−1 bigram slots (high = boilerplate loops).
+
+    Rounded to 6 dp with the engine's SQL-compatible half-away mode.
+    Tokenization is per-doc Python (as in the MinHash shingler); the
+    counting inside is numpy unique over the batch's word stream.
+    """
+    from ..core.fid import hash_strings
+    from ..core.ssutils import format_round
+
+    texts = batch[text_col].to_pylist()
+    n_words = np.empty(len(texts), np.int64)
+    uniq_frac = np.empty(len(texts), np.float64)
+    top_bigram = np.empty(len(texts), np.float64)
+    for i, t in enumerate(texts):
+        ws = (t or "").split(" ")
+        n = len(ws)
+        n_words[i] = n
+        h = hash_strings(ws)
+        uniq_frac[i] = len(np.unique(h)) / n if n else 0.0
+        if n >= 2:
+            with np.errstate(over="ignore"):
+                bg = h[:-1] * np.uint64(0x9E3779B97F4A7C15) + h[1:]
+            _, counts = np.unique(bg, return_counts=True)
+            top_bigram[i] = int(counts.max()) / (n - 1)
+        else:
+            top_bigram[i] = 0.0
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words),
+        "uniq_frac6": pa.array(format_round(uniq_frac, 6)),
+        "top_bigram_frac6": pa.array(format_round(top_bigram, 6)),
+    })
+
+
+def repetition_signals(ds, *, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: repetition_signals_batch(b, text_col=text_col,
+                                           id_col=id_col),
+        batch_format="pyarrow")

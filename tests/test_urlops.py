@@ -37,3 +37,22 @@ def test_normalize():
         "https://example.com/path",
         "https://example.com/path",
     ]
+
+
+def test_repetition_signals_known_values():
+    import numpy as np
+
+    from opengxt_ray.textops.quality import repetition_signals_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4]), "text": pa.array([
+        "a b a b a b",          # bigram "a b" x3 of 5 slots
+        "x y z w",              # all unique
+        "q",                    # single word
+        "r r r r",              # one word repeated
+    ])})
+    out = repetition_signals_batch(t).to_pandas()
+    assert out["n_words"].tolist() == [6, 4, 1, 4]
+    np.testing.assert_allclose(out["uniq_frac6"],
+                               [2 / 6, 1.0, 1.0, 0.25], atol=1e-6)
+    np.testing.assert_allclose(out["top_bigram_frac6"],
+                               [3 / 5, 1 / 3, 0.0, 1.0], atol=1e-6)
