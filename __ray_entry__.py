@@ -642,6 +642,25 @@ def _q_cell_assignment(sf_dir: str):
     return pts.map_batches(_cells, batch_format="pyarrow")
 
 
+def _q_duplicate_windows(sf_dir: str):
+    """Exact cross-document duplicate spans (20-word windows, Lee et
+    al. 2022 windowed formulation): per-doc duplicated-window counts,
+    hash-exact vs a string_split window self-join oracle."""
+    import ray
+    import ray.data.aggregate as A
+
+    from opengxt_ray.textops.dedup import duplicate_window_hits
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    hits = duplicate_window_hits(ds, window=20)
+    out = hits.groupby("doc_id").aggregate(A.Count())
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "n_dup_win": b["count()"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_gopher_repetition(sf_dir: str):
     """Gopher-style repetition signals (unique-word fraction, top
     adjacent-bigram share) — round-4 training-data quality op,
@@ -1485,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_cells": _q_hot_cells,
         "url_parse": _q_url_parse,
         "gopher_repetition": _q_gopher_repetition,
+        "duplicate_windows": _q_duplicate_windows,
     }
 
 
@@ -1964,6 +1984,24 @@ def oracle_sql() -> dict[str, str]:
                                     THEN -r0 - s0 ELSE q0 END) - s0
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
+        """,
+        "duplicate_windows": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, i, array_to_string(ws[i:i+19], ' ') AS win
+                FROM words, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws) - 19)) AS i)
+            ),
+            dup AS (
+                SELECT win FROM wins
+                GROUP BY win HAVING count(DISTINCT doc_id) > 1
+            )
+            SELECT doc_id, count(*) AS n_dup_win
+            FROM wins WHERE win IN (SELECT win FROM dup)
+            GROUP BY doc_id
         """,
         "gopher_repetition": """
             WITH w AS (

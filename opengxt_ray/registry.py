@@ -606,6 +606,12 @@ def _populate() -> None:
       "engine extension (round 4): canonical URL for exact dedup — "
       "lowercase scheme+host, default ports/fragments dropped, "
       "trailing slash trimmed")
+    E("DuplicateWindows", "trainingdata", TD.duplicate_window_hits,
+      "engine extension (round 4): exact cross-document duplicate "
+      "spans, windowed formulation of Lee et al. 2022 suffix-array "
+      "dedup (public) — slim (hash, doc, pos) shuffle, bucketized "
+      "vectorized distinct-doc counting; SQL-oracled gate "
+      "duplicate_windows")
     E("RepetitionSignals", "trainingdata", TQ.repetition_signals,
       "engine extension (round 4): Gopher/MassiveText repetition "
       "quality rules (Rae et al. 2021, public) — unique-word "

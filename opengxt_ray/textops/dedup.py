@@ -858,3 +858,81 @@ def embedding_neardup(ds, *, vec_col="embedding", id_col="vec_id",
                          "cos": pa.array(sim[iu, ju][m])})
 
     return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicate window) detection
+# ---------------------------------------------------------------------------
+
+def duplicate_window_hits(ds, *, window: int = 20, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          num_partitions: int | None = None):
+    """Exact cross-document duplicate spans, windowed formulation (the
+    practical variant of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — public; the suffix-array exact
+    method reduces to fixed-width window matches for dedup decisions):
+    every ``window``-word span is hashed; spans whose hash occurs in
+    MORE THAN ONE distinct document are duplicates. Returns a Dataset
+    (doc_id, pos) with one row per duplicated window occurrence
+    (pos = 1-based word offset, matching SQL list slicing).
+
+    Scale shape: only (hash, doc, pos) triples shuffle (never text);
+    per-hash groups are tiny (duplicate multiplicity), so the groupby
+    co-shuffle is clean at corpus scale.
+    """
+    num_partitions = num_partitions or default_shuffle_partitions()
+
+    def _wins(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_h: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for i, t in enumerate(texts):
+            ws = (t or "").split(" ")
+            n = len(ws) - window + 1
+            if n <= 0:
+                continue
+            spans = [" ".join(ws[j:j + window]) for j in range(n)]
+            out_h.append(hash_strings(spans))
+            out_d.append(np.full(n, ids[i]))
+            out_p.append(np.arange(1, n + 1, dtype=np.int64))
+        if not out_h:
+            return pa.table({"whash": pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({
+            "whash": pa.array(np.concatenate(out_h), pa.uint64()),
+            id_col: pa.array(np.concatenate(out_d), pa.int64()),
+            "pos": pa.array(np.concatenate(out_p), pa.int64()),
+        })
+
+    wins = ds.map_batches(_wins, batch_format="pyarrow")
+
+    def _dups(group: pa.Table) -> pa.Table:
+        # bucketized: group holds MANY hashes — vectorized per-hash
+        # distinct-doc counting via lexsort/reduceat, no per-hash Python
+        h = group["whash"].to_numpy(zero_copy_only=False)
+        d = group[id_col].to_numpy(zero_copy_only=False)
+        p = group["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d, p = h[order], d[order], p[order]
+        new_h = np.concatenate([[True], h[1:] != h[:-1]])
+        seg = np.cumsum(new_h) - 1
+        new_doc = new_h | np.concatenate([[True], d[1:] != d[:-1]])
+        ndocs = np.bincount(seg[new_doc])
+        keep = ndocs[seg] > 1
+        return pa.table({id_col: pa.array(d[keep], pa.int64()),
+                         "pos": pa.array(p[keep], pa.int64())})
+
+    def _bkt(b: pa.Table) -> pa.Table:
+        h = b["whash"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            m = h * np.uint64(0x9E3779B97F4A7C15)
+        return b.append_column("bkt", pa.array(
+            (m >> np.uint64(40)).astype(np.int64)
+            % np.int64(num_partitions * 8)))
+
+    return wins.map_batches(_bkt, batch_format="pyarrow").groupby(
+        "bkt", num_partitions=num_partitions).map_groups(
+        _dups, batch_format="pyarrow")
