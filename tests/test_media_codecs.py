@@ -115,3 +115,21 @@ def test_video_frames_real_avi_path():
     got = np.asarray(out.loc[(out.media_id == 2) & (out.frame == 4),
                              "features"].iloc[0])
     np.testing.assert_allclose(got, cells.reshape(-1), rtol=1e-12)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(1, 3000), ch=st.integers(1, 3),
+           rate=st.sampled_from([8000, 16000, 44100]),
+           seed=st.integers(0, 2 ** 31 - 1))
+    def test_wav_pcm16_roundtrip_property(n, ch, rate, seed):
+        rs = np.random.RandomState(seed)
+        sig = rs.uniform(-0.999, 0.999, size=(n, ch))
+        out, r = decode_wav(encode_wav(sig, rate))
+        assert r == rate and out.shape == (n, ch)
+        assert np.abs(out - sig).max() < 1.0 / 32768 + 1e-9
+except ImportError:  # pragma: no cover
+    pass

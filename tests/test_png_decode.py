@@ -159,3 +159,28 @@ def test_non_png_fake_false_raises():
     ex = ImageFeatureExtractor(fake=False)
     with pytest.raises(NotImplementedError):
         ex._decode(b"GIF87a not-a-png-or-jpeg", 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        ctype=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2 ** 31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    )
+    def test_png_decode_roundtrip_property(h, w, ctype, seed, filters):
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        rs = np.random.RandomState(seed)
+        px = rs.randint(0, 256, size=(h, w * channels)).astype(np.uint8)
+        img = decode_png_any(_make_png(px, ctype, filters))
+        assert (img.reshape(h, w * channels) == px).all()
+except ImportError:  # pragma: no cover
+    pass
