@@ -104,8 +104,11 @@ def _final_by_query(partials, final_fn, nq: int):
     corpus scale, so this is not a small-data-only tune."""
     from ..core.util import default_shuffle_partitions
 
+    # ≥8 distinct keys per sort range (multi_windrose rule) — equal
+    # keys and partitions still produces empty ranges when sampled
+    # quantile boundaries duplicate
     partials = partials.repartition(
-        max(1, min(default_shuffle_partitions(), nq)))
+        max(1, min(default_shuffle_partitions(), nq // 8 + 1)))
     return partials.groupby("query_id").map_groups(final_fn,
                                                    batch_format="pyarrow")
 
