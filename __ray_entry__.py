@@ -642,6 +642,36 @@ def _q_cell_assignment(sf_dir: str):
     return pts.map_batches(_cells, batch_format="pyarrow")
 
 
+def _q_html_extract(sf_dir: str):
+    """HTML→text extraction (stdlib parser: tag removal, script/style
+    subtree drop, entity decoding, whitespace collapse) over templated
+    markup built from customer rows — the SQL oracle constructs the
+    expected text directly from the same template variables."""
+    import ray
+
+    from opengxt_ray.textops.htmlops import html_to_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+
+    def _mk(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy()
+        htmls = [(f"<html><body><h1>Customer {int(x)}</h1>"
+                  f"<script>var x = {int(x)};</script>"
+                  f"<p>balance &amp;   status: {int(x) % 100}</p>"
+                  f"</body></html>").encode()
+                 for x in k]
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "html": pa.array(htmls, pa.binary())})
+
+    out = html_to_text(ds.map_batches(_mk, batch_format="pyarrow"),
+                       concurrency=4)
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"],
+                            "text": b["text_extracted"]}),
+        batch_format="pyarrow")
+
+
 def _q_duplicate_windows(sf_dir: str):
     """Exact cross-document duplicate spans (20-word windows, Lee et
     al. 2022 windowed formulation): per-doc duplicated-window counts,
@@ -1505,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse": _q_url_parse,
         "gopher_repetition": _q_gopher_repetition,
         "duplicate_windows": _q_duplicate_windows,
+        "html_extract": _q_html_extract,
     }
 
 
@@ -1984,6 +2015,13 @@ def oracle_sql() -> dict[str, str]:
                                     THEN -r0 - s0 ELSE q0 END) - s0
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
+        """,
+        "html_extract": """
+            SELECT c_custkey,
+                   'Customer ' || c_custkey
+                   || ' balance & status: ' || (c_custkey % 100)
+                       AS text
+            FROM customer
         """,
         "duplicate_windows": """
             WITH words AS (

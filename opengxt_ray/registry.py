@@ -606,6 +606,14 @@ def _populate() -> None:
       "engine extension (round 4): canonical URL for exact dedup — "
       "lowercase scheme+host, default ports/fragments dropped, "
       "trailing slash trimmed")
+    from .textops import htmlops as HTO
+
+    E("HtmlTextExtract", "trainingdata", HTO.html_to_text,
+      "engine extension (round 4, input_hint html column): stdlib "
+      "HTML-to-text extraction (entity decode, script/style subtree "
+      "drop, whitespace collapse) — reproduces the pages text column "
+      "byte-identically (north-rule invariant); SQL-oracled gate "
+      "html_extract")
     E("DuplicateWindows", "trainingdata", TD.duplicate_window_hits,
       "engine extension (round 4): exact cross-document duplicate "
       "spans, windowed formulation of Lee et al. 2022 suffix-array "

@@ -130,3 +130,42 @@ def test_join_deterministic_across_parallelism():
         outs.append(df.sort_values("c_custkey").reset_index(drop=True))
     assert (outs[0]["c_custkey"] == outs[1]["c_custkey"]).all()
     assert (outs[0]["n_nationkey"] == outs[1]["n_nationkey"]).all()
+
+
+def test_html_extraction_reproduces_text_column():
+    """north_rule invariant, closed end-to-end: extracting text from
+    the pages' html column reproduces the text column BYTE-IDENTICALLY
+    for every row."""
+    import pyarrow.compute as pc
+    import ray
+
+    from opengxt_ray.sources import pages
+    from opengxt_ray.textops.htmlops import html_to_text
+
+    ds = pages.pages_dataset(2000, parallelism=4)
+    out = html_to_text(ds, concurrency=2)
+
+    def _check(b):
+        import pyarrow as pa
+
+        eq = pc.equal(b["text"], b["text_extracted"])
+        return pa.table({"ok": pa.array([bool(pc.all(eq).as_py())]),
+                         "n": pa.array([b.num_rows])})
+
+    res = out.map_batches(_check, batch_format="pyarrow").to_pandas()
+    assert res["n"].sum() == 2000
+    assert res["ok"].all()
+
+
+def test_html_extraction_real_markup():
+    from opengxt_ray.textops.htmlops import extract_text
+
+    assert extract_text(
+        "<div><h1>Title</h1><script>var x=1;</script>"
+        "<p>a &amp; b</p></div>") == "Title a & b"
+    assert extract_text(
+        "<style>.x{}</style><p> spaced   out </p>"
+        "<noscript>no</noscript>tail") == "spaced out tail"
+    assert extract_text("<p>&#65;&#x42;c</p>") == "ABc"
+    assert extract_text(b"<html><body><p>bytes in</p></body></html>") \
+        == "bytes in"
