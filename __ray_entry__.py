@@ -642,6 +642,31 @@ def _q_cell_assignment(sf_dir: str):
     return pts.map_batches(_cells, batch_format="pyarrow")
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII redaction (email/IPv4/phone masking, Dolma/ROOTS-style) —
+    RE2 on both sides, so the SQL oracle applies the IDENTICAL pattern
+    strings with regexp_replace(..., 'g')."""
+    import ray
+
+    from opengxt_ray.textops.urlops import redact_pii
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+
+    def _mk(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy()
+        txt = [f"user{int(x)}@mail{int(x) % 7}.example.com pinged "
+               f"10.{int(x) % 256}.0.{(int(x) * 3) % 256} then called "
+               f"+1-55{int(x) % 10} 123 4{int(x) % 10}67 ok"
+               for x in k]
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "text": pa.array(txt, pa.string())})
+
+    out = redact_pii(ds.map_batches(_mk, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: b.select(["c_custkey", "text"]), batch_format="pyarrow")
+
+
 def _q_html_extract(sf_dir: str):
     """HTML→text extraction (stdlib parser: tag removal, script/style
     subtree drop, entity decoding, whitespace collapse) over templated
@@ -1536,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "duplicate_windows": _q_duplicate_windows,
         "html_extract": _q_html_extract,
+        "pii_redact": _q_pii_redact,
     }
 
 
@@ -2015,6 +2041,25 @@ def oracle_sql() -> dict[str, str]:
                                     THEN -r0 - s0 ELSE q0 END) - s0
                         ELSE r0 END AS BIGINT) AS r
             FROM rounded
+        """,
+        "pii_redact": r"""
+            WITH t AS (
+                SELECT c_custkey,
+                       'user' || c_custkey || '@mail' || (c_custkey % 7)
+                       || '.example.com pinged 10.' || (c_custkey % 256)
+                       || '.0.' || ((c_custkey * 3) % 256)
+                       || ' then called +1-55' || (c_custkey % 10)
+                       || ' 123 4' || (c_custkey % 10) || '67 ok' AS text
+                FROM customer
+            )
+            SELECT c_custkey,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}\b',
+                       '<PHONE>', 'g') AS text
+            FROM t
         """,
         "html_extract": """
             SELECT c_custkey,

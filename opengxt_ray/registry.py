@@ -620,6 +620,10 @@ def _populate() -> None:
       "dedup (public) — slim (hash, doc, pos) shuffle, bucketized "
       "vectorized distinct-doc counting; SQL-oracled gate "
       "duplicate_windows")
+    E("PiiRedact", "trainingdata", URL.redact_pii,
+      "engine extension (round 4): Dolma/ROOTS-style PII scrub — "
+      "email/IPv4/phone masking, vectorized RE2 (identical pattern "
+      "semantics to the DuckDB oracle); SQL-oracled gate pii_redact")
     E("RepetitionSignals", "trainingdata", TQ.repetition_signals,
       "engine extension (round 4): Gopher/MassiveText repetition "
       "quality rules (Rae et al. 2021, public) — unique-word "

@@ -78,3 +78,38 @@ def normalize_urls(ds, *, url_col: str = "url", out_col: str = "norm_url"):
     return ds.map_batches(
         lambda b: normalize_url_batch(b, url_col=url_col, out_col=out_col),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (Dolma/ROOTS-style pre-training scrub — public rules)
+# ---------------------------------------------------------------------------
+
+#: pattern → replacement; applied in order. RE2 syntax (pyarrow and
+#: DuckDB both run RE2, so the same pattern strings give identical
+#: matches — the op is SQL-oracle-exact by construction).
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}\b",
+     "<PHONE>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, *, text_col: str = "text",
+                     out_col: str | None = None) -> pa.Table:
+    """Mask emails / IPv4s / phone-shaped numbers with typed tokens —
+    vectorized RE2 kernels, applied in rule order."""
+    out_col = out_col or text_col
+    t = batch[text_col]
+    for pat, repl in PII_RULES:
+        t = pc.replace_substring_regex(t, pat, repl)
+    if out_col in batch.column_names:
+        return batch.set_column(batch.column_names.index(out_col),
+                                out_col, t)
+    return batch.append_column(out_col, t)
+
+
+def redact_pii(ds, *, text_col: str = "text", out_col: str | None = None):
+    return ds.map_batches(
+        lambda b: redact_pii_batch(b, text_col=text_col, out_col=out_col),
+        batch_format="pyarrow")

@@ -56,3 +56,21 @@ def test_repetition_signals_known_values():
                                [2 / 6, 1.0, 1.0, 0.25], atol=1e-6)
     np.testing.assert_allclose(out["top_bigram_frac6"],
                                [3 / 5, 1 / 3, 0.0, 1.0], atol=1e-6)
+
+
+def test_redact_pii_cases():
+    from opengxt_ray.textops.urlops import redact_pii_batch
+
+    t = pa.table({"text": pa.array([
+        "contact me at jo.doe+spam@mail.example.co or 192.168.0.1",
+        "call +1-555 123 4567 today; backup 10.0.0.255 x",
+        "clean text stays",
+        "two mails a@b.io c@d.org and 8.8.8.8 8.8.4.4",
+    ])})
+    out = redact_pii_batch(t)["text"].to_pylist()
+    assert out == [
+        "contact me at <EMAIL> or <IP>",
+        "call <PHONE> today; backup <IP> x",
+        "clean text stays",
+        "two mails <EMAIL> <EMAIL> and <IP> <IP>",
+    ]
