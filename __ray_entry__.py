@@ -689,8 +689,10 @@ def _q_html_extract(sf_dir: str):
         return pa.table({"c_custkey": b["c_custkey"],
                          "html": pa.array(htmls, pa.binary())})
 
-    out = html_to_text(ds.map_batches(_mk, batch_format="pyarrow"),
-                       concurrency=4)
+    # concurrency=None → default_concurrency() = CPUs−2: a pool sized
+    # to ALL session CPUs starves the upstream read tasks and deadlocks
+    # ≤4-CPU sessions (repo actor-pool-budget lore)
+    out = html_to_text(ds.map_batches(_mk, batch_format="pyarrow"))
     return out.map_batches(
         lambda b: pa.table({"c_custkey": b["c_custkey"],
                             "text": b["text_extracted"]}),
