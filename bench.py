@@ -319,6 +319,16 @@ def bench_raster_vectorize(sf_dir):
     return raster_to_polygon(tiles, meta).count()
 
 
+def bench_html_extract(sf_dir, n_pages: int = 200_000):
+    """Round-4: HTML→text extraction over synthesized pages (stdlib
+    parser actor pool; the north-rule input_hint's html column)."""
+    from opengxt_ray.sources import pages
+    from opengxt_ray.textops.htmlops import html_to_text
+
+    ds = pages.pages_dataset(n_pages, parallelism=64)
+    return html_to_text(ds).count()
+
+
 BENCHES = {
     "pip_join": bench_pip_join,
     "copart_join": bench_copart_join,
@@ -332,6 +342,7 @@ BENCHES = {
     "salted_copart": bench_salted_copart,
     "union_overlay": bench_union_overlay,
     "raster_vectorize": bench_raster_vectorize,
+    "html_extract": bench_html_extract,
     "dedup_10x": bench_dedup_10x,
 }
 
