@@ -217,3 +217,28 @@ def test_central_feature_matches_bruteforce():
         ds = ray.data.from_arrow(blocks)
         got = central_feature(ds, id_col="fid")
         assert int(got["id"] if "id" in got else got["fid"]) == truth
+
+
+def test_kmeans_init_hash_sample_on_sorted_input():
+    """_init_centers past sample_n: the multiplicative-hash sample must
+    see every cluster of a SORTED input (limit() would see only the
+    first cluster), so farthest-point init lands one center per true
+    cluster."""
+    import pyarrow as pa
+
+    from opengxt_ray.ops.cluster import _init_centers
+
+    rs = np.random.RandomState(8)
+    centers = np.array([[0.0, 0.0], [50.0, 0.0], [0.0, 50.0],
+                        [50.0, 50.0]])
+    pts = np.concatenate([c + rs.normal(0, 1.0, (6000, 2))
+                          for c in centers])  # 24k rows, cluster-sorted
+    t = pa.table({"lon": pa.array(pts[:, 0]), "lat": pa.array(pts[:, 1])})
+    ds = ray.data.from_arrow([t.slice(i, 3000)
+                              for i in range(0, 24000, 3000)])
+    got = _init_centers(ds, 4, "lon", "lat", sample_n=2000)
+    # each true cluster claims exactly one init center
+    owner = np.argmin(np.hypot(
+        got[:, None, 0] - centers[None, :, 0],
+        got[:, None, 1] - centers[None, :, 1]), axis=1)
+    assert sorted(owner.tolist()) == [0, 1, 2, 3]
