@@ -56,11 +56,13 @@ def encode_png(rgba: np.ndarray) -> bytes:
 def decode_png_any(data: bytes) -> np.ndarray:
     """Full baseline PNG decoder — stdlib ``zlib``/``struct`` only.
 
-    Supports bit depth 8 with all five scanline filters (None/Sub/Up/
-    Average/Paeth) and all five color types (grayscale, RGB, palette,
-    gray+alpha, RGBA); no interlace (Adam7 raises — rare in data
-    pipelines and cleanly detectable). Returns ``(H, W)`` uint8 for
-    grayscale or ``(H, W, C)`` uint8 otherwise. This is the real
+    Supports bit depths 8 and 16 with all five scanline filters
+    (None/Sub/Up/Average/Paeth — filtering operates on BYTES per the
+    spec, so the same unfilter covers both depths) and all five color
+    types (grayscale, RGB, palette, gray+alpha, RGBA); no interlace
+    (Adam7 raises — rare in data pipelines and cleanly detectable).
+    Returns ``(H, W)`` / ``(H, W, C)`` uint8, or uint16 for
+    16-bit files (big-endian samples per spec). This is the real
     decode path behind ``textops.multimodal.ImageFeatureExtractor``
     (de-stubs the round-3 media-decode envelope for PNG payloads).
     """
@@ -86,15 +88,17 @@ def decode_png_any(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (8 or 16)")
+    if depth == 16 and ctype == 3:
+        raise ValueError("palette PNG cannot be 16-bit")
     if interlace:
         raise NotImplementedError("Adam7 interlaced PNG")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    stride = w * channels * (depth // 8)
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
     rows = np.frombuffer(raw, np.uint8,
@@ -102,7 +106,7 @@ def decode_png_any(data: bytes) -> np.ndarray:
     ftypes = rows[:, 0]
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
+    bpp = channels * (depth // 8)
     for y in range(h):
         line = rows[y, 1:]
         ft = int(ftypes[y])
@@ -148,6 +152,10 @@ def decode_png_any(data: bytes) -> np.ndarray:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         return plte[out.reshape(h, w)]
+    if depth == 16:
+        px16 = out.reshape(h, -1).view(">u2").astype(np.uint16)
+        return px16.reshape(h, w) if channels == 1 \
+            else px16.reshape(h, w, channels)
     if channels == 1:
         return out.reshape(h, w)
     return out.reshape(h, w, channels)
@@ -155,7 +163,9 @@ def decode_png_any(data: bytes) -> np.ndarray:
 
 def png_to_gray(img: np.ndarray) -> np.ndarray:
     """Decoded PNG array → (H, W) uint8 luma (ITU-R 601 weights for
-    color; alpha ignored)."""
+    color; alpha ignored; 16-bit samples take their high byte)."""
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
     if img.ndim == 2:
         return img
     c = img.shape[2]

@@ -105,17 +105,44 @@ def test_roundtrip_with_repo_encoder():
     assert (decode_png_any(encode_png(rgba)) == rgba).all()
 
 
-def test_interlace_and_16bit_raise():
+def test_interlace_raises():
     rs = np.random.RandomState(2)
     px = rs.randint(0, 256, size=(4, 4 * 4)).astype(np.uint8)
     data = bytearray(_make_png(px, 6, [0]))
     data[8 + 8 + 12] = 1  # interlace byte of IHDR
     with pytest.raises(NotImplementedError):
         decode_png_any(bytes(data))
-    data = bytearray(_make_png(px, 6, [0]))
-    data[8 + 8 + 8] = 16  # bit depth byte
-    with pytest.raises(NotImplementedError):
-        decode_png_any(bytes(data))
+
+
+def test_16bit_png_decode():
+    """16-bit grayscale and RGB: big-endian samples, byte-level
+    filters (filter 0 and Up here), uint16 output."""
+    rs = np.random.RandomState(6)
+    for channels, ctype in ((1, 0), (3, 2)):
+        h, w = 5, 9
+        vals = rs.randint(0, 65536, size=(h, w * channels)).astype(">u2")
+        raw = bytearray()
+        prev = np.zeros(w * channels * 2, np.uint8)
+        for y in range(h):
+            line = np.frombuffer(vals[y].tobytes(), np.uint8)
+            if y % 2 == 0:
+                raw.append(0)
+                raw.extend(line.tobytes())
+            else:  # Up filter over bytes
+                raw.append(2)
+                raw.extend(((line.astype(np.int16) - prev) % 256)
+                           .astype(np.uint8).tobytes())
+            prev = line
+        import struct as _st
+        import zlib as _zl
+        ihdr = _st.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _zl.compress(bytes(raw)))
+                + _chunk(b"IEND", b""))
+        img = decode_png_any(data)
+        assert img.dtype == np.uint16
+        flat = img.reshape(h, w * channels)
+        assert (flat == vals.astype(np.uint16)).all()
 
 
 def test_png_to_gray_luma():
