@@ -912,6 +912,9 @@ def duplicate_window_hits(ds, *, window: int = 20, text_col: str = "text",
     def _dups(group: pa.Table) -> pa.Table:
         # bucketized: group holds MANY hashes — vectorized per-hash
         # distinct-doc counting via lexsort/reduceat, no per-hash Python
+        if group.num_rows == 0:  # empty shuffle partition
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
         h = group["whash"].to_numpy(zero_copy_only=False)
         d = group[id_col].to_numpy(zero_copy_only=False)
         p = group["pos"].to_numpy(zero_copy_only=False)
