@@ -241,11 +241,13 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, nlist=64, nprobe=8,
 
     def _score_bucket(group: pa.Table) -> pa.Table:
         probe_map_, qids_, Q_ = ray.get(pm_ref)
-        b = int(group["bucket"][0].as_py())
-        qis = probe_map_.get(b, [])
         empty = pa.table({"query_id": pa.array([], pa.int64()),
                           id_col: pa.array([], group.schema.field(id_col).type),
                           "score": pa.array([], pa.float64())})
+        if group.num_rows == 0:  # empty shuffle partition
+            return empty
+        b = int(group["bucket"][0].as_py())
+        qis = probe_map_.get(b, [])
         if not qis:
             return empty
         vecs = _normalize(np.stack(group[vec_col].to_numpy(zero_copy_only=False)
