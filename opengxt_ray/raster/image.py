@@ -58,11 +58,11 @@ def decode_png_any(data: bytes) -> np.ndarray:
 
     Supports bit depths 8 and 16 with all five scanline filters
     (None/Sub/Up/Average/Paeth — filtering operates on BYTES per the
-    spec, so the same unfilter covers both depths) and all five color
-    types (grayscale, RGB, palette, gray+alpha, RGBA); no interlace
-    (Adam7 raises — rare in data pipelines and cleanly detectable).
-    Returns ``(H, W)`` / ``(H, W, C)`` uint8, or uint16 for
-    16-bit files (big-endian samples per spec). This is the real
+    spec, so the same unfilter covers both depths), all five color
+    types (grayscale, RGB, palette, gray+alpha, RGBA), and Adam7
+    interlacing (seven independently filtered sub-images scattered
+    back on the pass lattice). Returns ``(H, W)`` / ``(H, W, C)``
+    uint8, or uint16 for 16-bit files (big-endian samples per spec). This is the real
     decode path behind ``textops.multimodal.ImageFeatureExtractor``
     (de-stubs the round-3 media-decode envelope for PNG payloads).
     """
@@ -92,21 +92,55 @@ def decode_png_any(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"PNG bit depth {depth} (8 or 16)")
     if depth == 16 and ctype == 3:
         raise ValueError("palette PNG cannot be 16-bit")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels * (depth // 8)
-    if len(raw) < h * (stride + 1):
+    bpp = channels * (depth // 8)
+    stride = w * bpp
+    if not interlace:
+        out, _ = _png_unfilter(raw, 0, h, stride, bpp)
+    else:  # Adam7: seven independently-filtered sub-images
+        out = np.zeros((h, stride), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, ph, pw * bpp, bpp)
+            cols = (x0 + dx * np.arange(pw)) * bpp
+            byte_idx = (cols[:, None] + np.arange(bpp)[None, :]).ravel()
+            out[y0::dy][:ph][:, byte_idx] = sub
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[out.reshape(h, w)]
+    if depth == 16:
+        px16 = out.reshape(h, -1).view(">u2").astype(np.uint16)
+        return px16.reshape(h, w) if channels == 1 \
+            else px16.reshape(h, w, channels)
+    if channels == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, channels)
+
+
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at byte
+    ``pos`` of the decompressed stream → ((h, stride) uint8, new pos).
+    Filters are byte-oriented per spec (depth 16 uses bpp =
+    channels·2)."""
+    need = h * (stride + 1)
+    if len(raw) - pos < need:
         raise ValueError("truncated PNG pixel data")
-    rows = np.frombuffer(raw, np.uint8,
-                         count=h * (stride + 1)).reshape(h, stride + 1)
+    rows = np.frombuffer(raw, np.uint8, count=need,
+                         offset=pos).reshape(h, stride + 1)
     ftypes = rows[:, 0]
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels * (depth // 8)
     for y in range(h):
         line = rows[y, 1:]
         ft = int(ftypes[y])
@@ -148,17 +182,7 @@ def decode_png_any(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ft}")
         out[y] = cur
         prev = cur
-    if ctype == 3:
-        if plte is None:
-            raise ValueError("palette PNG without PLTE")
-        return plte[out.reshape(h, w)]
-    if depth == 16:
-        px16 = out.reshape(h, -1).view(">u2").astype(np.uint16)
-        return px16.reshape(h, w) if channels == 1 \
-            else px16.reshape(h, w, channels)
-    if channels == 1:
-        return out.reshape(h, w)
-    return out.reshape(h, w, channels)
+    return out, pos + need
 
 
 def png_to_gray(img: np.ndarray) -> np.ndarray:

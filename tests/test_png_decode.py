@@ -105,13 +105,43 @@ def test_roundtrip_with_repo_encoder():
     assert (decode_png_any(encode_png(rgba)) == rgba).all()
 
 
-def test_interlace_raises():
-    rs = np.random.RandomState(2)
-    px = rs.randint(0, 256, size=(4, 4 * 4)).astype(np.uint8)
-    data = bytearray(_make_png(px, 6, [0]))
-    data[8 + 8 + 12] = 1  # interlace byte of IHDR
-    with pytest.raises(NotImplementedError):
-        decode_png_any(bytes(data))
+ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _make_png_adam7(pixels: np.ndarray, channels: int,
+                    ctype: int) -> bytes:
+    """Independent Adam7 encoder: extract each pass lattice, filter-0
+    scanlines, concatenate — the decoder must scatter them back."""
+    h = pixels.shape[0]
+    w = pixels.shape[1] // channels
+    raw = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        px3 = pixels.reshape(h, w, channels)
+        sub = px3[y0::dy][:ph][:, x0::dx][:, :pw]
+        for y in range(ph):
+            raw.append(0)
+            raw.extend(sub[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("h,w", [(13, 17), (1, 1), (3, 9), (8, 8)])
+def test_adam7_interlaced_decode(h, w):
+    rs = np.random.RandomState(h * 100 + w)
+    px = rs.randint(0, 256, size=(h, w * 4)).astype(np.uint8)
+    img = decode_png_any(_make_png_adam7(px, 4, 6))
+    assert img.shape == (h, w, 4)
+    assert (img.reshape(h, w * 4) == px).all()
+    g = rs.randint(0, 256, size=(h, w)).astype(np.uint8)
+    img = decode_png_any(_make_png_adam7(g, 1, 0))
+    assert (img == g).all()
 
 
 def test_16bit_png_decode():
