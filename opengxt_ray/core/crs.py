@@ -310,8 +310,16 @@ def _ecef_to_geodetic(a: float, f: float, X, Y, Z):
     p = np.hypot(X, Y)
     phi = np.arctan2(Z, p * (1 - e2))
     for _ in range(8):
-        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
-        h = p / np.cos(phi) - N
+        sphi = np.sin(phi)
+        cphi = np.cos(phi)
+        N = a / np.sqrt(1 - e2 * sphi ** 2)
+        # pole-safe height: cos(phi)→0 at the poles, so switch to the
+        # Z-based form h = Z/sin(phi) − N(1−e2) there
+        polar = np.abs(cphi) < 1e-9
+        h = np.where(
+            polar,
+            np.abs(Z) / np.maximum(np.abs(sphi), 1e-12) - N * (1 - e2),
+            p / np.where(polar, 1.0, cphi) - N)
         phi = np.arctan2(Z, p * (1 - e2 * N / (N + h)))
     return np.degrees(lam), np.degrees(phi)
 

@@ -304,14 +304,29 @@ def _decode_scan(data, pos, w, h, comps, scan, qt, huff_dc, huff_ac,
     mcu = 0
     while mcu < n_mcu:
         if restart_interval and mcu and mcu % restart_interval == 0:
-            # skip to the restart marker, reset DC predictions
+            # skip to the restart marker, reset DC predictions.
+            # read_bit zero-fills at a non-restart marker WITHOUT
+            # advancing pos (spec padding) — a truncated/corrupt
+            # stream would loop forever here, so cap no-progress.
+            last_pos, stalls = br.pos, 0
             while True:
                 try:
                     br.read_bit()
                 except _RestartMarker:
                     break
+                except IndexError:
+                    raise ValueError(
+                        "missing restart marker (truncated stream)")
                 if br.pos >= len(data):
                     raise ValueError("missing restart marker")
+                if br.pos == last_pos:
+                    stalls += 1
+                    if stalls > 64:
+                        raise ValueError(
+                            "missing restart marker (hit a non-restart "
+                            "marker in the entropy stream)")
+                else:
+                    last_pos, stalls = br.pos, 0
             br.pos -= 1
             br.align_after_restart()
             for c in comps:

@@ -84,8 +84,13 @@ def read_db_table(path: str, table: str, *, columns=None,
                 w = f"{where} AND {rng}" if where else f"WHERE {rng}"
                 q = f"SELECT {cols} FROM {table} {w}"
             else:
+                # OFFSET windows from independent connections see no
+                # guaranteed row order (DuckDB scans are parallel) —
+                # anchor every window to the same deterministic order
+                # on the base table's rowid or the windows overlap.
                 step = -(-int(n) // num_splits)
                 q = (f"SELECT {cols} FROM {table} {where} "
+                     f"ORDER BY rowid "
                      f"LIMIT {step} OFFSET {i * step}")
             return pa.table(c.execute(q).arrow())
         finally:
@@ -130,7 +135,12 @@ def write_db_table(ds, path: str, table: str, *, mode: str = "create",
                              "dataset (schema unknown to the store)")
         con.execute("COMMIT")
     except Exception:
-        con.execute("ROLLBACK")
+        # COMMIT failures abort the tx store-side; a bare ROLLBACK then
+        # raises "no transaction is active" and masks the real error
+        try:
+            con.execute("ROLLBACK")
+        except Exception:
+            pass
         raise
     finally:
         con.close()

@@ -58,7 +58,14 @@ def normalize_url_batch(batch: pa.Table, *, url_col: str = "url",
     rest = pc.replace_substring_regex(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     hostport = pc.utf8_lower(pc.replace_substring_regex(
         rest, r"[/?#].*$", ""))
-    hostport = pc.replace_substring_regex(hostport, r":(80|443)$", "")
+    # drop the port only when it is the SCHEME's default — http://h:443
+    # and https://h:80 are distinct resources and must stay distinct
+    hostport = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(hostport, r":80$", ""),
+        pc.if_else(pc.equal(scheme, "https"),
+                   pc.replace_substring_regex(hostport, r":443$", ""),
+                   hostport))
     tail = pc.replace_substring_regex(rest, r"^[^/?#]*", "")
     tail = pc.replace_substring_regex(tail, r"#.*$", "")       # fragment
     tail = pc.replace_substring_regex(tail, r"^(/.+?)/+(\?|$)", r"\1\2")

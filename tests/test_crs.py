@@ -354,3 +354,22 @@ def test_make_reproject_legacy_datum_pair():
     back = make_reproject("EPSG:27700", "EPSG:4326")
     lon, lat = W.decode(back(fn(t))["geom"].to_pylist()).geom_coords(0)[0]
     assert abs(lon - -2.0) < 2e-7 and abs(lat - 52.0) < 2e-7
+
+
+def test_datum_shift_pole_safe():
+    """ECEF→geodetic at the poles: cos(phi)→0 must not emit NaN
+    (round-5 fix — pole-safe height branch in _ecef_to_geodetic)."""
+    from opengxt_ray.core import crs as C
+
+    wgs = C.parse_crs("EPSG:4326")
+    osgb = C.parse_crs("EPSG:4277")
+    lon, lat = C.transform(wgs, osgb, np.array([0.0, 13.0, 0.0]),
+                           np.array([90.0, -90.0, 89.9999]))
+    assert np.isfinite(lon).all() and np.isfinite(lat).all()
+    # pole latitude survives the shift to within the Helmert's ~10"
+    assert abs(abs(lat[0]) - 90.0) < 0.01
+    assert abs(abs(lat[1]) - 90.0) < 0.01
+    # and the inverse lands back at the pole
+    lon2, lat2 = C.transform(osgb, wgs, lon, lat)
+    assert np.isfinite(lat2).all()
+    assert abs(lat2[0] - 90.0) < 0.01

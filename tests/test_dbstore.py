@@ -93,3 +93,20 @@ def test_empty_table_read(db_path):
     out = read_db_table(db_path, "region", predicate="r_regionkey < 0")
     assert out.count() == 0
     assert "r_name" in out.schema().names
+
+
+def test_offset_windows_cover_exactly_without_split_col(db_path):
+    """Round-5 fix: the no-split_col path ORDER BYs rowid so parallel
+    LIMIT/OFFSET windows from independent connections neither overlap
+    nor drop rows — with and without a predicate."""
+    src = pq.read_table(f"{SF}/customer.parquet")
+    write_db_table(ray.data.from_arrow(src), db_path, "customer")
+    out = read_db_table(db_path, "customer", num_splits=7).to_pandas()
+    assert sorted(out["c_custkey"]) == sorted(
+        src["c_custkey"].to_pylist())
+    pred = read_db_table(db_path, "customer",
+                         predicate="c_acctbal > 0",
+                         num_splits=5).to_pandas()
+    orig = src.to_pandas()
+    want = sorted(orig.loc[orig["c_acctbal"] > 0, "c_custkey"])
+    assert sorted(pred["c_custkey"]) == want

@@ -102,3 +102,25 @@ def test_image_embeddings_real_jpeg_path():
     exp = (ex._resize(gray).astype(np.float64).reshape(-1) / 255.0) @ ex.proj
     got = np.asarray(out.loc[out.media_id == 3, "embedding"].iloc[0])
     np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_truncated_restart_stream_raises_not_hangs():
+    """Round-5 fix: a corrupt stream whose restart marker is replaced
+    by EOI must raise (no-progress cap), not spin forever zero-filling
+    at the marker."""
+    g = _gradient(48, 64)
+    data = bytearray(encode_jpeg_baseline(g, quality=90,
+                                          restart_interval=1))
+    # find the first restart marker in the entropy stream (FFD0..FFD7,
+    # after SOS) and turn it into EOI
+    sos = bytes(data).find(b"\xff\xda")
+    i = sos + 2
+    while i < len(data) - 1:
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            data[i + 1] = 0xD9
+            break
+        i += 1
+    else:
+        raise AssertionError("no restart marker found in fixture")
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(bytes(data))

@@ -74,3 +74,23 @@ def test_redact_pii_cases():
         "clean text stays",
         "two mails <EMAIL> <EMAIL> and <IP> <IP>",
     ]
+
+
+def test_normalize_port_is_scheme_conditioned():
+    """Round-5 fix: only the SCHEME's default port is dropped —
+    http://h:443 and https://h:80 stay distinct resources."""
+    t = pa.table({"url": pa.array([
+        "http://example.com:443/x",
+        "https://example.com:80/x",
+        "ftp://example.com:80/x",
+        "http://example.com:80/x",
+        "https://example.com:443/x",
+    ])})
+    n = normalize_url_batch(t)["norm_url"].to_pylist()
+    assert n == [
+        "http://example.com:443/x",
+        "https://example.com:80/x",
+        "ftp://example.com:80/x",
+        "http://example.com/x",
+        "https://example.com/x",
+    ]
