@@ -182,7 +182,8 @@ def _q_dissolve_stats(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_mktsegment", "c_acctbal"])
     out = data_statistics(ds, ["c_acctbal"], group_by="c_mktsegment",
-                          funcs=("count", "sum", "mean"), round_digits=6)
+                          funcs=("count", "sum", "mean"), round_digits=6,
+                          ngroups_hint=5)  # TPC-H has 5 market segments
     return out
 
 

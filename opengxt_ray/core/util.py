@@ -58,3 +58,25 @@ def default_join_partitions() -> int:
     except Exception:
         pass
     return 8
+
+
+def coalesce_for_groupby(ds, nkeys_hint: int | None = None):
+    """Coalesce blocks entering a sort-shuffled groupby/map_groups.
+
+    The sort shuffle emits one reduce partition PER INPUT BLOCK;
+    surplus partitions over the distinct-key count (or duplicate
+    sampled range boundaries at small scale) come out as EMPTY
+    schema-less blocks that trip the executor's mixed-schema RefBundle
+    warning — and schema-less empties have previously broken
+    downstream joins (multi_windrose round-3 fix, CLAUDE.md lore).
+
+    With a key-count hint, target ≥8 distinct keys per reduce
+    partition; always cap at the shuffle default so reduce parallelism
+    still scales with the cluster (the hint only ever SHRINKS the
+    partition count at toy scale — at 100-TB scale keys ≫ CPUs and
+    this is the plain ~CPU-count coalesce).
+    """
+    tgt = default_shuffle_partitions()
+    if nkeys_hint is not None:
+        tgt = max(1, min(tgt, int(nkeys_hint) // 8))
+    return ds.repartition(tgt)

@@ -98,16 +98,24 @@ def _finalize_stats(group: pa.Table, key: str | None, value_cols, funcs,
 
 
 def data_statistics(ds, value_cols: list[str], *, group_by: str | None = None,
-                    funcs=SUMMARY_FUNCS, round_digits: int | None = None):
+                    funcs=SUMMARY_FUNCS, round_digits: int | None = None,
+                    ngroups_hint: int | None = None):
     """DataStatisticsOperation — per-column descriptive stats, optional
-    grouping. Partial per block → tiny groupby → finalize."""
+    grouping. Partial per block → tiny groupby → finalize.
+
+    ``ngroups_hint``: expected distinct-group count; sizes the
+    pre-groupby coalesce so the sort shuffle emits no schema-less
+    empty reduce partitions (ungrouped runs always coalesce to 1 —
+    the key is a constant)."""
     partials = ds.map_batches(
         lambda b: _partial_stats_batch(b, group_by, value_cols),
         batch_format="pyarrow",
     )
-    from ..core.util import default_shuffle_partitions
+    from ..core.util import coalesce_for_groupby, default_shuffle_partitions
 
     keycol = group_by if group_by is not None else "__k"
+    partials = coalesce_for_groupby(
+        partials, 1 if group_by is None else ngroups_hint)
     return partials.groupby(
         keycol, num_partitions=default_shuffle_partitions()).map_groups(
         lambda g: _finalize_stats(g, group_by, value_cols, funcs, round_digits),

@@ -215,9 +215,12 @@ def neighbor_sums(ds, value_col: str, *, id_col: str, band: float | None,
             cols["val2"] = pa.array(rep(v2))
         return pa.table(cols)
 
-    from ..core.util import default_shuffle_partitions
+    from ..core.util import coalesce_for_groupby, default_shuffle_partitions
 
     slim = ds.map_batches(_slim, batch_format="pyarrow")
+    # exact mode has ONE group; banded mode has ≥ occupied-cell count
+    # groups — coalesce so no reduce partition comes out empty
+    slim = coalesce_for_groupby(slim, 1 if exact else None)
     sums = slim.groupby(
         "gcell", num_partitions=default_shuffle_partitions()).map_groups(
         lambda g: _group_neighbor_sums(

@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core import geomops, wkb as _wkb
-from ..core.util import default_shuffle_partitions
+from ..core.util import coalesce_for_groupby, default_shuffle_partitions
 
 
 def _part_pieces(fg, i):
@@ -468,7 +468,8 @@ def union_polygon(ds, *, geom_col: str = "geom", fid_col: str | None = None,
             "src": pa.array(np.concatenate([a, b]), pa.int64()),
             "dst": pa.array(np.concatenate([b, a]), pa.int64())})
 
-    edges = slim.map_batches(_cells, batch_format="pyarrow").groupby(
+    edges = coalesce_for_groupby(
+        slim.map_batches(_cells, batch_format="pyarrow")).groupby(
         "cell", num_partitions=default_shuffle_partitions()).map_groups(
         _cell_edges, batch_format="pyarrow")
     comp = connected_components(edges)
@@ -501,7 +502,7 @@ def union_polygon(ds, *, geom_col: str = "geom", fid_col: str | None = None,
             "rep": pa.array(np.full(len(idx), rep, np.int64)),
             geom_col: g.take(pa.array(idx))})
 
-    labeled = pay.union(lab).groupby(
+    labeled = coalesce_for_groupby(pay.union(lab)).groupby(
         "fid", num_partitions=default_shuffle_partitions()).map_groups(
         _attach, batch_format="pyarrow")
 
@@ -533,7 +534,7 @@ def union_polygon(ds, *, geom_col: str = "geom", fid_col: str | None = None,
                                          pa.int64()),
                          geom_col: pa.array([geom], pa.binary())})
 
-    return labeled.groupby(
+    return coalesce_for_groupby(labeled).groupby(
         "rep", num_partitions=default_shuffle_partitions()).map_groups(
         _component_union, batch_format="pyarrow")
 

@@ -116,7 +116,7 @@ def kernel_density(ds, meta: RasterMeta, *, search_radius: float,
              if weight_col else np.ones(len(x)))
         return partials_from_coo(pad, row, col, w)
 
-    wt = reduce_tiles(ds.map_batches(_cells, batch_format="pyarrow"))
+    wt = reduce_tiles(ds.map_batches(_cells, batch_format="pyarrow"), pad)
     return _smear_tiles(wt, pad, meta, r, kdr, kdc, kvals)
 
 
@@ -152,7 +152,8 @@ def _smear_tiles(wt, src_meta: RasterMeta, out_meta: RasterMeta,
                                  np.concatenate(cols_l),
                                  np.concatenate(vals_l))
 
-    return reduce_tiles(wt.map_batches(_smear, batch_format="pyarrow"))
+    return reduce_tiles(wt.map_batches(_smear, batch_format="pyarrow"),
+                        out_meta)
 
 
 def point_density(ds, meta: RasterMeta, *, search_radius: float,
@@ -218,5 +219,5 @@ def line_density(ds, meta: RasterMeta, *, search_radius: float,
                                  np.concatenate(cols_l),
                                  np.concatenate(vals_l))
 
-    wt = reduce_tiles(ds.map_batches(_burn, batch_format="pyarrow"))
+    wt = reduce_tiles(ds.map_batches(_burn, batch_format="pyarrow"), meta)
     return _smear_tiles(wt, meta, meta, 0, kdr, kdc, kvals)

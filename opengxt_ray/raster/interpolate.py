@@ -201,9 +201,12 @@ def idw_fixed_radius(points_ds, meta: RasterMeta, *, value_col: str,
             "data": pa.array([out.reshape(h, w).tobytes()], pa.binary()),
         })
 
-    from ..core.util import default_shuffle_partitions
+    from ..core.util import coalesce_for_groupby, default_shuffle_partitions
 
-    return points_ds.map_batches(_assign, batch_format="pyarrow").groupby(
+    assigned = coalesce_for_groupby(
+        points_ds.map_batches(_assign, batch_format="pyarrow"),
+        meta.tiles_x * meta.tiles_y)
+    return assigned.groupby(
         "tkey",
         num_partitions=num_partitions or default_shuffle_partitions()
     ).map_groups(_tile_eval, batch_format="pyarrow")

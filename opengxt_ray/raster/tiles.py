@@ -112,9 +112,11 @@ def partials_from_coo(meta: RasterMeta, rows: np.ndarray, cols: np.ndarray,
                      "data": pa.array(out_blobs, pa.binary())})
 
 
-def reduce_tiles(partials):
+def reduce_tiles(partials, meta: "RasterMeta | None" = None):
     """groupby(tile) sum of partial tiles → final tile Dataset
-    (tx, ty, data)."""
+    (tx, ty, data). Pass ``meta`` so the pre-groupby coalesce can size
+    reduce partitions to the known tile count (no schema-less empty
+    sort partitions at toy scale)."""
 
     def _merge(group: pa.Table) -> pa.Table:
         k = int(group["tkey"][0].as_py())
@@ -128,8 +130,10 @@ def reduce_tiles(partials):
             "data": pa.array([acc.tobytes()], pa.binary()),
         })
 
-    from ..core.util import default_shuffle_partitions
+    from ..core.util import coalesce_for_groupby, default_shuffle_partitions
 
+    nkeys = meta.tiles_x * meta.tiles_y if meta is not None else None
+    partials = coalesce_for_groupby(partials, nkeys)
     return partials.groupby(
         "tkey", num_partitions=default_shuffle_partitions()).map_groups(
         _merge, batch_format="pyarrow")
@@ -154,7 +158,7 @@ def points_to_raster(ds, meta: RasterMeta, *, assign: str = "count",
         return partials_from_coo(meta, row, col, v)
 
     partials = ds.map_batches(_scatter, batch_format="pyarrow")
-    tiles = reduce_tiles(partials)
+    tiles = reduce_tiles(partials, meta)
     if assign != "mean":
         return tiles
 
@@ -164,7 +168,8 @@ def points_to_raster(ds, meta: RasterMeta, *, assign: str = "count",
         col, row = meta.world_to_cell(x, y)
         return partials_from_coo(meta, row, col, np.ones(len(x)))
 
-    counts = reduce_tiles(ds.map_batches(_cnt, batch_format="pyarrow"))
+    counts = reduce_tiles(ds.map_batches(_cnt, batch_format="pyarrow"),
+                           meta)
     joined = tiles.join(
         counts.map_batches(lambda b: pa.table(
             {"tx": b["tx"], "ty": b["ty"], "cdata": b["data"]}),

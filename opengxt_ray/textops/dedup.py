@@ -15,7 +15,8 @@ All stages are Ray-Data-native:
 
 from __future__ import annotations
 
-from ..core.util import default_join_partitions, default_shuffle_partitions
+from ..core.util import (coalesce_for_groupby, default_join_partitions,
+                         default_shuffle_partitions)
 
 import numpy as np
 import pyarrow as pa
@@ -35,8 +36,12 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     (text_hash, keep_id) — join back for full rows if needed."""
 
     def _hash(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch[text_col])
-        return pa.table({"text_hash": pa.array(h, pa.uint64()),
+        # int64 VIEW of the uint64 hash: values above 2^63−1 fail
+        # Ray's reduce-side Arrow conversion and fall back to pickled
+        # object blocks (mixed schemas downstream) — the bit pattern is
+        # all groupby needs
+        h = hash_strings(batch[text_col]).view(np.int64)
+        return pa.table({"text_hash": pa.array(h, pa.int64()),
                          id_col: batch[id_col]})
 
     hashed = ds.map_batches(_hash, batch_format="pyarrow")
@@ -196,8 +201,9 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id"):
         a = np.full(len(ids) - 1, ids[0])
         return pa.table({"a": pa.array(a), "b": pa.array(ids[1:])})
 
+    banded = coalesce_for_groupby(banded)
     pairs = banded.groupby("band_key").map_groups(_pairs, batch_format="pyarrow")
-    return pairs.groupby(["a", "b"]).count()  # dedup pairs
+    return coalesce_for_groupby(pairs).groupby(["a", "b"]).count()  # dedup pairs
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -467,11 +473,13 @@ def _lsh_candidate_pairs_ds(ds, *, num_perm, bands, shingle_k, text_col,
         iu, ju = np.triu_indices(len(ids), k=1)
         return pa.table({"a": pa.array(ids[iu]), "b": pa.array(ids[ju])})
 
-    pairs = banded.groupby("band_key", num_partitions=num_partitions) \
+    pairs = coalesce_for_groupby(banded) \
+        .groupby("band_key", num_partitions=num_partitions) \
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     # dedup across bands once — downstream (verify / per-round joins)
     # would otherwise pay the ~bands× duplication every time
-    return pairs.groupby(["a", "b"], num_partitions=num_partitions) \
+    return coalesce_for_groupby(pairs) \
+        .groupby(["a", "b"], num_partitions=num_partitions) \
         .count().select_columns(["a", "b"])
 
 
@@ -523,8 +531,9 @@ def attach_pair_texts(pairs, ds, *, id_col="doc_id", text_col="text",
             "text_a": pa.array([ptext] * len(cons), pa.string()),
         })
 
-    passA = ds.map_batches(_prov, batch_format="pyarrow").union(
-        pairs.map_batches(_consA, batch_format="pyarrow")).groupby(
+    passA = coalesce_for_groupby(
+        ds.map_batches(_prov, batch_format="pyarrow").union(
+            pairs.map_batches(_consA, batch_format="pyarrow"))).groupby(
         "key", num_partitions=num_partitions).map_groups(
         _groupA, batch_format="pyarrow")
 
@@ -554,8 +563,9 @@ def attach_pair_texts(pairs, ds, *, id_col="doc_id", text_col="text",
             "text_b": pa.array([ptext] * len(cons), pa.string()),
         })
 
-    return ds.map_batches(_prov, batch_format="pyarrow").union(
-        passA.map_batches(_consB, batch_format="pyarrow")).groupby(
+    return coalesce_for_groupby(
+        ds.map_batches(_prov, batch_format="pyarrow").union(
+            passA.map_batches(_consB, batch_format="pyarrow"))).groupby(
         "key", num_partitions=num_partitions).map_groups(
         _groupB, batch_format="pyarrow")
 
@@ -711,7 +721,8 @@ def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
                 "src": pa.array(np.concatenate([a, m]), pa.int64()),
                 "dst": pa.array(np.concatenate([m, a]), pa.int64())})
 
-        edges = banded.map_batches(_bucketize, batch_format="pyarrow") \
+        edges = coalesce_for_groupby(
+            banded.map_batches(_bucketize, batch_format="pyarrow")) \
             .groupby("bkt", num_partitions=num_partitions) \
             .map_groups(_star_edges_bucket, batch_format="pyarrow")
         if dedup_edges:
@@ -722,7 +733,7 @@ def minhash_dedup(ds, *, num_perm=128, bands=16, shingle_k=3,
             # is duplicate-insensitive, so dedup_edges=False trades
             # that exchange for fatter rounds (right call only for
             # star-dominated graphs that converge in one round).
-            edges = edges.groupby(
+            edges = coalesce_for_groupby(edges).groupby(
                 ["src", "dst"], num_partitions=num_partitions) \
                 .count().select_columns(["src", "dst"])
 

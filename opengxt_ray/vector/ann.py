@@ -268,9 +268,12 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, nlist=64, nprobe=8,
             "score": pa.array(np.concatenate(rows_s)),
         })
 
-    from ..core.util import default_shuffle_partitions
+    from ..core.util import coalesce_for_groupby, default_shuffle_partitions
 
-    partials = assigned.groupby(
+    # key space is probed-buckets × shards — coalesce so the sort
+    # shuffle emits no schema-less empty reduce partitions
+    partials = coalesce_for_groupby(
+        assigned, len(probed) * int(nshards)).groupby(
         ["bucket", "shard"],
         num_partitions=default_shuffle_partitions()).map_groups(
         _score_bucket, batch_format="pyarrow")
