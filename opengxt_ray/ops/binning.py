@@ -42,9 +42,12 @@ def _partial_cell_sum(batch: pa.Table, keys: np.ndarray,
     cols = {"cell_key": pa.array(uniq), "__w": pa.array(s),
             "__cnt": pa.array(cnt.astype(np.int64))}
     if extra:
+        # first occurrence per code, vectorized: reverse-scatter row
+        # indices so earlier rows overwrite later ones
+        first = np.full(len(uniq), -1, np.int64)
+        first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
         for name, arr in extra.items():
-            cols[name] = pa.array(arr[np.asarray(
-                [np.nonzero(codes == i)[0][0] for i in range(len(uniq))])])
+            cols[name] = pa.array(arr[first])
     return pa.table(cols)
 
 

@@ -67,27 +67,36 @@ class HtmlTextExtractor:
     sequential per doc — the standard shape for extraction stages)."""
 
     def __init__(self, *, html_col: str = "html",
-                 out_col: str = "text_extracted"):
+                 out_col: str = "text_extracted",
+                 drop_payload: bool = True):
         self.html_col = html_col
         self.out_col = out_col
+        self.drop_payload = drop_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [extract_text(h) for h in batch[self.html_col].to_pylist()]
-        return batch.append_column(self.out_col,
-                                   pa.array(texts, pa.string()))
+        out = batch.append_column(self.out_col,
+                                  pa.array(texts, pa.string()))
+        if self.drop_payload:
+            out = out.drop_columns([self.html_col])
+        return out
 
 
 def html_to_text(ds, *, html_col: str = "html",
                  out_col: str = "text_extracted", concurrency=None,
-                 batch_size: int | None = 256):
+                 batch_size: int | None = 256,
+                 drop_payload: bool = True):
     """Distributed extraction: actor pool, small batches (html payloads
-    are large), payload column retained (drop downstream with
-    select_columns when entering a shuffle)."""
+    are large). The multi-KB html payload column is DROPPED from the
+    stage output by default (SURVEY §7.4: wide binary stays OUT of
+    shuffles — an uncareful downstream groupby would otherwise ship
+    it); pass ``drop_payload=False`` to keep it."""
     from ..core.util import default_concurrency
 
     return ds.map_batches(
         HtmlTextExtractor,
-        fn_constructor_kwargs=dict(html_col=html_col, out_col=out_col),
+        fn_constructor_kwargs=dict(html_col=html_col, out_col=out_col,
+                                   drop_payload=drop_payload),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or default_concurrency(),
     )

@@ -169,3 +169,18 @@ def test_html_extraction_real_markup():
     assert extract_text("<p>&#65;&#x42;c</p>") == "ABc"
     assert extract_text(b"<html><body><p>bytes in</p></body></html>") \
         == "bytes in"
+
+
+def test_html_extract_drops_payload_by_default():
+    """Round-5 nit: the wide html payload must NOT survive into the
+    stage output (SURVEY §7.4 — wide binary stays out of shuffles);
+    drop_payload=False keeps it for callers that need the bytes."""
+    from opengxt_ray.sources import pages
+    from opengxt_ray.textops.htmlops import html_to_text
+
+    ds = pages.pages_dataset(200, parallelism=2)
+    out = html_to_text(ds, concurrency=2)
+    assert "html" not in out.schema().names
+    assert "text_extracted" in out.schema().names
+    kept = html_to_text(ds, concurrency=2, drop_payload=False)
+    assert "html" in kept.schema().names
