@@ -732,11 +732,74 @@ def _q_gopher_repetition(sf_dir: str):
     return repetition_signals(ds)
 
 
+_URL_GATE_SUFFIXES = ("example.com", "co.uk", "com.au", "co.jp",
+                      "org.uk", "example.org")
+
+
+def _url_parse_sql() -> str:
+    """url_parse oracle: rebuilds the same mixed-suffix URLs and
+    re-parses them with DuckDB RE2 + the SAME embedded suffix table
+    (imported, so the two sides cannot drift)."""
+    from opengxt_ray.textops.urlops import SECOND_LEVEL_SUFFIXES
+
+    suf_case = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_URL_GATE_SUFFIXES))
+    in_list = ", ".join(f"'{s}'" for s in SECOND_LEVEL_SUFFIXES)
+    return rf"""
+        WITH u AS (
+            SELECT c_custkey,
+                   'https://www' || (c_custkey % 3)
+                   || '.host' || (c_custkey % 97) || '.'
+                   || CASE (c_custkey % 6) {suf_case} END
+                   || '/p/' || c_custkey
+                   || CASE WHEN c_custkey % 3 = 0
+                           THEN '?q=1' ELSE '' END
+                   || CASE WHEN c_custkey % 5 = 0
+                            AND c_custkey % 3 <> 0
+                           THEN '/' ELSE '' END AS url
+            FROM customer
+        ),
+        parsed AS (
+            SELECT c_custkey, url,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+                       '[/?#].*$', ''), ':[0-9]+$', '') AS host,
+                   regexp_replace(regexp_replace(
+                       regexp_replace(lower(url),
+                                      '^[a-z][a-z0-9+.-]*://', ''),
+                       '^[^/?#]*', ''), '[?#].*$', '') AS path_only
+            FROM u
+        ),
+        seg AS (
+            SELECT c_custkey, url, host,
+                   regexp_replace(host, '^.*\.([^.]+\.[^.]+)$',
+                                  '\1') AS last2,
+                   regexp_replace(host,
+                                  '^.*\.([^.]+\.[^.]+\.[^.]+)$',
+                                  '\1') AS last3,
+                   regexp_replace(regexp_replace(path_only,
+                                  '/+$', ''), '^/+', '') AS s
+            FROM parsed
+        )
+        SELECT c_custkey, host,
+               CASE WHEN last2 IN ({in_list}) THEN last3
+                    ELSE last2 END AS domain,
+               CASE WHEN length(s) = 0 THEN 0
+                    ELSE length(s) - length(replace(s, '/', '')) + 1
+               END AS path_depth,
+               CAST(url LIKE '%?%' AS BIGINT) AS has_query
+        FROM seg
+    """
+
+
 def _q_url_parse(sf_dir: str):
     """Round-4 webtext URL parsing (host/domain/path-depth/query flag,
     vectorized RE2 kernels) over deterministically synthesized page
-    URLs — the SQL oracle re-parses the same strings with DuckDB's
-    RE2 regexp functions."""
+    URLs with MIXED public suffixes (round 5: registrable-domain
+    extraction consults the embedded PSL subset, so co.uk-style hosts
+    resolve to three labels) — the SQL oracle re-parses the same
+    strings with DuckDB's RE2 regexp functions and the same suffix
+    table."""
     import ray
 
     from opengxt_ray.textops.urlops import parse_urls
@@ -746,7 +809,8 @@ def _q_url_parse(sf_dir: str):
 
     def _mk(b: pa.Table) -> pa.Table:
         k = b["c_custkey"].to_numpy()
-        urls = [f"https://host{int(x) % 97}.example.com/p/{int(x)}"
+        urls = [f"https://www{int(x) % 3}.host{int(x) % 97}"
+                f".{_URL_GATE_SUFFIXES[int(x) % 6]}/p/{int(x)}"
                 + ("?q=1" if int(x) % 3 == 0 else "")
                 + ("/" if int(x) % 5 == 0 and int(x) % 3 != 0 else "")
                 for x in k]
@@ -2121,44 +2185,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a LEFT JOIN (SELECT doc_id, max(c) AS mc FROM bc
                                   GROUP BY doc_id) m USING (doc_id)
         """,
-        "url_parse": r"""
-            WITH u AS (
-                SELECT c_custkey,
-                       'https://host' || (c_custkey % 97)
-                       || '.example.com/p/' || c_custkey
-                       || CASE WHEN c_custkey % 3 = 0
-                               THEN '?q=1' ELSE '' END
-                       || CASE WHEN c_custkey % 5 = 0
-                                AND c_custkey % 3 <> 0
-                               THEN '/' ELSE '' END AS url
-                FROM customer
-            ),
-            parsed AS (
-                SELECT c_custkey, url,
-                       regexp_replace(regexp_replace(regexp_replace(
-                           lower(url), '^[a-z][a-z0-9+.-]*://', ''),
-                           '[/?#].*$', ''), ':[0-9]+$', '') AS host,
-                       regexp_replace(regexp_replace(
-                           regexp_replace(lower(url),
-                                          '^[a-z][a-z0-9+.-]*://', ''),
-                           '^[^/?#]*', ''), '[?#].*$', '') AS path_only
-                FROM u
-            ),
-            seg AS (
-                SELECT c_custkey, url, host,
-                       regexp_replace(regexp_replace(path_only,
-                                      '/+$', ''), '^/+', '') AS s
-                FROM parsed
-            )
-            SELECT c_custkey, host,
-                   regexp_replace(host, '^.*\.([^.]+\.[^.]+)$',
-                                  '\1') AS domain,
-                   CASE WHEN length(s) = 0 THEN 0
-                        ELSE length(s) - length(replace(s, '/', '')) + 1
-                   END AS path_depth,
-                   CAST(url LIKE '%?%' AS BIGINT) AS has_query
-            FROM seg
-        """,
+        "url_parse": _url_parse_sql(),
         "hot_cells": f"""
             WITH frac AS (
                 SELECT (sqrt(3.0)/3.0 * ({lon_c}) - ({lat_c})/3.0)

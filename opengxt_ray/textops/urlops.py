@@ -8,15 +8,92 @@ and URL canonicalization before exact dedup. RE2 semantics match
 DuckDB's regexp functions, so the parse is SQL-oracle-checkable
 (gate query ``url_parse``).
 
-Domain extraction is the last-two-labels heuristic — the public
-suffix list is not in this container (documented envelope: ``co.uk``
-style suffixes fold into the wrong registrable domain).
+Domain extraction: last-two-labels, EXCEPT when those two labels are
+a known second-level public suffix (``co.uk``-style) — then the
+registrable domain is the last THREE labels. The suffix table below
+is a compact embedded subset of the public suffix list (the full PSL
+is ~9k rules and not in this container); wildcard/exception rules
+(``*.ck``) and rare registries are the documented envelope.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+#: second-level public suffixes under which the registrable domain is
+#: THREE labels (bbc.co.uk), not two. Compact PSL subset covering the
+#: ccTLD second-level registries a web crawl actually hits.
+SECOND_LEVEL_SUFFIXES: tuple[str, ...] = (
+    # United Kingdom
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # Japan
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz", "iwi.nz",
+    # Brazil / Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.pe", "com.ve", "com.ec", "com.uy", "com.bo", "com.py",
+    "com.do", "com.gt", "com.sv", "com.ni", "com.pa", "com.cu",
+    # China / Korea / Taiwan / Hong Kong
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk", "idv.hk",
+    # India / Southeast Asia
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "edu.in", "res.in",
+    "firm.in", "gen.in", "ind.in", "nic.in",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.th", "or.th", "ac.th", "go.th", "in.th", "net.th",
+    # Middle East / Africa
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "web.tr",
+    "com.eg", "com.sa", "com.ae", "com.qa", "com.kw", "com.lb",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ac.ke", "go.ke", "com.ng", "org.ng", "gov.ng",
+    "com.gh", "com.et", "co.tz", "co.ug", "co.zw", "com.na",
+    # Europe / other
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "co.at", "or.at", "ac.at",
+    "gv.at", "co.hu", "org.hu", "com.ua", "net.ua", "org.ua", "edu.ua",
+    "gov.ua", "in.ua", "kiev.ua", "com.ru", "net.ru", "org.ru",
+    "msk.ru", "spb.ru", "com.by", "com.kz", "org.kz", "edu.kz",
+    # generic-ish second levels
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "co.it",  # (rare but registered)
+    "eu.com", "gb.com", "us.com", "uk.com", "uk.net", "se.com",
+    "de.com", "jpn.com", "za.com", "br.com", "cn.com", "hu.com",
+    "ru.com", "sa.com", "qc.com", "no.com",
+)
+
+_SUFFIX_ARR = pa.array(SECOND_LEVEL_SUFFIXES, pa.string())
+
+
+def registrable_domain(host) -> pa.Array:
+    """Vectorized registrable-domain extraction over a host column:
+    last two labels, or last THREE when the last two are a known
+    second-level public suffix (``bbc.co.uk`` → ``bbc.co.uk``, not
+    ``co.uk``). Hosts with ≤2 labels pass through unchanged."""
+    last2 = pc.replace_substring_regex(
+        host, r"^.*\.([^.]+\.[^.]+)$", r"\1")
+    last3 = pc.replace_substring_regex(
+        host, r"^.*\.([^.]+\.[^.]+\.[^.]+)$", r"\1")
+    return pc.if_else(pc.is_in(last2, value_set=_SUFFIX_ARR),
+                      last3, last2)
 
 
 def parse_url_batch(batch: pa.Table, *, url_col: str = "url") -> pa.Table:
@@ -26,8 +103,7 @@ def parse_url_batch(batch: pa.Table, *, url_col: str = "url") -> pa.Table:
     host = pc.replace_substring_regex(rest, r"[/?#].*$", "")
     host = pc.replace_substring_regex(host, r"^[^@]*@", "")   # userinfo
     host = pc.replace_substring_regex(host, r":[0-9]+$", "")  # port
-    domain = pc.replace_substring_regex(
-        host, r"^.*\.([^.]+\.[^.]+)$", r"\1")
+    domain = registrable_domain(host)
     path = pc.replace_substring_regex(rest, r"^[^/?#]*", "")
     path_only = pc.replace_substring_regex(path, r"[?#].*$", "")
     # depth = number of non-empty segments

@@ -94,3 +94,36 @@ def test_normalize_port_is_scheme_conditioned():
         "http://example.com/x",
         "https://example.com/x",
     ]
+
+
+def test_registrable_domain_psl_cases():
+    """Round-5: embedded PSL subset — co.uk-style suffixes take three
+    labels; plain TLDs take two; 2-label hosts pass through."""
+    from opengxt_ray.textops.urlops import registrable_domain
+
+    hosts = pa.array([
+        "bbc.co.uk", "www.bbc.co.uk", "deep.sub.bbc.co.uk",
+        "example.org", "www.example.org",
+        "site.com.au", "a.b.site.co.jp", "news.org.uk",
+        "co.uk",                 # bare suffix: unchanged
+        "host.example.com",      # generic: two labels
+        "x.gov.uk", "portal.gob.mx", "shop.com.br",
+    ])
+    got = registrable_domain(hosts).to_pylist()
+    assert got == [
+        "bbc.co.uk", "bbc.co.uk", "bbc.co.uk",
+        "example.org", "example.org",
+        "site.com.au", "site.co.jp", "news.org.uk",
+        "co.uk",
+        "example.com",
+        "x.gov.uk", "portal.gob.mx", "shop.com.br",
+    ]
+
+
+def test_parse_url_batch_uses_psl():
+    t = pa.table({"url": pa.array([
+        "https://www.bbc.co.uk/news/uk-1234",
+        "https://host1.example.com/p/1",
+    ])})
+    p = parse_url_batch(t)
+    assert p["domain"].to_pylist() == ["bbc.co.uk", "example.com"]
