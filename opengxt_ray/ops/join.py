@@ -90,23 +90,25 @@ class PolygonBundle:
         return self._stack
 
 
-def put_bundle(table: pa.Table, geom_col: str = "geom") -> "ray.ObjectRef":
-    """Build + broadcast a PolygonBundle once (driver side)."""
+def put_bundle(table: pa.Table, geom_col: str = "geom") -> str:
+    """Build + broadcast a PolygonBundle once (driver side). Returns a
+    restart-safe broadcast TOKEN (plain string) — never a raw
+    ObjectRef in actor constructor kwargs (ray#53727: a restarting
+    max_restarts>0 pool worker fails if the driver-owned ref went out
+    of scope; the holder actor pins it for the job instead)."""
+    from ..core.broadcast import put_broadcast
+
     bundle = PolygonBundle(table, geom_col)
     bundle.convex_flags()   # precompute before the put (see method doc)
-    return ray.put(bundle)
+    return put_broadcast(bundle)
 
 
 def _resolve_bundle(bundle_ref) -> PolygonBundle:
-    """Accept a PolygonBundle, an ObjectRef, or a [ObjectRef] wrapper
-    (the list prevents Ray from eagerly resolving the ref in
-    fn_constructor_kwargs, so the object is fetched zero-copy once per
-    actor here instead of being serialized into the task spec)."""
-    if isinstance(bundle_ref, list):
-        bundle_ref = bundle_ref[0]
-    if isinstance(bundle_ref, ray.ObjectRef):
-        return ray.get(bundle_ref)
-    return bundle_ref
+    """Accept a broadcast token (preferred), a PolygonBundle, an
+    ObjectRef, or a ``[ObjectRef]``/``[token]`` wrapper."""
+    from ..core.broadcast import resolve_state
+
+    return resolve_state(bundle_ref)
 
 
 def _dedup_names(left_names, right_names, mode: str):
@@ -284,7 +286,9 @@ def broadcast_spatial_join(points_ds, poly_table: pa.Table, *,
             batch_size=batch_size,
             concurrency=concurrency or default_concurrency(),
         )
-    ref_hex = ref.hex()
+    # put_bundle returns a plain-string token (round 5); older callers
+    # may still hold ObjectRefs
+    ref_hex = ref if isinstance(ref, str) else ref.hex()
 
     def _join_task(batch: pa.Table) -> pa.Table:
         j = _cached_pip_joiner(ref_hex, ref, predicate, how, dedup, right_cols)

@@ -58,14 +58,16 @@ def snap_points_to_lines(points_ds, lines_table: pa.Table, *,
                          concurrency=None):
     """Move each point to the nearest location on the nearest line.
     Appends snapped coords + distance + line id."""
-    ref = ray.put(_LineBundle(lines_table, geom_col, line_id_col))
+    from ..core.broadcast import put_broadcast
+
+    # restart-safe broadcast token (ray#53727 — see core/broadcast.py)
+    tok = put_broadcast(_LineBundle(lines_table, geom_col, line_id_col))
 
     class Snapper:
         def __init__(self, ref):
-            if isinstance(ref, list):
-                ref = ref[0]
-            self.lb: _LineBundle = ray.get(ref) if isinstance(
-                ref, ray.ObjectRef) else ref
+            from ..core.broadcast import resolve_state
+
+            self.lb: _LineBundle = resolve_state(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             lb = self.lb
@@ -103,7 +105,7 @@ def snap_points_to_lines(points_ds, lines_table: pa.Table, *,
             return out.append_column("line_id", pa.array(sid))
 
     return points_ds.map_batches(
-        Snapper, fn_constructor_args=([ref],), batch_format="pyarrow",
+        Snapper, fn_constructor_args=(tok,), batch_format="pyarrow",
         concurrency=concurrency or default_concurrency())
 
 

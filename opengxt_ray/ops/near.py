@@ -39,10 +39,9 @@ class KnnLinker:
     def __init__(self, points_ref, *, k=3, id_col="id", nbr_id_col="nbr_id",
                  xcol="lon", ycol="lat", max_radius=np.inf,
                  exclude_self=False, emit_dist_sq=False):
-        if isinstance(points_ref, list):
-            points_ref = points_ref[0]
-        nid, nx, ny = ray.get(points_ref) if isinstance(
-            points_ref, ray.ObjectRef) else points_ref
+        from ..core.broadcast import resolve_state
+
+        nid, nx, ny = resolve_state(points_ref)
         # pre-sort by id so stable argsort on distance breaks ties by id
         order = np.argsort(nid, kind="stable")
         self.nid, self.nx, self.ny = nid[order], nx[order], ny[order]
@@ -154,11 +153,16 @@ def knn_links(ds, nbr_ids, nbr_x, nbr_y, *, k=3, id_col="id",
               nbr_id_col="nbr_id", xcol="lon", ycol="lat",
               max_radius=np.inf, exclude_self=False, emit_dist_sq=False,
               concurrency=None, batch_size: int = 2048):
-    ref = ray.put((np.asarray(nbr_ids), np.asarray(nbr_x, dtype=np.float64),
-                   np.asarray(nbr_y, dtype=np.float64)))
+    from ..core.broadcast import put_broadcast
+
+    # restart-safe broadcast token — never a raw ObjectRef in actor
+    # constructor kwargs (ray#53727; round-4 verdict #1)
+    tok = put_broadcast((np.asarray(nbr_ids),
+                         np.asarray(nbr_x, dtype=np.float64),
+                         np.asarray(nbr_y, dtype=np.float64)))
     return ds.map_batches(
         KnnLinker,
-        fn_constructor_kwargs=dict(points_ref=[ref], k=k, id_col=id_col,
+        fn_constructor_kwargs=dict(points_ref=tok, k=k, id_col=id_col,
                                    nbr_id_col=nbr_id_col, xcol=xcol, ycol=ycol,
                                    max_radius=max_radius,
                                    exclude_self=exclude_self,

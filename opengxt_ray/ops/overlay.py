@@ -276,7 +276,7 @@ def _tasks_map(ds, ref, cls, kwargs):
     the bundle index/flags still built once per worker. This is the
     default — overlay bundles are broadcast sides and the per-stage
     pools were measured to oversubscribe multi-leg DAGs (union)."""
-    key = (ref.hex(), cls.__name__,
+    key = (ref if isinstance(ref, str) else ref.hex(), cls.__name__,
            tuple(sorted((k, str(v)) for k, v in kwargs.items())))
 
     def _task(batch: pa.Table) -> pa.Table:

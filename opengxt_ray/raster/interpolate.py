@@ -50,9 +50,9 @@ def _all_tiles_ds(meta: RasterMeta, parallelism: int = 8):
 
 class _TileEvaluator:
     def __init__(self, ref, meta, fn):
-        if isinstance(ref, list):
-            ref = ref[0]
-        self.state = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        from ..core.broadcast import resolve_state
+
+        self.state = resolve_state(ref)
         self.meta = meta
         self.fn = fn
 
@@ -80,8 +80,11 @@ def idw(points_ds, meta: RasterMeta, *, value_col: str, power: float = 2.0,
             "broadcasts the full sample set (reference full-sample "
             "weighting) — thin the samples or raise max_samples")
     pdf = points_ds.select_columns([xcol, ycol, value_col]).to_pandas()
-    ref = ray.put((pdf[xcol].to_numpy(), pdf[ycol].to_numpy(),
-                   pdf[value_col].to_numpy().astype(np.float64), power))
+    from ..core.broadcast import put_broadcast
+
+    ref = put_broadcast((pdf[xcol].to_numpy(), pdf[ycol].to_numpy(),
+                         pdf[value_col].to_numpy().astype(np.float64),
+                         power))
 
     def _eval(state, x, y):
         sx, sy, sv, p = state
@@ -246,7 +249,9 @@ def tps(points_ds, meta: RasterMeta, *, value_col: str,
         coef = np.linalg.solve(A, rhs)
     except np.linalg.LinAlgError:
         coef, *_ = np.linalg.lstsq(A, rhs, rcond=None)
-    ref = ray.put((sx, sy, coef))
+    from ..core.broadcast import put_broadcast
+
+    ref = put_broadcast((sx, sy, coef))
 
     def _eval(state, x, y):
         sx_, sy_, c = state
@@ -289,7 +294,9 @@ def euclidean_distance(points_ds, meta: RasterMeta, *,
             f"{max_samples}; the source set is broadcast whole to every "
             "tile task — thin the sources or raise the limit")
     pdf = points_ds.select_columns([xcol, ycol]).to_pandas()
-    ref = ray.put((pdf[xcol].to_numpy(), pdf[ycol].to_numpy()))
+    from ..core.broadcast import put_broadcast
+
+    ref = put_broadcast((pdf[xcol].to_numpy(), pdf[ycol].to_numpy()))
 
     def _eval(state, x, y):
         sx, sy = state
@@ -407,7 +414,9 @@ def tin_interpolation(points_ds, meta: RasterMeta, *, value_col: str,
         tb[:, 1] = ty_.min(axis=1)
         tb[:, 2] = tx_.max(axis=1)
         tb[:, 3] = ty_.max(axis=1)
-    ref = ray.put((pts, vals, tris, tb))
+    from ..core.broadcast import put_broadcast
+
+    ref = put_broadcast((pts, vals, tris, tb))
 
     def _eval(state, x, y):
         sp, sv, st, stb = state

@@ -261,13 +261,9 @@ class _TileSampler:
 
     def __init__(self, tiles_ref, meta: RasterMeta, out_col: str,
                  xcol: str, ycol: str):
-        import ray
+        from ..core.broadcast import resolve_state
 
-        if isinstance(tiles_ref, list):
-            tiles_ref = tiles_ref[0]
-        self.tiles: dict = (ray.get(tiles_ref)
-                            if isinstance(tiles_ref, ray.ObjectRef)
-                            else tiles_ref)
+        self.tiles: dict = resolve_state(tiles_ref)
         self.meta = meta
         self.out_col = out_col
         self.xcol = xcol
@@ -343,7 +339,9 @@ def extract_values_to_points(points_ds, tiles, meta: RasterMeta, *,
         h, w = meta.tile_shape(r["tx"], r["ty"])
         tile_map[(r["tx"], r["ty"])] = np.frombuffer(
             r["data"], dtype=np.float64).reshape(h, w)
-    ref = ray.put(tile_map)
+    from ..core.broadcast import put_broadcast
+
+    ref = put_broadcast(tile_map)
     return points_ds.map_batches(
         _TileSampler,
         fn_constructor_args=([ref], meta, out_col, xcol, ycol),

@@ -33,10 +33,9 @@ class BruteForceScorer:
 
     def __init__(self, queries_ref, *, vec_col="embedding", id_col="vec_id",
                  k=10, emit_score=True):
-        if isinstance(queries_ref, list):
-            queries_ref = queries_ref[0]
-        qids, qm = ray.get(queries_ref) if isinstance(
-            queries_ref, ray.ObjectRef) else queries_ref
+        from ..core.broadcast import resolve_state
+
+        qids, qm = resolve_state(queries_ref)
         self.qids = qids
         self.qm = _normalize(np.asarray(qm, dtype=np.float64))
         self.vec_col = vec_col
@@ -73,10 +72,13 @@ def brute_topk(ds, query_ids, query_matrix, *, k=10, vec_col="embedding",
     Per-batch partial top-k (k rows per query per block) → groupby(query)
     final top-k: the shuffle moves only k·num_blocks rows per query.
     """
-    ref = ray.put((np.asarray(query_ids), np.asarray(query_matrix)))
+    from ..core.broadcast import put_broadcast
+
+    # restart-safe broadcast token (ray#53727 — see core/broadcast.py)
+    tok = put_broadcast((np.asarray(query_ids), np.asarray(query_matrix)))
     partials = ds.map_batches(
         BruteForceScorer,
-        fn_constructor_kwargs=dict(queries_ref=[ref], vec_col=vec_col,
+        fn_constructor_kwargs=dict(queries_ref=tok, vec_col=vec_col,
                                    id_col=id_col, k=k),
         batch_format="pyarrow", concurrency=concurrency or default_concurrency(),
     )
