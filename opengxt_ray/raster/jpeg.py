@@ -1,23 +1,28 @@
-"""Baseline JPEG codec — pure stdlib/numpy (no PIL/cv2 in this
-container).
+"""JPEG codec — pure stdlib/numpy (no PIL/cv2 in this container).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, 1-4 components,
-arbitrary chroma sampling factors (4:4:4 / 4:2:2 / 4:2:0 …), restart
-markers, byte-stuffed Huffman entropy stream. The per-symbol Huffman
-loop is Python (entropy decode is inherently sequential); everything
-after — dequantize, zigzag, IDCT, upsample, color convert — is
-vectorized numpy over all blocks at once.
+Decoder: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB runs), 8-bit, 1-4 components, arbitrary chroma
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 …), restart markers,
+byte-stuffed Huffman entropy stream. The per-symbol Huffman loop is
+Python (entropy decode is inherently sequential); everything after —
+dequantize, zigzag, IDCT, upsample, color convert — is vectorized
+numpy over all blocks at once.
 
-Encoder (used by tests and ``synth_media_batch(kind="jpeg")``):
-baseline, Annex-K quantization tables scaled by ``quality``, Annex-K
-Huffman tables, optional 4:2:0 subsampling and restart intervals —
-enough to produce real interchange-format files that any decoder
-reads.
+Encoders (used by tests and ``synth_media_batch(kind="jpeg")``):
+baseline (Annex-K quantization tables scaled by ``quality``, Annex-K
+Huffman tables, optional 4:2:0 subsampling and restart intervals) and
+progressive (the standard luma/chroma scan script with successive
+approximation, per-scan optimal Huffman tables built by the Annex-K.2
+code-length procedure) — enough to produce real interchange-format
+files that any decoder reads.
 
-Reference: ITU-T T.81 (public spec). De-stubs the multimodal image
-envelope for JPEG payloads (``textops/multimodal.py``); the reference
-engine inherits image I/O from the JVM (GT/RasterToImageProcess.java),
-so this is engine-extension surface, not a port.
+Reference: ITU-T T.81 (public spec); scan-script and refinement-pass
+semantics follow the published libjpeg behavior. De-stubs the
+multimodal image envelope for JPEG payloads
+(``textops/multimodal.py``); the reference engine inherits image I/O
+from the JVM (GT/RasterToImageProcess.java), so this is
+engine-extension surface, not a port.
 """
 
 from __future__ import annotations
@@ -211,8 +216,9 @@ def _extend(v: int, n: int) -> int:
 # decoder
 # ---------------------------------------------------------------------------
 
-def decode_jpeg_baseline(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W) uint8 grayscale or (H, W, 3) RGB."""
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes (baseline SOF0 or progressive SOF2) → (H, W) uint8
+    grayscale or (H, W, 3) RGB."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG byte stream (no SOI)")
     pos = 2
@@ -222,6 +228,9 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     comps = None  # list of dicts per component
     w = h = None
     restart_interval = 0
+    progressive = False
+    geom = None           # (hmax, vmax, mcux, mcuy) once SOF is seen
+    scans_done = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -249,18 +258,35 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                         np.float64)
                     i += 64
                 qt[tid] = tab
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                geom = (hmax, vmax, mcux, mcuy)
+                for c in comps:
+                    c["bw"] = mcux * c["h"]
+                    c["bh"] = mcuy * c["v"]
+                    c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+                    # non-interleaved scans cover the component's TRUE
+                    # block grid, not the MCU-padded one (T.81 A.2.2)
+                    cw = -(-(w * c["h"]) // hmax)
+                    ch = -(-(h * c["v"]) // vmax)
+                    c["nbx"] = -(-cw // 8)
+                    c["nby"] = -(-ch // 8)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X}); only "
-                "baseline sequential DCT (SOF0) is implemented")
+                f"unsupported JPEG (SOF marker 0x{marker:02X}); baseline "
+                "sequential (SOF0) and progressive (SOF2) are implemented")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -281,11 +307,26 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
                 comp = next(c for c in comps if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
             pos += seg_len
-            return _decode_scan(data, pos, w, h, comps, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos, w, h, comps, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            pos = _decode_progressive_scan(
+                data, pos, comps, scan, ss, se, ahal >> 4, ahal & 0x0F,
+                huff_dc, huff_ac, restart_interval, geom)
+            scans_done += 1
+            continue
         pos += seg_len
+    if progressive and scans_done:
+        hmax, vmax, _, _ = geom
+        return _idct_assemble([c["coef"].astype(np.float64) for c in comps],
+                              comps, qt, w, h, hmax, vmax)
     raise ValueError("JPEG truncated before SOS")
+
+
+# backwards-compatible name (pre-round-5 the decoder was baseline-only)
+decode_jpeg_baseline = decode_jpeg
 
 
 def _decode_scan(data, pos, w, h, comps, scan, qt, huff_dc, huff_ac,
@@ -360,12 +401,21 @@ def _decode_scan(data, pos, w, h, comps, scan, qt, huff_dc, huff_ac,
         except _RestartMarker:
             raise ValueError("unexpected restart marker mid-MCU")
         mcu += 1
-    # dequantize + IDCT per component, vectorized over all blocks
+    return _idct_assemble([c["blocks"] for c in comps], comps, qt, w, h,
+                          hmax, vmax)
+
+
+def _idct_assemble(zz_arrays, comps, qt, w, h, hmax, vmax) -> np.ndarray:
+    """Per-component (nblocks, 64) zigzag coefficient arrays → image.
+
+    Dequantize + IDCT + upsample + color convert, vectorized over all
+    blocks at once; shared by the baseline and progressive decoders.
+    """
     planes = []
-    for c in comps:
+    for c, zz in zip(comps, zz_arrays):
         q = qt[c["tq"]]
-        coef = np.zeros((len(c["blocks"]), 64), np.float64)
-        coef[:, ZIGZAG] = c["blocks"] * q[None, :]
+        coef = np.zeros((len(zz), 64), np.float64)
+        coef[:, ZIGZAG] = zz * q[None, :]
         sam = _idct_blocks(coef.reshape(-1, 8, 8)) + 128.0
         plane = sam.reshape(c["bh"], c["bw"], 8, 8).transpose(
             0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
@@ -384,6 +434,190 @@ def _decode_scan(data, pos, w, h, comps, scan, qt, huff_dc, huff_ac,
     b = Y + 1.772 * (Cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
                    255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (SOF2): per-scan coefficient accumulation
+# ---------------------------------------------------------------------------
+
+def _sync_restart(br: _BitReader, data: bytes):
+    """Skip to the next restart marker and align past it.
+
+    Mirrors the baseline restart-skip: read_bit zero-fills at a
+    non-restart marker WITHOUT advancing pos, so cap no-progress to
+    fail on truncated/corrupt streams instead of hanging.
+    """
+    last_pos, stalls = br.pos, 0
+    while True:
+        try:
+            br.read_bit()
+        except _RestartMarker:
+            break
+        except IndexError:
+            raise ValueError("missing restart marker (truncated stream)")
+        if br.pos >= len(data):
+            raise ValueError("missing restart marker")
+        if br.pos == last_pos:
+            stalls += 1
+            if stalls > 64:
+                raise ValueError(
+                    "missing restart marker (hit a non-restart marker "
+                    "in the entropy stream)")
+        else:
+            last_pos, stalls = br.pos, 0
+    br.pos -= 1
+    br.align_after_restart()
+
+
+def _ac_first(br, acd, blk, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = acd.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, acd, blk, ss, se, al, eobrun):
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3).
+
+    Correction bits for already-nonzero coefficients are interleaved
+    with run/newly-nonzero symbols (published libjpeg semantics).
+    """
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = acd.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+                s = 0
+            else:
+                s = p1 if br.read_bit() else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0:
+                if br.read_bit() and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(data, pos, comps, scan, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval, geom):
+    """Decode one SOF2 scan into the components' coefficient arrays.
+
+    Returns the byte position of the next marker after the entropy
+    data so the segment parser can continue (progressive files carry
+    many scans, with DHT redefinitions in between).
+    """
+    hmax, vmax, mcux, mcuy = geom
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss != 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    br = _BitReader(data, pos)
+    for comp, _, _ in scan:
+        comp["pred"] = 0
+    eobrun = 0
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        comp0 = scan[0][0]
+        n_units = comp0["nbx"] * comp0["nby"]
+    unit = 0
+    while unit < n_units:
+        if restart_interval and unit and unit % restart_interval == 0:
+            _sync_restart(br, data)
+            for comp, _, _ in scan:
+                comp["pred"] = 0
+            eobrun = 0
+        try:
+            if ss == 0:  # DC band
+                if interleaved:
+                    my, mx = divmod(unit, mcux)
+                    blocks = []
+                    for comp, td, _ in scan:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                row = my * comp["v"] + by
+                                col = mx * comp["h"] + bx
+                                blocks.append(
+                                    (comp, td,
+                                     comp["coef"][row * comp["bw"] + col]))
+                else:
+                    comp, td, _ = scan[0]
+                    row, col = divmod(unit, comp["nbx"])
+                    blocks = [(comp, td,
+                               comp["coef"][row * comp["bw"] + col])]
+                for comp, td, blk in blocks:
+                    if ah == 0:
+                        t = huff_dc[td].decode(br)
+                        diff = _extend(br.receive(t), t) if t else 0
+                        comp["pred"] += diff
+                        blk[0] = comp["pred"] << al
+                    elif br.read_bit():
+                        blk[0] = int(blk[0]) | (1 << al)
+            else:  # AC band, single component
+                comp, _, ta = scan[0]
+                row, col = divmod(unit, comp["nbx"])
+                blk = comp["coef"][row * comp["bw"] + col]
+                if ah == 0:
+                    eobrun = _ac_first(br, huff_ac[ta], blk, ss, se, al,
+                                       eobrun)
+                else:
+                    eobrun = _ac_refine(br, huff_ac[ta], blk, ss, se, al,
+                                        eobrun)
+        except _RestartMarker:
+            raise ValueError("unexpected restart marker mid-unit")
+        except IndexError:
+            raise ValueError("truncated progressive JPEG scan")
+        unit += 1
+    # locate the next marker after the entropy data (skip stray RSTs
+    # and stuffed bytes the bit reader did not consume)
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF) and not (
+                0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
 
 
 # ---------------------------------------------------------------------------
@@ -450,10 +684,13 @@ def _encode_block(bw, blk, qtab, dc_codes, ac_codes, pred):
     return pred
 
 
-def encode_jpeg_baseline(img: np.ndarray, *, quality: int = 85,
-                         subsample: str = "444",
-                         restart_interval: int = 0) -> bytes:
-    """(H, W) grayscale or (H, W, 3) RGB uint8 → baseline JPEG bytes."""
+def _prepare_components(img: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front: color convert, subsample, pad, FDCT.
+
+    Returns (gray, h, w, samp, qids, qtl, qtc, comp_blocks, mcux,
+    mcuy) where comp_blocks[i] is the (nblocks, 64) natural-order DCT
+    coefficient array of component i over its MCU-padded block grid.
+    """
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -502,6 +739,15 @@ def encode_jpeg_baseline(img: np.ndarray, *, quality: int = 85,
         blocks = pp.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3) \
             .reshape(-1, 8, 8)
         comp_blocks.append(_fdct_blocks(blocks - 128.0).reshape(-1, 64))
+    return gray, h, w, samp, qids, qtl, qtc, comp_blocks, mcux, mcuy
+
+
+def encode_jpeg_baseline(img: np.ndarray, *, quality: int = 85,
+                         subsample: str = "444",
+                         restart_interval: int = 0) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 → baseline JPEG bytes."""
+    (gray, h, w, samp, qids, qtl, qtc, comp_blocks, mcux,
+     mcuy) = _prepare_components(img, quality, subsample)
     dc_l = _build_codes(*HT_DC_LUMA)
     ac_l = _build_codes(*HT_AC_LUMA)
     dc_c = _build_codes(*HT_DC_CHROMA)
@@ -561,5 +807,367 @@ def encode_jpeg_baseline(img: np.ndarray, *, quality: int = 85,
                                               preds[ci])
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2)
+# ---------------------------------------------------------------------------
+
+def _optimal_huffman(freq: dict[int, int]):
+    """Symbol frequencies → (bits[1..16], values), T.81 Annex K.2.
+
+    Standard optimal code-length procedure with the reserved 257th
+    code point (guarantees no all-ones code) and the 16-bit limit
+    adjustment.
+    """
+    f = [0] * 257
+    for s, n in freq.items():
+        f[s] = n
+    f[256] = 1  # reserved
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if f[i] and (v is None or f[i] <= v):
+                v, c1 = f[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if f[i] and i != c1 and (v is None or f[i] <= v):
+                v, c2 = f[i], i
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i > 0:
+        bits[i] -= 1  # drop the reserved code point
+    vals = []
+    for size in range(1, 33):
+        for sym in range(256):
+            if codesize[sym] == size:
+                vals.append(sym)
+    return bits[1:17], vals
+
+
+class _FreqEmitter:
+    """Pass-1 emitter: counts Huffman symbols per table key."""
+
+    def __init__(self):
+        self.freq: dict[tuple, dict[int, int]] = {}
+
+    def sym(self, key, s):
+        tbl = self.freq.setdefault(key, {})
+        tbl[s] = tbl.get(s, 0) + 1
+
+    def bits(self, v, n):
+        pass
+
+    def restart(self, idx):
+        pass
+
+
+class _CodeEmitter:
+    """Pass-2 emitter: writes codes/bits into a _BitWriter."""
+
+    def __init__(self, bw: "_BitWriter", codes: dict):
+        self.bw = bw
+        self.codes = codes
+
+    def sym(self, key, s):
+        code, ln = self.codes[key][s]
+        self.bw.write(code, ln)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.write(v & ((1 << n) - 1), n)
+
+    def restart(self, idx):
+        self.bw.flush()
+        self.bw.out.extend(bytes([0xFF, 0xD0 + (idx & 7)]))
+
+
+class _AcFirstEnc:
+    """Progressive AC initial-scan entropy state (EOB-run coding)."""
+
+    def __init__(self, em, key, ss, se, al):
+        self.em, self.key, self.ss, self.se, self.al = em, key, ss, se, al
+        self.eobrun = 0
+
+    def block(self, zz):
+        em, key, al = self.em, self.key, self.al
+        r = 0
+        for k in range(self.ss, self.se + 1):
+            temp = int(zz[k])
+            if temp < 0:
+                temp = (-temp) >> al
+                temp2 = ~temp
+            else:
+                temp >>= al
+                temp2 = temp
+            if temp == 0:
+                r += 1
+                continue
+            if self.eobrun:
+                self.flush()
+            while r > 15:
+                em.sym(key, 0xF0)
+                r -= 16
+            nbits = temp.bit_length()
+            em.sym(key, (r << 4) | nbits)
+            em.bits(temp2, nbits)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush()
+
+    def flush(self):
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.em.sym(self.key, nbits << 4)
+            if nbits:
+                self.em.bits(self.eobrun, nbits)
+            self.eobrun = 0
+
+
+class _AcRefineEnc:
+    """Progressive AC refinement entropy state (buffered correction
+    bits behind pending EOB runs, published libjpeg semantics)."""
+
+    def __init__(self, em, key, ss, se, al):
+        self.em, self.key, self.ss, self.se, self.al = em, key, ss, se, al
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits pending with eobrun
+
+    def block(self, zz):
+        em, key, al = self.em, self.key, self.al
+        ss, se = self.ss, self.se
+        absv = [0] * (se + 1)
+        eob = ss - 1  # index of the last newly-nonzero coefficient
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            t = (-t if t < 0 else t) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k
+        r = 0
+        br_bits: list[int] = []
+        for k in range(ss, se + 1):
+            temp = absv[k]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self.flush()
+                em.sym(key, 0xF0)
+                r -= 16
+                for b in br_bits:
+                    em.bits(b, 1)
+                br_bits = []
+            if temp > 1:
+                br_bits.append(temp & 1)
+                continue
+            self.flush()
+            em.sym(key, (r << 4) | 1)
+            em.bits(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br_bits:
+                em.bits(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            self.eobrun += 1
+            self.be.extend(br_bits)
+            if self.eobrun == 0x7FFF or len(self.be) > 900:
+                self.flush()
+
+    def flush(self):
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.em.sym(self.key, nbits << 4)
+            if nbits:
+                self.em.bits(self.eobrun, nbits)
+            self.eobrun = 0
+            for b in self.be:
+                self.em.bits(b, 1)
+            self.be = []
+
+
+def _run_progressive_scan(em, qz, scan_ids, ss, se, ah, al, samp,
+                          mcux, mcuy, grids, restart_interval):
+    """Emit one scan's entropy symbols through `em` (count or write).
+
+    grids[ci] = (nbx, nby) true block grid for non-interleaved scans.
+    """
+    preds = {ci: 0 for ci in scan_ids}
+    rst = 0
+    if ss == 0:
+        def dc_one(ci, key, zz_row):
+            v = int(zz_row[0])
+            if ah:
+                em.bits((v >> al) & 1, 1)
+                return
+            t = v >> al
+            diff = t - preds[ci]
+            preds[ci] = t
+            mag = abs(diff).bit_length()
+            em.sym(key, mag)
+            if mag:
+                em.bits(diff if diff > 0 else diff + (1 << mag) - 1, mag)
+
+        if len(scan_ids) > 1:
+            for mcu in range(mcux * mcuy):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    em.restart(rst)
+                    rst += 1
+                    for ci in preds:
+                        preds[ci] = 0
+                my, mx = divmod(mcu, mcux)
+                for ci in scan_ids:
+                    sh, sv = samp[ci]
+                    bwb = mcux * sh
+                    key = ("dc", 0 if ci == 0 else 1)
+                    for by in range(sv):
+                        for bx in range(sh):
+                            row = my * sv + by
+                            col = mx * sh + bx
+                            dc_one(ci, key, qz[ci][row * bwb + col])
+        else:
+            ci = scan_ids[0]
+            nbx, nby = grids[ci]
+            bwb = mcux * samp[ci][0]
+            key = ("dc", 0 if ci == 0 else 1)
+            for unit in range(nbx * nby):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    em.restart(rst)
+                    rst += 1
+                    preds[ci] = 0
+                row, col = divmod(unit, nbx)
+                dc_one(ci, key, qz[ci][row * bwb + col])
+        return
+    # AC scan: single component over its true block grid
+    ci = scan_ids[0]
+    nbx, nby = grids[ci]
+    bwb = mcux * samp[ci][0]
+    key = ("ac", 0 if ci == 0 else 1)
+    enc_cls = _AcFirstEnc if ah == 0 else _AcRefineEnc
+    enc = enc_cls(em, key, ss, se, al)
+    for unit in range(nbx * nby):
+        if restart_interval and unit and unit % restart_interval == 0:
+            enc.flush()
+            em.restart(rst)
+            rst += 1
+            enc = enc_cls(em, key, ss, se, al)
+        row, col = divmod(unit, nbx)
+        enc.block(qz[ci][row * bwb + col])
+    enc.flush()
+
+
+def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 85,
+                            subsample: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 → progressive JPEG.
+
+    Uses the standard luma/chroma progression (DC first at Al=1 +
+    refinement; AC spectral bands with successive approximation);
+    per-scan Huffman tables are frequency-optimal (two-pass), as
+    progressive files in the wild are. Final coefficient precision
+    equals the baseline encoder's, so decode(progressive) is
+    bit-identical to decode(baseline) at the same quality/subsampling.
+    """
+    (gray, h, w, samp, qids, qtl, qtc, comp_blocks, mcux,
+     mcuy) = _prepare_components(img, quality, subsample)
+    nc = 1 if gray else 3
+    qtabs = [qtl if q == 0 else qtc for q in qids]
+    # zigzag-order integer coefficients per component
+    qz = [np.round(cb[:, ZIGZAG] / qt[ZIGZAG][None, :]).astype(np.int32)
+          for cb, qt in zip(comp_blocks, qtabs)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    grids = []
+    for sh, sv in samp:
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        grids.append((-(-cw // 8), -(-ch // 8)))
+    if gray:
+        script = [((0,), 0, 0, 0, 1), ((0,), 1, 5, 0, 2),
+                  ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+                  ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)]
+    else:
+        script = [((0, 1, 2), 0, 0, 0, 1),
+                  ((0,), 1, 5, 0, 2), ((1,), 1, 63, 0, 1),
+                  ((2,), 1, 63, 0, 1), ((0,), 6, 63, 0, 2),
+                  ((0,), 1, 63, 2, 1), ((0, 1, 2), 0, 0, 1, 0),
+                  ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+                  ((0,), 1, 63, 1, 0)]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2)
+                   + body)
+
+    seg(0xDB, bytes([0]) + bytes(qtl.astype(np.uint8)[ZIGZAG]))
+    if not gray:
+        seg(0xDB, bytes([1]) + bytes(qtc.astype(np.uint8)[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    seg(0xC2, sof)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    for scan_ids, ss, se, ah, al in script:
+        # pass 1: symbol frequencies → optimal per-scan tables
+        fe = _FreqEmitter()
+        _run_progressive_scan(fe, qz, scan_ids, ss, se, ah, al, samp,
+                              mcux, mcuy, grids, restart_interval)
+        codes = {}
+        for key, freq in fe.freq.items():
+            bits, vals = _optimal_huffman(freq)
+            codes[key] = _build_codes(bits, vals)
+            cls = 0 if key[0] == "dc" else 1
+            seg(0xC4, bytes([(cls << 4) | key[1]]) + bytes(bits)
+                + bytes(vals))
+        sos = bytes([len(scan_ids)])
+        for ci in scan_ids:
+            td = ta = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        bw = _BitWriter()
+        _run_progressive_scan(_CodeEmitter(bw, codes), qz, scan_ids, ss,
+                              se, ah, al, samp, mcux, mcuy, grids,
+                              restart_interval)
+        bw.flush()
+        out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -561,10 +561,12 @@ def _populate() -> None:
       "engine extension (round 4): full stdlib baseline PNG decoder — "
       "all 5 filters / 5 color types at bit depth 8; the real decode "
       "path behind ImageEmbeddings")
-    E("DecodeJPEG", "multimodal", RJPG.decode_jpeg_baseline,
-      "engine extension (round 4): baseline-sequential JPEG decoder "
-      "(T.81 public spec) — Huffman + vectorized IDCT, chroma "
-      "subsampling, restart markers; paired encoder for synthesis")
+    E("DecodeJPEG", "multimodal", RJPG.decode_jpeg,
+      "engine extension (rounds 4-5): JPEG decoder for baseline (SOF0) "
+      "AND progressive (SOF2: spectral selection + successive "
+      "approximation) scans (T.81 public spec) — Huffman + vectorized "
+      "IDCT, chroma subsampling, restart markers; paired baseline and "
+      "progressive encoders for synthesis")
     from .textops import avi as TAVI
     from .textops import wav as TWAV
 

@@ -5,12 +5,14 @@ DECODE IS REAL for the self-describing interchange formats, all with
 pure-stdlib codecs, used whenever the payload carries the matching
 signature regardless of the ``fake`` flag:
 - image: PNG (``raster/image.py decode_png_any`` — all five filters,
-  all five 8-bit color types) and baseline JPEG (``raster/jpeg.py`` —
-  Huffman + DCT, chroma sampling, restart markers);
+  all five 8-bit color types) and JPEG, both baseline (SOF0) and
+  progressive (SOF2 — spectral selection + successive approximation)
+  (``raster/jpeg.py`` — Huffman + DCT, chroma sampling, restart
+  markers);
 - audio: WAV RIFF PCM/float (``textops/wav.py`` — 8/16/24/32-bit,
   multi-channel, mono-mixed for framing);
 - video: AVI/MJPEG (``textops/avi.py`` — RIFF walk + per-frame JPEG).
-Compressed/inter-frame codecs (MP3, H.264, progressive JPEG, …)
+Compressed/inter-frame codecs (MP3, H.264, …)
 remain STUBBED (no media libraries here):
 they raise ``NotImplementedError`` unless ``fake=True``, in which case
 a deterministic fake decoder (seeded from the payload hash) produces
@@ -114,14 +116,14 @@ class ImageFeatureExtractor:
             return png_to_gray(decode_png_any(payload))
         if payload[:2] == b"\xff\xd8":
             from ..raster.image import png_to_gray
-            from ..raster.jpeg import decode_jpeg_baseline
+            from ..raster.jpeg import decode_jpeg
 
-            return png_to_gray(decode_jpeg_baseline(payload))
+            return png_to_gray(decode_jpeg(payload))
         if not self.fake:
             raise NotImplementedError(
-                "image decode beyond PNG/baseline-JPEG requires PIL/cv2 "
-                "(not in this container); run with fake=True for the "
-                "deterministic stub")
+                "image decode beyond PNG/JPEG (baseline + progressive) "
+                "requires PIL/cv2 (not in this container); run with "
+                "fake=True for the deterministic stub")
         return _fake_decode(payload, (h, w))
 
     def _resize(self, img: np.ndarray) -> np.ndarray:

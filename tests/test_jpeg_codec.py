@@ -1,13 +1,15 @@
-"""Baseline JPEG codec tests (raster/jpeg.py): encoder↔decoder round
-trips across quality / subsampling / restart intervals / odd sizes,
-spec-edge behavior, and the real (non-stub) embedding path."""
+"""JPEG codec tests (raster/jpeg.py): encoder↔decoder round trips
+across quality / subsampling / restart intervals / odd sizes,
+progressive (SOF2) scans bit-equal to baseline, spec-edge behavior,
+and the real (non-stub) embedding path."""
 
 import numpy as np
 import pytest
 import ray
 
 from opengxt_ray.raster.jpeg import (decode_jpeg_baseline,
-                                     encode_jpeg_baseline)
+                                     encode_jpeg_baseline,
+                                     encode_jpeg_progressive)
 
 
 def _psnr(a, b):
@@ -70,15 +72,89 @@ def test_noise_q100_near_lossless():
     assert _psnr(img, out) > 40
 
 
-def test_non_baseline_sof_raises():
+def test_unsupported_sof_raises():
     img = _gradient(16, 16)
     data = bytearray(encode_jpeg_baseline(img))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # progressive SOF
+    data[i + 1] = 0xC3  # lossless sequential: not implemented
     with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(bytes(data))
+    # SOF2 is supported, but a combined DC+AC scan inside a
+    # progressive frame is malformed → ValueError, not a wrong image
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg_baseline(bytes(data))
     with pytest.raises(ValueError):
         decode_jpeg_baseline(b"\x00\x01not a jpeg")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,sub,q", [
+    ((32, 32), "444", 85), ((17, 23), "444", 50),
+    ((32, 32, 3), "444", 95), ((33, 47, 3), "420", 85),
+    ((9, 9, 3), "420", 50), ((8, 8), "444", 95),
+])
+def test_progressive_decode_bit_equals_baseline(shape, sub, q):
+    """The standard progression (DC Al=1 + refinement, AC spectral
+    bands with successive approximation) restores the exact quantized
+    coefficients, so decode(progressive) == decode(baseline)."""
+    rs = np.random.RandomState(7)
+    yy, xx = np.mgrid[:shape[0], :shape[1]]
+    base = (yy * 3 + xx * 2) % 256
+    img = base if len(shape) == 2 else np.stack(
+        [base, (xx * 5) % 256, (yy + xx * 2) % 256], axis=2)
+    img = np.clip(img + rs.randint(-20, 20, shape), 0, 255).astype(np.uint8)
+    b = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quality=q, subsample=sub))
+    p = decode_jpeg_baseline(
+        encode_jpeg_progressive(img, quality=q, subsample=sub))
+    assert np.array_equal(b, p)
+
+
+def test_progressive_restart_intervals_and_noise():
+    """Dense noise (max-entropy AC: every EOB-run / ZRL / refinement
+    branch) with restart markers in every scan."""
+    rs = np.random.RandomState(11)
+    img = rs.randint(0, 256, size=(40, 40, 3)).astype(np.uint8)
+    b = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quality=75, subsample="420"))
+    p = decode_jpeg_baseline(encode_jpeg_progressive(
+        img, quality=75, subsample="420", restart_interval=2))
+    assert np.array_equal(b, p)
+
+
+def test_progressive_truncation_raises_not_hangs():
+    rs = np.random.RandomState(13)
+    img = rs.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    enc = encode_jpeg_progressive(img, quality=85, restart_interval=2)
+    for cut in (len(enc) // 4, len(enc) // 2, len(enc) - 20):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg_baseline(enc[:cut])
+
+
+def test_image_extractor_mixed_baseline_progressive_batch():
+    """ImageFeatureExtractor handles a batch mixing baseline and
+    progressive payloads; identical pixels → identical embeddings."""
+    import pyarrow as pa
+
+    from opengxt_ray.textops.multimodal import ImageFeatureExtractor
+
+    rs = np.random.RandomState(5)
+    rgb = rs.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    pays = [encode_jpeg_baseline(rgb, quality=90),
+            encode_jpeg_progressive(rgb, quality=90)]
+    batch = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array(pays, pa.binary()),
+        "width": pa.array([64, 64], pa.int32()),
+        "height": pa.array([48, 48], pa.int32()),
+    })
+    out = ImageFeatureExtractor()(batch)
+    embs = out["embedding"].to_pylist()
+    np.testing.assert_allclose(embs[0], embs[1], rtol=1e-12)
 
 
 def test_image_embeddings_real_jpeg_path():
