@@ -78,10 +78,25 @@ def checkpointed_write(ds, root: str, *, key_col: str, num_buckets: int = 64,
     assigned = ds.map_batches(_assign, batch_format="pyarrow")
 
     def _write_bucket(group: pa.Table) -> pa.Table:
+        # fault-injection hook (kill/resume tests): slow each bucket
+        # write so a test harness can kill the run mid-stream
+        throttle = float(os.environ.get("OGXT_CKPT_THROTTLE_S", "0") or 0.0)
+        if throttle:
+            import time
+
+            time.sleep(throttle)
         bucket = int(group["__bucket"][0].as_py())
         table = group.drop_columns(["__bucket"])
+        # deterministic bucket files: within-bucket row order depends
+        # on block arrival, so sort by the key column — a resumed or
+        # re-run bucket is then byte-identical to a clean run's
+        table = table.sort_by(key_col)
         bdir = os.path.join(root, f"bucket={bucket}")
         os.makedirs(bdir, exist_ok=True)
+        # clear tmp files a killed writer may have left behind
+        for stale in os.listdir(bdir):
+            if stale.endswith(".tmp"):
+                os.remove(os.path.join(bdir, stale))
         # atomic data write: tmp file + rename
         fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".tmp")
         os.close(fd)
