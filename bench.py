@@ -485,8 +485,49 @@ def bench_pip_join_large(sf_dir: str, n_rows: int = SCALING_ROWS) -> int:
     return out.count()
 
 
+def bench_group_shuffle_large(sf_dir: str, n_rows: int) -> int:
+    """Shuffle-heavy memproof workload: the same synthesized geocoded
+    pages, but consumed by a full hash-shuffle
+    ``groupby(cell).aggregate(count, mean)`` — every row crosses the
+    all-to-all exchange, the shape that stresses the object store at
+    100 TB (the map+broadcast-join memproof never shuffles).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count, Mean
+
+    from opengxt_ray.core.util import default_shuffle_partitions
+    from opengxt_ray.index import hexgrid
+    from opengxt_ray.sources import pages
+
+    def _prep(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy()
+        host = ids % 997
+        path = ids // 997
+        urls = [f"https://host{h}.example/p{p}" for h, p in zip(host, path)]
+        lon, lat = pages.geocode_arrays(urls)
+        cell = hexgrid.hex_cell(lon, lat, 7)
+        # 4 × 8-byte columns: the shuffle volume is ~32 B/row so 240M
+        # rows ≈ 7.7 GB of exchange against the 12 GB store cap
+        return pa.table({
+            "cell": pa.array(cell, pa.uint64()),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+            "w": pa.array(np.abs(lat) + 1.0),
+        })
+
+    nblocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    pts = ray.data.range(n_rows, override_num_blocks=nblocks).map_batches(
+        _prep, batch_format="pyarrow")
+    agg = pts.groupby(
+        "cell", num_partitions=default_shuffle_partitions()).aggregate(
+        Count(), Mean("lat"), Mean("w"))
+    return agg.count()
+
+
 def memproof(sf_dir: str, n_rows: int = 240_000_000,
-             store_bytes: int = 12_000_000_000) -> dict:
+             store_bytes: int = 12_000_000_000,
+             mode: str = "map") -> dict:
     """Streaming proof at 100× the small-test scale (round-3 verdict
     item #9): the geocode+PIP headline job at ``n_rows`` with the
     object store CAPPED at ``store_bytes`` — far below the job's total
@@ -516,7 +557,10 @@ def memproof(sf_dir: str, n_rows: int = 240_000_000,
     th = threading.Thread(target=_poll, daemon=True)
     th.start()
     t0 = time.perf_counter()
-    n = bench_pip_join_large(sf_dir, n_rows)
+    if mode == "shuffle":
+        n = bench_group_shuffle_large(sf_dir, n_rows)
+    else:
+        n = bench_pip_join_large(sf_dir, n_rows)
     dt = round(time.perf_counter() - t0, 3)
     stop.set()
     th.join(timeout=2)
@@ -531,8 +575,13 @@ def memproof(sf_dir: str, n_rows: int = 240_000_000,
     except Exception:
         pass
     return {
-        "metric": "memproof", "unit": "sec", "rows": n, "sec": dt,
-        "rows_per_sec": round(n / dt), "num_cpus": NUM_CPUS,
+        "metric": "memproof" if mode == "map" else "memproof_shuffle",
+        "unit": "sec",
+        "rows": n if mode == "map" else n_rows,
+        "groups": None if mode == "map" else n,
+        "sec": dt,
+        "rows_per_sec": round((n if mode == "map" else n_rows) / dt),
+        "num_cpus": NUM_CPUS,
         "object_store_cap_bytes": int(total_store),
         "peak_object_store_used_bytes": int(peak["used"]),
         "peak_object_store_frac": round(peak["used"] / total_store, 3)
@@ -642,9 +691,10 @@ if __name__ == "__main__":
         print(json.dumps(scaling(SF_DIR)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--memproof":
         rows = int(sys.argv[2]) if len(sys.argv) > 2 else 240_000_000
+        mode = sys.argv[3] if len(sys.argv) > 3 else "map"
         import ray
 
-        print(json.dumps(memproof(SF_DIR, rows)))
+        print(json.dumps(memproof(SF_DIR, rows, mode=mode)))
         ray.shutdown()
     elif len(sys.argv) > 1 and sys.argv[1] == "--dedup-scale":
         docs = tuple(int(d) for d in (sys.argv[2].split(",") if
