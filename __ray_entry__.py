@@ -19,6 +19,13 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from opengxt_ray.core.util import install_empty_bundle_warning_filter
+
+# benign empty-bundle log noise only — real schema mismatches still
+# warn (see the helper's docstring; OGXT_KEEP_EMPTY_SCHEMA_WARNINGS=1
+# reveals everything)
+install_empty_bundle_warning_filter()
+
 # ---------------------------------------------------------------------------
 # shared derivation SQL fragments (must mirror opengxt_ray.sources.tpch_geo)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,13 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+try:
+    from opengxt_ray.core.util import install_empty_bundle_warning_filter
+
+    install_empty_bundle_warning_filter()
+except Exception:
+    pass
+
 
 def _lineitem_points(sf_dir):
     """600k-row point table derived from lineitem (the headline input)."""

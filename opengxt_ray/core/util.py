@@ -60,6 +60,50 @@ def default_join_partitions() -> int:
     return 8
 
 
+def install_empty_bundle_warning_filter() -> None:
+    """Silence ONLY the benign empty-bundle RefBundle warning.
+
+    Ray's sort shuffle can emit 0-row SCHEMA-LESS partitions when the
+    sampled range boundaries duplicate over a small key space (racy;
+    remaining sites: union_polygon / minhash map_groups — every other
+    site was fixed for real by typed empties + coalesce_for_groupby,
+    round-5 sweep). Map stages never invoke UDFs on 0-row blocks, so
+    these cannot be stamped with a schema from user code, and all
+    downstream consumers in this repo handle typed empties (gate
+    67/67). This filter drops the executor warning only when one side
+    of the comparison is the EMPTY schema — a real typed-vs-typed
+    schema mismatch still warns. Driver surfaces (__ray_entry__,
+    bench, gate tool) install it; set OGXT_KEEP_EMPTY_SCHEMA_WARNINGS=1
+    to see everything (tools/schema_warnings.py does).
+    """
+    import logging
+    import os
+    import re
+
+    if os.environ.get("OGXT_KEEP_EMPTY_SCHEMA_WARNINGS"):
+        return
+
+    class _EmptyBundleFilter(logging.Filter):
+        ogxt_empty_bundle = True  # idempotence marker
+        _empty_new = re.compile(r"new schema: *\. This may lead")
+        _empty_prev = re.compile(r"Previous schema: *, new schema:")
+
+        def filter(self, record):
+            try:
+                msg = record.getMessage()
+            except Exception:
+                return True
+            if "RefBundle with a different schema" not in msg:
+                return True
+            return not (self._empty_new.search(msg)
+                        or self._empty_prev.search(msg))
+
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(getattr(f, "ogxt_empty_bundle", False) for f in lg.filters):
+        lg.addFilter(_EmptyBundleFilter())
+
+
 def coalesce_for_groupby(ds, nkeys_hint: int | None = None):
     """Coalesce blocks entering a sort-shuffled groupby/map_groups.
 

@@ -164,3 +164,33 @@ def test_vincenty_known_geodesics():
     d = vincenty([2.3522], [48.8566], [-74.0060], [40.7128])
     assert abs(d[0] / 1000.0 - 5853.1) < 2.0
     assert vincenty([5.0], [5.0], [5.0], [5.0])[0] == 0.0
+
+
+def test_empty_bundle_warning_filter_precision():
+    """The log filter drops ONLY the benign empty-schema RefBundle
+    warning; typed-vs-typed mismatches (the class that predicts real
+    breakage) still pass."""
+    import logging
+
+    from opengxt_ray.core.util import install_empty_bundle_warning_filter
+
+    install_empty_bundle_warning_filter()
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    mk = lambda msg: logging.LogRecord("x", logging.WARNING, "f", 1,
+                                       msg, None, None)
+    benign_new = ("Operator produced a RefBundle with a different schema "
+                  "than the previous one. Previous schema: rep: int64\n"
+                  "geom: binary, new schema: . This may lead to "
+                  "unexpected behavior.")
+    benign_prev = ("Operator produced a RefBundle with a different schema "
+                   "than the previous one. Previous schema: , new schema: "
+                   "a: int64. This may lead to unexpected behavior.")
+    real = ("Operator produced a RefBundle with a different schema "
+            "than the previous one. Previous schema: a: int64, new "
+            "schema: a: double. This may lead to unexpected behavior.")
+    other = "some unrelated warning"
+    assert not lg.filter(mk(benign_new))
+    assert not lg.filter(mk(benign_prev))
+    assert lg.filter(mk(real))
+    assert lg.filter(mk(other))

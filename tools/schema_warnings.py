@@ -6,8 +6,13 @@ the ray.data logger and prints queries that warned."""
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import time
+
+# this tool exists to SEE the warnings — opt out of the benign-class
+# filter __ray_entry__ installs (core/util.py)
+os.environ.setdefault("OGXT_KEEP_EMPTY_SCHEMA_WARNINGS", "1")
 
 
 class _Capture(logging.Handler):
