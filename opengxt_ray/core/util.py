@@ -119,6 +119,14 @@ def coalesce_for_groupby(ds, nkeys_hint: int | None = None):
     still scales with the cluster (the hint only ever SHRINKS the
     partition count at toy scale — at 100-TB scale keys ≫ CPUs and
     this is the plain ~CPU-count coalesce).
+
+    CAUTION: with no hint this repartitions to the CPU-count target
+    even when the input has FEWER blocks/rows than that —
+    repartitioning a tiny table UP mints schema-less empty blocks, the
+    exact artifact this helper exists to avoid, and those poison
+    downstream hash-shuffle joins (round-5 buffer_statistics
+    regression). Pass a hint whenever the key count is knowable; skip
+    the coalesce entirely for possibly-tiny unhinted inputs.
     """
     tgt = default_shuffle_partitions()
     if nkeys_hint is not None:

@@ -106,7 +106,11 @@ def data_statistics(ds, value_cols: list[str], *, group_by: str | None = None,
     ``ngroups_hint``: expected distinct-group count; sizes the
     pre-groupby coalesce so the sort shuffle emits no schema-less
     empty reduce partitions (ungrouped runs always coalesce to 1 —
-    the key is a constant)."""
+    the key is a constant). With NO hint, grouped runs are NOT
+    coalesced: repartitioning a tiny partial table UP to the CPU-count
+    target creates the very schema-less empties the coalesce exists to
+    avoid, and they poison downstream hash-shuffle joins (round-5
+    buffer_statistics regression)."""
     partials = ds.map_batches(
         lambda b: _partial_stats_batch(b, group_by, value_cols),
         batch_format="pyarrow",
@@ -114,8 +118,10 @@ def data_statistics(ds, value_cols: list[str], *, group_by: str | None = None,
     from ..core.util import coalesce_for_groupby, default_shuffle_partitions
 
     keycol = group_by if group_by is not None else "__k"
-    partials = coalesce_for_groupby(
-        partials, 1 if group_by is None else ngroups_hint)
+    if group_by is None:
+        partials = coalesce_for_groupby(partials, 1)
+    elif ngroups_hint is not None:
+        partials = coalesce_for_groupby(partials, ngroups_hint)
     return partials.groupby(
         keycol, num_partitions=default_shuffle_partitions()).map_groups(
         lambda g: _finalize_stats(g, group_by, value_cols, funcs, round_digits),

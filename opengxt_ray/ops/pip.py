@@ -117,7 +117,8 @@ def point_statistics(points_ds, poly_table: pa.Table, *, poly_key: str,
         dedup="suffix", right_cols=[poly_key],
     )
     stats = data_statistics(joined, fields, group_by=poly_key, funcs=funcs,
-                            round_digits=round_digits)
+                            round_digits=round_digits,
+                            ngroups_hint=poly_table.num_rows)
     want = [poly_key] + [f"{fn}_{fld}" for fn, fld in entries]
     key_type = poly_table.schema.field(poly_key).type
     stats = stats.map_batches(
