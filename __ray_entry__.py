@@ -707,6 +707,48 @@ def _q_html_extract(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC ingest (round 5): documents → per-record-gzip .warc.gz
+    shards (Common-Crawl layout, deterministic) → parallel
+    ``warc_dataset`` read (one streaming task per shard, HTTP strip) →
+    (url, n_bytes). The oracle computes the same url/byte-length
+    directly from the documents table, so the gate proves the
+    container round-trips bytes exactly through the Ray read path."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from opengxt_ray.sources import warc as W
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tag = hashlib.md5(f"{sf_dir}|{docs.num_rows}".encode()).hexdigest()[:10]
+    cache = f"/tmp/ogxt_warc_{tag}"
+    nshards = 4
+    paths = [os.path.join(cache, f"shard-{s}.warc.gz")
+             for s in range(nshards)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(cache, exist_ok=True)
+        ids = docs["doc_id"].to_numpy()
+        texts = docs["text"].to_pylist()
+        for s in range(nshards):
+            recs = [{"url": f"https://docs.example/{int(i)}",
+                     "payload": t.encode("utf-8"),
+                     "content_type": "text/plain"}
+                    for i, t in zip(ids, texts) if int(i) % nshards == s]
+            W.write_warc(paths[s] + ".tmp", recs, gzip_per_record=True)
+            os.replace(paths[s] + ".tmp", paths[s])
+    ds = W.warc_dataset(paths, columns=["url", "payload"])
+    return ds.map_batches(
+        lambda b: pa.table({
+            "url": b["url"],
+            "n_bytes": pc.cast(pc.binary_length(b["payload"]),
+                               pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_duplicate_windows(sf_dir: str):
     """Exact cross-document duplicate spans (20-word windows, Lee et
     al. 2022 windowed formulation): per-doc duplicated-window counts,
@@ -1635,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "duplicate_windows": _q_duplicate_windows,
         "html_extract": _q_html_extract,
+        "warc_roundtrip": _q_warc_roundtrip,
         "pii_redact": _q_pii_redact,
     }
 
@@ -2141,6 +2184,12 @@ def oracle_sql() -> dict[str, str]:
                    || ' balance & status: ' || (c_custkey % 100)
                        AS text
             FROM customer
+        """,
+        "warc_roundtrip": """
+            SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "duplicate_windows": """
             WITH words AS (

@@ -598,6 +598,18 @@ def _populate() -> None:
     E("DXFStoreWrite", "sink", DXF.write_dxf,
       "GT/storage DXF DataStore: R12 writer (points, polylines, "
       "closed rings; polygon holes as separate closed polylines)")
+    from .sources import warc as WRC
+
+    E("WarcRead", "source", WRC.warc_dataset,
+      "engine extension (round 5): WARC/ISO-28500 shard reader — the "
+      "container Common-Crawl pages arrive in (input_hint ingest "
+      "path); one streaming generator task per shard, per-record gzip "
+      "members, HTTP strip, column pruning at the read. Nearest "
+      "reference analogue: GS/ppio source PPIOs")
+    E("WarcWrite", "sink", WRC.write_warc,
+      "engine extension (round 5): WARC writer — per-record gzip "
+      "members (Common-Crawl layout, splittable), deterministic "
+      "uuid5 record ids")
     from .textops import urlops as URL
 
     E("UrlParse", "trainingdata", URL.parse_urls,

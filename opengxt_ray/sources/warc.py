@@ -1,0 +1,257 @@
+"""WARC (ISO 28500) source/sink — the container format Common-Crawl
+pages actually arrive in, pure stdlib (gzip + io).
+
+The reference engine reads its features from Shapefile/GeoJSON/WPS
+PPIOs (GS/ppio/*); a web-scale pages pipeline instead starts from
+.warc / .warc.gz shards, so this closes the ingest gap for the
+input_hint table: WARC shards → Arrow batches of
+``url / warc_ts(date) / payload`` that feed the same html_to_text /
+geocode / join stages as the parquet path.
+
+Scale design:
+- One read task per shard (Common-Crawl shards are ~1 GB and
+  independently gzipped per record, i.e. concatenated gzip members —
+  ``gzip.GzipFile`` decodes member streams natively), so a 100 TB
+  crawl parallelizes across its ~100k shards with no coordination.
+- The shard reader is a GENERATOR ``map_batches`` UDF: records stream
+  out in bounded ``batch_rows`` chunks instead of materializing a
+  whole decompressed shard in the worker heap.
+- ``columns=`` prunes at the read: when the payload column is not
+  requested the body bytes are skipped (seek-forward), not carried.
+
+Writer exists for fixtures/round-trips (and as the export sink):
+deterministic record ids (uuid5 of url+date), per-record gzip members
+(Common-Crawl layout) or plain concatenation.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import uuid
+
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def _http_response(body: bytes, content_type: str) -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + content_type.encode("ascii")
+            + b"\r\nContent-Length: " + str(len(body)).encode("ascii")
+            + b"\r\n\r\n" + body)
+
+
+def _warc_record(url: str, date: str, payload: bytes, *,
+                 rec_type: str = "response",
+                 content_type: str = "text/html",
+                 wrap_http: bool = True) -> bytes:
+    block = _http_response(payload, content_type) if (
+        wrap_http and rec_type == "response") else payload
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{date}")
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rec_type.encode("ascii") + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Date: " + date.encode("ascii") + _CRLF
+        + b"WARC-Record-ID: <urn:uuid:" + str(rid).encode("ascii")
+        + b">\r\n"
+        + (b"Content-Type: application/http; msgtype=response\r\n"
+           if wrap_http and rec_type == "response"
+           else b"Content-Type: " + content_type.encode("ascii") + _CRLF)
+        + b"Content-Length: " + str(len(block)).encode("ascii") + _CRLF
+        + _CRLF)
+    return head + block + _CRLF + _CRLF
+
+
+def write_warc(path: str, records, *, gzip_per_record: bool | None = None,
+               wrap_http: bool = True) -> int:
+    """Write records to a .warc / .warc.gz shard; returns the count.
+
+    ``records``: iterable of dicts with ``url`` (str), ``payload``
+    (bytes), optional ``date`` (ISO-8601 str, default epoch-ish
+    constant), ``rec_type``, ``content_type``. ``gzip_per_record``
+    defaults from the filename suffix; gzipped output is one gzip
+    member per record (the Common-Crawl layout, seekable/splittable).
+    """
+    if gzip_per_record is None:
+        gzip_per_record = path.endswith(".gz")
+    n = 0
+    with open(path, "wb") as f:
+        for rec in records:
+            raw = _warc_record(
+                rec["url"], rec.get("date", "2025-06-01T00:00:00Z"),
+                rec["payload"], rec_type=rec.get("rec_type", "response"),
+                content_type=rec.get("content_type", "text/html"),
+                wrap_http=wrap_http)
+            if gzip_per_record:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(raw)
+                f.write(buf.getvalue())
+            else:
+                f.write(raw)
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def strip_http(block: bytes) -> tuple[int, bytes]:
+    """HTTP response block → (status, body). Non-HTTP blocks pass
+    through as (0, block)."""
+    if not block.startswith(b"HTTP/"):
+        return 0, block
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return 0, block
+    try:
+        status = int(block[:sep].split(_CRLF, 1)[0].split(b" ")[1])
+    except (IndexError, ValueError):
+        status = 0
+    return status, block[sep + 4:]
+
+
+def iter_warc(path: str, *, want_payload: bool = True,
+              rec_types: tuple = ("response",)):
+    """Stream records from a .warc / .warc.gz shard.
+
+    Yields dicts ``{url, date, rec_type, payload}`` (payload is the
+    raw content block; ``want_payload=False`` skips the body bytes —
+    the column-pruned read). Raises ValueError on malformed headers /
+    truncated blocks rather than looping.
+    """
+    raw = open(path, "rb")
+    stream = gzip.GzipFile(fileobj=raw) if path.endswith(".gz") else raw
+    try:
+        reader = io.BufferedReader(stream, 1 << 20)
+        while True:
+            line = reader.readline()
+            if not line:
+                return
+            if line in (_CRLF, b"\n"):
+                continue
+            if not line.startswith(b"WARC/"):
+                raise ValueError(
+                    f"malformed WARC: expected version line, got "
+                    f"{line[:40]!r}")
+            hdr: dict[str, str] = {}
+            while True:
+                line = reader.readline()
+                if not line:
+                    raise ValueError("truncated WARC header")
+                if line in (_CRLF, b"\n"):
+                    break
+                k, _, v = line.decode("utf-8", "replace").partition(":")
+                hdr[k.strip().lower()] = v.strip()
+            try:
+                length = int(hdr["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError("WARC record missing Content-Length")
+            rtype = hdr.get("warc-type", "")
+            if rtype in rec_types:
+                if want_payload:
+                    block = reader.read(length)
+                    if len(block) != length:
+                        raise ValueError("truncated WARC content block")
+                else:
+                    _skip(reader, length)
+                    block = b""
+                yield {
+                    "url": hdr.get("warc-target-uri", ""),
+                    "date": hdr.get("warc-date", ""),
+                    "rec_type": rtype,
+                    "payload": block,
+                }
+            else:
+                _skip(reader, length)
+    finally:
+        stream.close()
+        if stream is not raw:
+            raw.close()
+
+
+def _skip(reader, n: int) -> None:
+    while n > 0:
+        chunk = reader.read(min(n, 1 << 20))
+        if not chunk:
+            raise ValueError("truncated WARC content block")
+        n -= len(chunk)
+
+
+# ---------------------------------------------------------------------------
+# Ray Data source
+# ---------------------------------------------------------------------------
+
+_ALL_COLS = ("url", "date", "rec_type", "status", "payload")
+
+
+def warc_dataset(paths, *, parse_http: bool = True, columns=None,
+                 batch_rows: int = 256, rec_types: tuple = ("response",)):
+    """WARC shards → ``ray.data.Dataset`` of page records.
+
+    One streaming read task per shard; the generator UDF yields
+    ``batch_rows``-sized Arrow tables so a 1 GB shard never sits
+    decompressed in worker memory. ``columns`` prunes at the read
+    (omit ``payload``/``status`` and body bytes are skipped on disk).
+    Schema: url:string, date:string, rec_type:string
+    [, status:int32][, payload:binary].
+    """
+    import ray
+
+    if isinstance(paths, str):
+        paths = [paths]
+    cols = list(columns) if columns is not None else list(_ALL_COLS)
+    bad = set(cols) - set(_ALL_COLS)
+    if bad:
+        raise ValueError(f"unknown WARC columns {sorted(bad)}; "
+                         f"available: {list(_ALL_COLS)}")
+    need_payload = "payload" in cols or (parse_http and "status" in cols)
+
+    def _read_shard(batch: pa.Table):
+        for path in batch["path"].to_pylist():
+            rows = {c: [] for c in cols}
+            n = 0
+            for rec in iter_warc(path, want_payload=need_payload,
+                                 rec_types=rec_types):
+                payload = rec["payload"]
+                status = 0
+                if parse_http and need_payload:
+                    status, payload = strip_http(payload)
+                for c in cols:
+                    if c == "status":
+                        rows[c].append(status)
+                    elif c == "payload":
+                        rows[c].append(payload)
+                    else:
+                        rows[c].append(rec[c])
+                n += 1
+                if n >= batch_rows:
+                    yield _to_table(rows, cols)
+                    rows = {c: [] for c in cols}
+                    n = 0
+            if n:
+                yield _to_table(rows, cols)
+
+    return ray.data.from_items(
+        [{"path": p} for p in paths],
+        override_num_blocks=len(paths)).map_batches(
+        _read_shard, batch_format="pyarrow")
+
+
+def _to_table(rows: dict, cols) -> pa.Table:
+    arrs = []
+    for c in cols:
+        if c == "status":
+            arrs.append(pa.array(rows[c], pa.int32()))
+        elif c == "payload":
+            arrs.append(pa.array(rows[c], pa.binary()))
+        else:
+            arrs.append(pa.array(rows[c], pa.string()))
+    return pa.table(dict(zip(cols, arrs)))
