@@ -540,6 +540,16 @@ def _populate() -> None:
     E("Fingerprint", "trainingdata", TQ.fingerprint_batch)
     E("AnnBruteTopK", "trainingdata", ANN.brute_topk)
     E("AnnIvfTopK", "trainingdata", ANN.ivf_topk)
+    E("PQEncode", "trainingdata", ANN.pq_encode,
+      "engine extension (round 5): product-quantization corpus "
+      "encoding (Jégou et al., TPAMI 2011) — m uint8 codes/vector, "
+      "32x memory reduction at D=64/float32; the step that fits a "
+      "10^12-vector corpus in cluster RAM")
+    E("PQTopK", "trainingdata", ANN.pq_topk,
+      "engine extension (round 5): ADC approximate cosine top-k over "
+      "PQ codes — per-query LUTs built once per actor, uint8 "
+      "gather+sum hot path, hash-sampled codebook training, "
+      "reusable pre-encoded corpus (codes_ds+books)")
     E("ImageEmbeddings", "multimodal", MM.image_embeddings)
     E("AudioFrameSample", "multimodal", MM.audio_frames)
     E("VideoFrameFeatures", "multimodal", MM.video_frame_features)
