@@ -214,6 +214,79 @@ def bench_ann(sf_dir):
     return brute_topk(ds, qids, qm, k=10).count()
 
 
+def bench_pq_topk(sf_dir):
+    """PQ/ADC compressed-corpus top-k over a 80k-vector synthetic
+    corpus (the sf embeddings table is tiny): train on a hash sample,
+    encode to 8-byte codes, LUT-score."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from opengxt_ray.vector.ann import pq_topk
+
+    dim, n = 64, 80_000
+
+    def _synth(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy()
+        # deterministic pseudo-embeddings: hash-seeded sin mixture
+        base = (ids[:, None] * np.arange(1, dim + 1)[None, :]).astype(
+            np.float64)
+        V = np.sin(base * 0.618) + np.cos(base * 0.231)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in V],
+                                  pa.list_(pa.float32()))})
+
+    ds = ray.data.range(n, override_num_blocks=32).map_batches(
+        _synth, batch_format="pyarrow")
+    rs = np.random.RandomState(5)
+    Q = rs.standard_normal((16, dim))
+    return pq_topk(ds, np.arange(16), Q, k=10, m=8, ksub=256,
+                   sample_n=8_000).count()
+
+
+def bench_warc_ingest(sf_dir, n_pages: int = 100_000):
+    """WARC ingest rate: synthesize per-record-gzip shards once
+    (cached under /tmp), then measure the parallel streaming read +
+    HTTP strip + byte-length reduce — the crawl front-door."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow as pa
+    import ray
+
+    from opengxt_ray.sources import pages as P
+    from opengxt_ray.sources import warc as W
+
+    nshards = 16
+    cache = f"/tmp/ogxt_warc_bench_{n_pages}"
+    paths = [os.path.join(cache, f"s{i}.warc.gz") for i in range(nshards)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(cache, exist_ok=True)
+        per = n_pages // nshards
+
+        @ray.remote
+        def _mk(i):
+            b = pa.table({"id": pa.array(
+                range(i * per, (i + 1) * per), pa.int64())})
+            t = P.synth_pages_batch(b)
+            recs = [{"url": u, "payload": h}
+                    for u, h in zip(t["url"].to_pylist(),
+                                    t["html"].to_pylist())]
+            W.write_warc(paths[i] + ".tmp", recs, gzip_per_record=True)
+            os.replace(paths[i] + ".tmp", paths[i])
+            return per
+
+        ray.get([_mk.remote(i) for i in range(nshards)])
+    ds = W.warc_dataset(paths, columns=["url", "payload"])
+    out = ds.map_batches(
+        lambda b: pa.table({
+            "url": b["url"],
+            "n_bytes": pc.cast(pc.binary_length(b["payload"]), pa.int64())
+        }), batch_format="pyarrow")
+    return out.count()
+
+
 def bench_window(sf_dir):
     import ray
     import ray.data.aggregate as A
@@ -350,6 +423,8 @@ BENCHES = {
     "union_overlay": bench_union_overlay,
     "raster_vectorize": bench_raster_vectorize,
     "html_extract": bench_html_extract,
+    "pq_topk": bench_pq_topk,
+    "warc_ingest": bench_warc_ingest,
     "dedup_10x": bench_dedup_10x,
 }
 
