@@ -1609,6 +1609,97 @@ def entry() -> Any:
     return flagship("/root/testdata/sf0.001")
 
 
+def _q_charlm_score(sf_dir: str):
+    """Corpus char-bigram LM fluency score (round 5) — the
+    integer-exact formulation of the CCNet perplexity filter: pass 1
+    builds the vocabulary-bounded corpus bigram-frequency table
+    (count shuffle only), pass 2 broadcasts it and scores every doc
+    with searchsorted+reduceat. All-int64 output hash-matches the
+    DuckDB list-comprehension bigram oracle exactly."""
+    import ray
+
+    from opengxt_ray.textops.charlm import charlm_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return charlm_score(ds)
+
+
+def _q_crawl_delta(sf_dir: str):
+    """Incremental crawl dedup (round 5): even-id docs are 'this
+    month's crawl', odd-id docs the prior snapshot; the content key is
+    the normalized bag-of-words (real collisions across the halves).
+    Bloom prefilter keeps definite-novel rows out of the shuffle; the
+    bucket-grouped exact anti-join confirms, so the result is exact
+    and the NOT EXISTS oracle applies."""
+    import pyarrow.compute as pc
+    import ray
+
+    from opengxt_ray.textops.dedup import (incremental_dedup,
+                                           word_bag_key_batch)
+
+    def _half(par):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b["doc_id"], 1), par)
+            return word_bag_key_batch(b.filter(m))
+        return f
+
+    def rd():
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    new = rd().map_batches(_half(0), batch_format="pyarrow")
+    old = rd().map_batches(_half(1), batch_format="pyarrow")
+    return incremental_dedup(new, old, key_col="bag_key")
+
+
+def _q_robots_filter(sf_dir: str):
+    """RFC 9309 robots.txt filter (round 5): deterministic crawl paths
+    from customer keys, a parsed multi-group robots.txt (plain-prefix
+    rules so the LIKE oracle is exact), longest-match/Allow-tie
+    annotation with keep_denied for auditing."""
+    import ray
+
+    from opengxt_ray.textops.urlops import robots_filter
+
+    robots_txt = (
+        "User-agent: archiver\nDisallow: /archive/\n\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/pub/\n"
+        "Disallow: /cgi-bin/\n"
+        "Allow: /static/\n"
+        "Disallow: /static/img/\n")
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+
+    def _mk(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy()
+        tmpl = ["/", "/index.html", "/private/data/", "/private/pub/",
+                "/cgi-bin/run/", "/static/img/"]
+        paths = []
+        for x in k:
+            t = tmpl[int(x) % 6]
+            if int(x) % 6 == 0:
+                paths.append("/")
+            elif int(x) % 6 == 1:
+                paths.append("/index.html")
+            elif int(x) % 6 == 3:
+                paths.append(t + str(int(x)) + ".html")
+            elif int(x) % 6 == 5:
+                paths.append(t + str(int(x)) + ".png")
+            else:
+                paths.append(t + str(int(x)))
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "path": pa.array(paths, pa.string())})
+
+    out = robots_filter(ds.map_batches(_mk, batch_format="pyarrow"),
+                        robots_txt, keep_denied=True)
+    return out.map_batches(
+        lambda b: b.select(["c_custkey", "path", "allowed", "match_len"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pip_join_rows": _q_pip_join_rows,
@@ -1679,6 +1770,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": _q_html_extract,
         "warc_roundtrip": _q_warc_roundtrip,
         "pii_redact": _q_pii_redact,
+        "charlm_score": _q_charlm_score,
+        "crawl_delta": _q_crawl_delta,
+        "robots_filter": _q_robots_filter,
     }
 
 
@@ -2937,5 +3031,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    round((c_acctbal - lo) / (hi - lo) * 5.0, 6) AS r6
             FROM customer, m
+        """,
+        "charlm_score": """
+            WITH bg AS (
+                SELECT doc_id,
+                       unnest([substr(text, i, 2)
+                               for i in range(1, length(text))]) AS bigram
+                FROM documents WHERE length(text) >= 2
+            ),
+            cnts AS (
+                SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+                FROM bg GROUP BY bigram
+            ),
+            sums AS (
+                SELECT bg.doc_id, CAST(sum(c.cnt) AS BIGINT) AS sum_freq
+                FROM bg JOIN cnts c USING (bigram) GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(greatest(length(d.text) - 1, 0) AS BIGINT)
+                       AS n_bigrams,
+                   CAST(coalesce(s.sum_freq, 0) AS BIGINT) AS sum_freq
+            FROM documents d LEFT JOIN sums s USING (doc_id)
+        """,
+        "crawl_delta": """
+            WITH d AS (
+                SELECT doc_id,
+                       array_to_string(list_sort(list_distinct(
+                           string_split(text, ' '))), ' ') AS k
+                FROM documents
+            )
+            SELECT n.doc_id FROM d n
+            WHERE n.doc_id % 2 = 0
+              AND NOT EXISTS (SELECT 1 FROM d o
+                              WHERE o.doc_id % 2 = 1 AND o.k = n.k)
+        """,
+        "robots_filter": """
+            WITH u AS (
+                SELECT c_custkey,
+                       CASE c_custkey % 6
+                           WHEN 0 THEN '/'
+                           WHEN 1 THEN '/index.html'
+                           WHEN 2 THEN '/private/data/'
+                               || CAST(c_custkey AS VARCHAR)
+                           WHEN 3 THEN '/private/pub/'
+                               || CAST(c_custkey AS VARCHAR) || '.html'
+                           WHEN 4 THEN '/cgi-bin/run/'
+                               || CAST(c_custkey AS VARCHAR)
+                           ELSE '/static/img/'
+                               || CAST(c_custkey AS VARCHAR) || '.png'
+                       END AS path
+                FROM customer
+            ),
+            r(rule, allow) AS (VALUES
+                ('/private/', FALSE), ('/private/pub/', TRUE),
+                ('/cgi-bin/', FALSE), ('/static/', TRUE),
+                ('/static/img/', FALSE)
+            ),
+            m AS (
+                SELECT u.c_custkey, r.rule, r.allow,
+                       row_number() OVER (
+                           PARTITION BY u.c_custkey
+                           ORDER BY length(r.rule) DESC, r.allow DESC)
+                           AS rn
+                FROM u JOIN r ON u.path LIKE r.rule || '%'
+            )
+            SELECT u.c_custkey, u.path,
+                   coalesce(m.allow, TRUE) AS allowed,
+                   CAST(coalesce(length(m.rule), 0) AS BIGINT)
+                       AS match_len
+            FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+                USING (c_custkey)
         """,
     }

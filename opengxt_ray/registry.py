@@ -653,6 +653,27 @@ def _populate() -> None:
       "quality rules (Rae et al. 2021, public) — unique-word "
       "fraction + top adjacent-bigram share; SQL-oracled gate "
       "gopher_repetition")
+    from .textops import charlm as CLM
+
+    E("CharLmScore", "trainingdata", CLM.charlm_score,
+      "engine extension (round 5): corpus char-bigram LM fluency "
+      "score, the integer-exact formulation of the CCNet perplexity "
+      "filter (Wenzek et al. 2020, public) — vocabulary-bounded "
+      "count shuffle + broadcast table scoring; SQL-oracled gate "
+      "charlm_score. Nearest reference analogue: "
+      "GT/statistics DataStatisticsProcess.java:1")
+    E("IncrementalDedup", "trainingdata", TD.incremental_dedup,
+      "engine extension (round 5): crawl-delta dedup of a new "
+      "snapshot against a prior corpus — broadcast Bloom prefilter "
+      "(definite-novel rows never shuffle) + bucket-grouped exact "
+      "hash anti-join confirm; SQL-oracled gate crawl_delta. "
+      "Reference analogue: GT/overlay DifferenceProcess.java:1 "
+      "set-difference semantics, keyed by content")
+    E("RobotsFilter", "trainingdata", URL.robots_filter,
+      "engine extension (round 5): RFC 9309 robots.txt crawl-"
+      "permission filter — group-selecting parser, longest-match/"
+      "Allow-tie semantics, wildcard + anchor patterns, vectorized "
+      "RE2 matching; SQL-oracled gate robots_filter")
 
     # presentational map-output ops (§2.2 WindRose/FlowMap/RingMap/
     # PolarGrids — round-3 closure of the "8 presentational absences")

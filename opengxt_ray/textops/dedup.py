@@ -950,3 +950,180 @@ def duplicate_window_hits(ds, *, window: int = 20, text_col: str = "text",
     return wins.map_batches(_bkt, batch_format="pyarrow").groupby(
         "bkt", num_partitions=num_partitions).map_groups(
         _dups, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (crawl-delta) dedup: new snapshot vs prior corpus
+# ---------------------------------------------------------------------------
+
+def word_bag_key_batch(batch: pa.Table, *, text_col: str = "text",
+                       out_col: str = "bag_key") -> pa.Table:
+    """Normalized bag-of-words content key: sorted distinct words
+    joined by a single space — the SCC/order-insensitive exact-dup
+    key (catches shuffled boilerplate the raw-text key misses).
+    Matches DuckDB ``array_to_string(list_sort(list_distinct(
+    string_split(text,' '))),' ')`` byte-for-byte on the tables here
+    (binary collation both sides). Per-doc split is inherent string
+    work, same envelope as the shingle stages."""
+    keys = [" ".join(sorted(set((t or "").split(" "))))
+            for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(keys, pa.string()))
+
+
+def _bloom_positions(h: np.ndarray, m: int):
+    """Two probe positions per 64-bit key (k=2 Bloom)."""
+    lo = (h & np.uint64(0xFFFFFFFF)) % np.uint64(m)
+    hi = (h >> np.uint64(32)) % np.uint64(m)
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
+def build_bloom(old_ds, *, key_col: str, bloom_bits: int = 1 << 22):
+    """Bloom bitmap over a prior corpus's key hashes.
+
+    Per-batch partial bitmaps (vectorized bit sets) are OR-reduced in
+    two levels — map-side partials, an 8-way repartition OR stage, and
+    a final driver OR of ≤8 bitmaps — so driver materialization is
+    bounded by ``8 × bloom_bits/8`` bytes regardless of corpus size.
+    On a real cluster the same two-level tree applies; deepen it if
+    ``bloom_bits`` is raised for a bigger old side.
+    """
+    nbytes = bloom_bits // 8
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, np.uint8)
+        if batch.num_rows:
+            h = hash_strings(batch[key_col])
+            for pos in _bloom_positions(h, bloom_bits):
+                np.bitwise_or.at(bm, pos >> 3,
+                                 np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    def _or(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bm": pa.array([], pa.binary())})
+        acc = np.zeros(nbytes, np.uint8)
+        for buf in batch["bm"].to_pylist():
+            acc |= np.frombuffer(buf, np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    partials = old_ds.map_batches(_partial, batch_format="pyarrow")
+    reduced = partials.repartition(8).map_batches(
+        _or, batch_format="pyarrow", batch_size=None)
+    acc = np.zeros(nbytes, np.uint8)
+    for row in reduced.take_all():
+        acc |= np.frombuffer(row["bm"], np.uint8)
+    return acc
+
+
+def incremental_dedup(new_ds, old_ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", key_col: str | None = None,
+                      bloom_bits: int = 1 << 22,
+                      num_partitions: int | None = None):
+    """Crawl-delta dedup: rows of ``new_ds`` whose content key does
+    NOT appear in the prior snapshot ``old_ds`` (the incremental-crawl
+    step every recurring training-data pipeline runs — dedup this
+    month's crawl against everything already ingested).
+
+    Scale shape (the whole point at 100 TB):
+
+    1. A k=2 Bloom bitmap of the old side's key hashes is built with a
+       two-level OR tree and broadcast ONCE (``core.broadcast`` token,
+       restart-safe) — only ``bloom_bits/8`` bytes per node.
+    2. New rows missing the bloom are *definitely* novel and stream
+       straight through — **no shuffle for the common case**.
+    3. Only bloom-positive candidates (true dups + the few-percent
+       false positives) enter the exact confirm: an anti-join on the
+       16-byte key hash, executed as the repo's bucket-grouped
+       vectorized pattern (groupby hash BUCKET, ``np.isin`` inside —
+       never per-key Python, never text in the shuffle).
+
+    The result is EXACT (bloom only prunes; membership is confirmed on
+    hashes), so the ``NOT EXISTS`` SQL oracle applies.
+
+    Returns a Dataset ``(id_col,)`` of surviving new-row ids.
+    Reference analog: set-difference over feature collections
+    (GT/overlay DifferenceProcess.java:1 semantics, keyed by content
+    instead of geometry).
+    """
+    from ..core.broadcast import put_broadcast, resolve_state
+
+    num_partitions = num_partitions or default_shuffle_partitions()
+
+    def _key(batch: pa.Table, keep_id: bool) -> pa.Table:
+        kc = key_col
+        if kc is None:
+            src = batch[text_col]
+        else:
+            src = batch[kc]
+        h = hash_strings(src).view(np.int64)
+        cols = {"key_hash": pa.array(h, pa.int64())}
+        if keep_id:
+            cols[id_col] = batch[id_col]
+        return pa.table(cols)
+
+    old_keys = old_ds.map_batches(_key, batch_format="pyarrow",
+                                  fn_kwargs={"keep_id": False})
+    bloom = build_bloom(old_ds, key_col=key_col or text_col,
+                        bloom_bits=bloom_bits)
+    btok = put_broadcast(bloom)
+
+    class _Prefilter:
+        """Split new rows into definite-novel vs bloom-positive
+        candidates; bitmap fetched once per actor (__init__)."""
+
+        def __init__(self, token, want_candidates: bool):
+            self.bm = resolve_state(token)
+            self.want = want_candidates
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keyed = _key(batch, True)
+            h = keyed["key_hash"].to_numpy(zero_copy_only=False).view(
+                np.uint64)
+            lo, hi = _bloom_positions(h, bloom_bits)
+            hit = (((self.bm[lo >> 3] >> (lo & 7)) & 1)
+                   & ((self.bm[hi >> 3] >> (hi & 7)) & 1)).astype(bool)
+            mask = hit if self.want else ~hit
+            return keyed.filter(pa.array(mask))
+
+    common = dict(batch_format="pyarrow",
+                  concurrency=max(default_concurrency() // 2, 1),
+                  batch_size=4096)
+    novel = new_ds.map_batches(_Prefilter, fn_constructor_args=(btok, False),
+                               **common)
+    cand = new_ds.map_batches(_Prefilter, fn_constructor_args=(btok, True),
+                              **common)
+
+    # exact confirm: bucket-grouped anti-join of candidates vs old keys
+    def _tag(batch: pa.Table, is_old: int) -> pa.Table:
+        n = batch.num_rows
+        ids = (batch[id_col] if not is_old
+               else pa.array(np.full(n, -1, np.int64), pa.int64()))
+        h = batch["key_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            m = h * np.uint64(0x9E3779B97F4A7C15)
+        bkt = ((m >> np.uint64(40)).astype(np.int64)
+               % np.int64(num_partitions * 8))
+        return pa.table({"key_hash": batch["key_hash"], id_col: ids,
+                         "is_old": pa.array(np.full(n, is_old, np.int64)),
+                         "bkt": pa.array(bkt, pa.int64())})
+
+    tagged = cand.map_batches(_tag, batch_format="pyarrow",
+                              fn_kwargs={"is_old": 0}).union(
+        old_keys.map_batches(_tag, batch_format="pyarrow",
+                             fn_kwargs={"is_old": 1}))
+
+    def _anti(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # empty shuffle partition — typed
+            return pa.table({id_col: pa.array([], pa.int64())})
+        h = group["key_hash"].to_numpy(zero_copy_only=False)
+        old_mask = group["is_old"].to_numpy(zero_copy_only=False) == 1
+        cand_mask = ~old_mask
+        dup = np.isin(h[cand_mask], h[old_mask])
+        ids = group[id_col].to_numpy(zero_copy_only=False)[cand_mask]
+        return pa.table({id_col: pa.array(ids[~dup], pa.int64())})
+
+    survivors = tagged.groupby("bkt", num_partitions=num_partitions)\
+        .map_groups(_anti, batch_format="pyarrow")
+    novel_ids = novel.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow")
+    return novel_ids.union(survivors)

@@ -18,6 +18,9 @@ is ~9k rules and not in this container); wildcard/exception rules
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -196,3 +199,101 @@ def redact_pii(ds, *, text_col: str = "text", out_col: str | None = None):
     return ds.map_batches(
         lambda b: redact_pii_batch(b, text_col=text_col, out_col=out_col),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) crawl-permission filtering
+# ---------------------------------------------------------------------------
+
+def parse_robots(robots_txt: str, agent: str = "*") -> list:
+    """Parse a robots.txt into the rule group that applies to
+    ``agent`` (RFC 9309 group selection: the most specific matching
+    ``User-agent`` group wins; ``*`` is the fallback). Returns
+    ``[(path_pattern, allow: bool), ...]`` in file order. Empty
+    ``Disallow:`` lines (allow-all idiom) are dropped."""
+    groups: dict[str, list] = {}
+    current: list[str] = []
+    saw_rule = True
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if saw_rule:          # new group starts
+                current = []
+                saw_rule = False
+            current.append(value.lower())
+            for a in current:
+                groups.setdefault(a, groups.get(a, []))
+        elif field in ("allow", "disallow"):
+            saw_rule = True
+            if not value:
+                continue
+            for a in current:
+                groups.setdefault(a, []).append((value, field == "allow"))
+    agent = agent.lower()
+    # most specific agent token match, '*' fallback
+    best = None
+    for a in groups:
+        if a != "*" and a in agent and (best is None or len(a) > len(best)):
+            best = a
+    if best is None and "*" in groups:
+        best = "*"
+    return list(groups.get(best, []))
+
+
+def _robots_regex(pattern: str) -> str:
+    """REP pattern → RE2: '*' is a wildcard, trailing '$' anchors;
+    everything else is literal."""
+    anchor = pattern.endswith("$")
+    if anchor:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchor else "")
+
+
+def match_robots_batch(batch: pa.Table, rules, *,
+                       path_col: str = "path") -> pa.Table:
+    """Vectorized RFC 9309 rule matching: one RE2 kernel pass per rule
+    (rule tables are tiny — tens of lines), longest-match wins, ties
+    go to Allow, no match ⇒ allowed. Appends ``allowed`` (bool) and
+    ``match_len`` (int64, 0 = no rule matched)."""
+    paths = batch[path_col]
+    n = len(paths)
+    best_len = np.full(n, 0, np.int64)
+    best_allow = np.ones(n, bool)
+    matched = np.zeros(n, bool)
+    for pat, allow in rules:
+        m = pc.match_substring_regex(paths, _robots_regex(pat))
+        m = m.to_numpy(zero_copy_only=False).astype(bool)
+        plen = len(pat)
+        better = m & ((plen > best_len) | (~matched)
+                      | ((plen == best_len) & allow))
+        best_allow = np.where(better, allow, best_allow)
+        best_len = np.where(better, plen, best_len)
+        matched |= m
+    best_len = np.where(matched, best_len, 0)
+    return batch.append_column(
+        "allowed", pa.array(best_allow)).append_column(
+        "match_len", pa.array(best_len, pa.int64()))
+
+
+def robots_filter(ds, robots_txt: str, *, agent: str = "*",
+                  path_col: str = "path", keep_denied: bool = False):
+    """Crawl-permission filter over a path column: the rule group is
+    parsed ONCE on the driver and shipped as a plain list (bytes, not
+    refs — nothing for ray#53727 to lose); matching is vectorized RE2
+    per batch. With ``keep_denied`` the full annotated table streams
+    through for auditing; default drops denied rows."""
+    rules = parse_robots(robots_txt, agent)
+
+    def _match(b: pa.Table) -> pa.Table:
+        out = match_robots_batch(b, rules, path_col=path_col)
+        if keep_denied:
+            return out
+        return out.filter(out["allowed"])
+
+    return ds.map_batches(_match, batch_format="pyarrow")

@@ -1,0 +1,173 @@
+"""Round-5 webtext operators: char-LM scoring, incremental
+(crawl-delta) dedup with Bloom prefilter, robots.txt filtering."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from opengxt_ray.textops.charlm import (bigram_frequency_table,
+                                        charlm_score)
+from opengxt_ray.textops.dedup import (build_bloom, incremental_dedup,
+                                       word_bag_key_batch)
+from opengxt_ray.textops.urlops import (match_robots_batch, parse_robots,
+                                        robots_filter)
+
+
+# ---------------------------------------------------------------------------
+# charlm
+# ---------------------------------------------------------------------------
+
+def _brute_charlm(texts):
+    cnt = Counter()
+    for t in texts:
+        for i in range(len(t) - 1):
+            cnt[t[i:i + 2]] += 1
+    return {
+        d: (max(len(t) - 1, 0),
+            sum(cnt[t[i:i + 2]] for i in range(len(t) - 1)))
+        for d, t in enumerate(texts)
+    }
+
+
+def test_charlm_matches_brute_force(ray_session):
+    texts = ["hello world", "h", "", "hello hello", "xyzzy",
+             "ab" * 50, "the quick brown fox", "the quick brown fox"]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(len(texts))), "text": texts})).repartition(3)
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_freq"])
+           for r in charlm_score(ds).take_all()}
+    assert got == _brute_charlm(texts)
+
+
+def test_charlm_unicode_and_reference_freq(ray_session):
+    # non-ASCII code points survive the utf-32 packing
+    texts = ["héllo wörld", "héllo", "日本語のテキスト"]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": [0, 1, 2], "text": texts}))
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_freq"])
+           for r in charlm_score(ds).take_all()}
+    assert got == _brute_charlm(texts)
+    # CCNet shape: score target docs under a separate reference LM
+    ref = ray.data.from_arrow(pa.table(
+        {"doc_id": [0], "text": ["hello hello hello"]}))
+    freq = bigram_frequency_table(ref)
+    tgt = ray.data.from_arrow(pa.table(
+        {"doc_id": [0, 1], "text": ["hello", "zzzz"]}))
+    rows = {r["doc_id"]: r["sum_freq"]
+            for r in charlm_score(tgt, freq=freq).take_all()}
+    assert rows[0] > 0 and rows[1] == 0  # 'zz' unseen in reference
+
+
+def test_charlm_vocab_cap(ray_session):
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": [0], "text": ["abcdefgh"]}))
+    with pytest.raises(ValueError, match="vocabulary"):
+        bigram_frequency_table(ds, max_vocab=3)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_exact_vs_brute(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    old_texts = [" ".join(rng.choice(vocab, 4)) for _ in range(60)]
+    new_texts = [" ".join(rng.choice(vocab, 4)) for _ in range(60)]
+    old = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(1000, 1060)),
+         "text": old_texts})).repartition(4)
+    new = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(60)), "text": new_texts})).repartition(4)
+    out = sorted(r["doc_id"] for r in
+                 incremental_dedup(new, old).take_all())
+    old_set = set(old_texts)
+    exp = sorted(i for i, t in enumerate(new_texts) if t not in old_set)
+    assert out == exp
+    assert len(exp) < 60  # the fixture really collides
+
+
+def test_incremental_dedup_bag_key(ray_session):
+    old = ray.data.from_arrow(pa.table(
+        {"doc_id": [10, 11], "text": ["b a c", "q r"]}))
+    new = ray.data.from_arrow(pa.table(
+        {"doc_id": [0, 1, 2], "text": ["a b c", "a c b b", "x y"]}))
+    bag = lambda d: d.map_batches(word_bag_key_batch,
+                                  batch_format="pyarrow")
+    out = sorted(r["doc_id"] for r in incremental_dedup(
+        bag(new), bag(old), key_col="bag_key").take_all())
+    # both word-permuted/duplicated variants of {a,b,c} collide with old
+    assert out == [2]
+
+
+def test_bloom_no_false_negatives(ray_session):
+    texts = [f"doc number {i}" for i in range(500)]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(500)), "text": texts})).repartition(5)
+    bm = build_bloom(ds, key_col="text", bloom_bits=1 << 16)
+    from opengxt_ray.core.fid import hash_strings
+    from opengxt_ray.textops.dedup import _bloom_positions
+    h = hash_strings(texts)
+    lo, hi = _bloom_positions(h, 1 << 16)
+    hit = (((bm[lo >> 3] >> (lo & 7)) & 1)
+           & ((bm[hi >> 3] >> (hi & 7)) & 1))
+    assert hit.all()  # a Bloom filter NEVER misses a member
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+
+ROBOTS = """
+# comments are ignored
+User-agent: googlebot
+Disallow: /g/
+
+User-agent: *
+Disallow: /private/
+Allow: /private/pub/
+Disallow: /cgi-bin/
+Allow: /static/
+Disallow: /static/img/
+Allow: /tmp/
+Disallow: /tmp/
+Disallow: /*.pdf$
+Disallow:
+"""
+
+
+def test_parse_robots_group_selection():
+    assert parse_robots(ROBOTS, "googlebot-news") == [("/g/", False)]
+    star = parse_robots(ROBOTS, "otherbot")
+    assert ("/private/", False) in star and ("/*.pdf$", False) in star
+    # empty Disallow (allow-all idiom) dropped
+    assert ("", False) not in star and ("", True) not in star
+
+
+def test_match_robots_semantics():
+    rules = parse_robots(ROBOTS)
+    paths = ["/", "/private/data/1", "/private/pub/x.html",
+             "/cgi-bin/run", "/static/img/a.png", "/static/css/a.css",
+             "/tmp/x", "/docs/file.pdf", "/docs/file.pdfx"]
+    out = match_robots_batch(pa.table({"path": paths}), rules)
+    assert out["allowed"].to_pylist() == [
+        True, False, True, False, False, True,
+        True,   # equal-length Allow/Disallow tie → Allow (RFC 9309)
+        False,  # '*.pdf$' wildcard + anchor
+        True,   # anchor prevents prefix overreach
+    ]
+    assert out["match_len"].to_pylist()[0] == 0  # no rule matched '/'
+
+
+def test_robots_filter_dataset(ray_session):
+    ds = ray.data.from_arrow(pa.table(
+        {"path": ["/private/a", "/ok", "/cgi-bin/x", "/static/s.css"]}))
+    kept = sorted(r["path"] for r in
+                  robots_filter(ds, ROBOTS).take_all())
+    assert kept == ["/ok", "/static/s.css"]
+    audit = robots_filter(ds, ROBOTS, keep_denied=True)
+    assert audit.count() == 4
