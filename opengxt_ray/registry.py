@@ -620,6 +620,16 @@ def _populate() -> None:
       "engine extension (round 5): WARC writer — per-record gzip "
       "members (Common-Crawl layout, splittable), deterministic "
       "uuid5 record ids")
+    E("CdxIndex", "source", WRC.cdx_dataset,
+      "engine extension (round 5): cc-index CDX build — SURT url "
+      "keys, sha1-b32 body digests, gzip-member (offset, length) "
+      "byte ranges per record; one task per shard; read_warc_at is "
+      "the ranged-GET random-access fetch the index enables")
+    E("CharsetDecode", "trainingdata", WRC.decode_payloads,
+      "engine extension (round 5): crawl-payload charset sniffing "
+      "(BOM → Content-Type → WHATWG meta prescan → UTF-8 validate → "
+      "latin-1 fallback) and replacement-safe decode — hostile pages "
+      "can never raise or hang the pool")
     from .textops import urlops as URL
 
     E("UrlParse", "trainingdata", URL.parse_urls,

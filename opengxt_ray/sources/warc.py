@@ -255,3 +255,256 @@ def _to_table(rows: dict, cols) -> pa.Table:
         else:
             arrs.append(pa.array(rows[c], pa.string()))
     return pa.table(dict(zip(cols, arrs)))
+
+
+# ---------------------------------------------------------------------------
+# CDX index (Common-Crawl cc-index layout) + random access
+# ---------------------------------------------------------------------------
+
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) key, the
+    cc-index sort key: scheme dropped, host labels reversed and
+    comma-joined, default ports and a leading ``www.`` dropped,
+    lowercased — ``https://www.Example.co.uk/A?q=1`` →
+    ``uk,co,example)/a?q=1``."""
+    u = url.strip()
+    if "://" in u:
+        u = u.split("://", 1)[1]
+    hostport, sep, tail = u.partition("/")
+    host = hostport.split("@")[-1].lower()
+    port = ""
+    if ":" in host:
+        host, _, port = host.partition(":")
+        if port in ("80", "443"):
+            port = ""
+    if host.startswith("www.") and host.count(".") >= 2:
+        host = host[4:]
+    rev = ",".join(reversed(host.split(".")))
+    if port:
+        rev += ":" + port
+    return rev + ")/" + (tail.lower() if sep else "")
+
+
+def _cc_timestamp(warc_date: str) -> str:
+    """WARC-Date (ISO-8601) → cc-index 14-digit timestamp."""
+    digits = "".join(ch for ch in warc_date if ch.isdigit())
+    return (digits + "00000000000000")[:14]
+
+
+def iter_gzip_members(path: str):
+    """Stream (offset, length, raw_bytes) for each gzip member of a
+    per-record-gzip shard — the byte ranges a CDX index records and a
+    ranged GET fetches. Pure zlib streaming: the shard is never held
+    decompressed in memory."""
+    import zlib
+
+    with open(path, "rb") as f:
+        offset = 0
+        buf = b""
+        eof = False
+        while True:
+            if not buf and not eof:
+                chunk = f.read(1 << 20)
+                if chunk:
+                    buf += chunk
+                else:
+                    eof = True
+            if not buf:
+                return
+            d = zlib.decompressobj(wbits=31)
+            out = []
+            consumed = 0
+            while not d.eof:
+                if not buf:
+                    if eof:
+                        raise ValueError("truncated gzip member")
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        eof = True
+                        continue
+                    buf = chunk
+                out.append(d.decompress(buf))
+                consumed += len(buf) - len(d.unused_data)
+                buf = d.unused_data
+            yield offset, consumed, b"".join(out)
+            offset += consumed
+
+
+def _parse_record_bytes(raw: bytes) -> dict:
+    """One decompressed WARC record → header dict + payload."""
+    rec = next(iter_warc_bytes(raw))
+    return rec
+
+
+def iter_warc_bytes(raw: bytes):
+    """iter_warc over an in-memory record blob (shared parse path)."""
+    reader = io.BufferedReader(io.BytesIO(raw))
+    while True:
+        line = reader.readline()
+        if not line:
+            return
+        if line in (_CRLF, b"\n"):
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError("malformed WARC record bytes")
+        hdr: dict[str, str] = {}
+        while True:
+            line = reader.readline()
+            if line in (_CRLF, b"\n"):
+                break
+            if not line:
+                raise ValueError("truncated WARC header")
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            hdr[k.strip().lower()] = v.strip()
+        length = int(hdr["content-length"])
+        block = reader.read(length)
+        if len(block) != length:
+            raise ValueError("truncated WARC content block")
+        yield {
+            "url": hdr.get("warc-target-uri", ""),
+            "date": hdr.get("warc-date", ""),
+            "rec_type": hdr.get("warc-type", ""),
+            "payload": block,
+        }
+
+
+def build_cdx(path: str, *, rec_types: tuple = ("response",)):
+    """CDX entries for one per-record-gzip shard: dicts of
+    ``urlkey / timestamp / url / digest(sha1-b32 of the HTTP body) /
+    offset / length / filename`` — the cc-index columns that make a
+    100 TB crawl random-accessible (ranged GET of [offset,
+    offset+length) + one-member gunzip)."""
+    import base64
+    import hashlib
+    import os
+
+    fname = os.path.basename(path)
+    out = []
+    for offset, length, raw in iter_gzip_members(path):
+        rec = _parse_record_bytes(raw)
+        if rec["rec_type"] not in rec_types:
+            continue
+        _, body = strip_http(rec["payload"])
+        digest = base64.b32encode(
+            hashlib.sha1(body).digest()).decode("ascii")
+        out.append({"urlkey": surt_key(rec["url"]),
+                    "timestamp": _cc_timestamp(rec["date"]),
+                    "url": rec["url"], "digest": digest,
+                    "offset": offset, "length": length,
+                    "filename": fname})
+    return out
+
+
+def cdx_dataset(paths):
+    """CDX index build as a Ray Dataset — one task per shard (same
+    shard-parallel shape as ``warc_dataset``); sink with
+    ``write_parquet`` for a queryable cc-index analogue."""
+    import ray
+
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def _one(batch: pa.Table):
+        for p in batch["path"].to_pylist():
+            rows = build_cdx(p)
+            yield pa.table({
+                "urlkey": pa.array([r["urlkey"] for r in rows]),
+                "timestamp": pa.array([r["timestamp"] for r in rows]),
+                "url": pa.array([r["url"] for r in rows]),
+                "digest": pa.array([r["digest"] for r in rows]),
+                "offset": pa.array([r["offset"] for r in rows],
+                                   pa.int64()),
+                "length": pa.array([r["length"] for r in rows],
+                                   pa.int64()),
+                "filename": pa.array([r["filename"] for r in rows]),
+            })
+
+    return ray.data.from_items(
+        [{"path": p} for p in paths],
+        override_num_blocks=len(paths)).map_batches(
+        _one, batch_format="pyarrow")
+
+
+def read_warc_at(path: str, offset: int, length: int) -> dict:
+    """Random-access one record via its CDX (offset, length) — the
+    ranged-GET fetch path. Returns {url, date, rec_type, payload}."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    return _parse_record_bytes(gzip.decompress(raw))
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing / payload decode
+# ---------------------------------------------------------------------------
+
+_META_RE = None
+
+
+def sniff_charset(payload: bytes, content_type: str = "") -> str:
+    """Charset detection for crawl payloads, in standard precedence:
+    BOM → Content-Type header charset → HTML ``<meta charset>`` /
+    http-equiv (first 1024 bytes, the WHATWG prescan window) → UTF-8
+    if it validates → latin-1 (never fails)."""
+    global _META_RE
+    import re as _re
+
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if payload.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if payload.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    m = _re.search(r"charset=([A-Za-z0-9_.:-]+)", content_type or "")
+    if m:
+        return m.group(1).strip().lower()
+    if _META_RE is None:
+        _META_RE = _re.compile(
+            rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)",
+            _re.IGNORECASE)
+    m = _META_RE.search(payload[:1024])
+    if m:
+        return m.group(1).decode("ascii", "replace").lower()
+    try:
+        payload.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def decode_payload_batch(batch: pa.Table, *, payload_col: str = "payload",
+                         content_type_col: str | None = None,
+                         out_col: str = "text") -> pa.Table:
+    """Binary payloads → text with per-row charset sniffing. Appends
+    ``out_col`` (string) and ``charset`` (string). Unknown or wrong
+    declared charsets degrade to replacement characters, never raise —
+    a decode hang/crash on one hostile page must not stall the actor
+    pool."""
+    payloads = batch[payload_col].to_pylist()
+    ctypes = (batch[content_type_col].to_pylist()
+              if content_type_col else [""] * len(payloads))
+    texts, charsets = [], []
+    for p, ct in zip(payloads, ctypes):
+        p = p or b""
+        enc = sniff_charset(p, ct or "")
+        try:
+            texts.append(p.decode(enc, "replace"))
+        except LookupError:            # bogus declared charset
+            enc = "latin-1"
+            texts.append(p.decode(enc, "replace"))
+        charsets.append(enc)
+    return batch.append_column(
+        out_col, pa.array(texts, pa.string())).append_column(
+        "charset", pa.array(charsets, pa.string()))
+
+
+def decode_payloads(ds, *, payload_col: str = "payload",
+                    content_type_col: str | None = None,
+                    out_col: str = "text"):
+    """Dataset wrapper for ``decode_payload_batch`` (task-pool map —
+    stateless, no model to load)."""
+    return ds.map_batches(
+        lambda b: decode_payload_batch(
+            b, payload_col=payload_col,
+            content_type_col=content_type_col, out_col=out_col),
+        batch_format="pyarrow")

@@ -110,3 +110,93 @@ def test_warc_feeds_html_extract(tmp_path, ray_session):
     assert len(out) == 12
     assert out["text"].str.contains("doc ").all()
     assert "html" not in out.columns  # payload projected out by default
+
+
+# ---------------------------------------------------------------------------
+# CDX index + random access + charset decode (round 5)
+# ---------------------------------------------------------------------------
+
+def test_surt_key():
+    from opengxt_ray.sources.warc import surt_key
+    assert surt_key("https://www.Example.co.uk/A?q=1") == \
+        "uk,co,example)/a?q=1"
+    assert surt_key("http://host.com:80/x") == "com,host)/x"
+    assert surt_key("http://host.com:8080/") == "com,host:8080)/"
+    assert surt_key("https://www.org/") == "org,www)/"  # www IS the host
+
+
+def test_cdx_roundtrip_and_random_access(tmp_path):
+    from opengxt_ray.sources import warc as W
+    p = str(tmp_path / "s.warc.gz")
+    recs = [{"url": f"https://site{i % 3}.example/p/{i}",
+             "payload": f"content {i}".encode()} for i in range(25)]
+    W.write_warc(p, recs, gzip_per_record=True)
+    cdx = W.build_cdx(p)
+    assert len(cdx) == 25
+    # offsets tile the file exactly (member lengths sum to file size)
+    import os
+    assert cdx[-1]["offset"] + cdx[-1]["length"] == os.path.getsize(p)
+    for i, e in enumerate(cdx):
+        rec = W.read_warc_at(p, e["offset"], e["length"])
+        _, body = W.strip_http(rec["payload"])
+        assert body == f"content {i}".encode()
+    import base64
+    import hashlib
+    assert cdx[7]["digest"] == base64.b32encode(
+        hashlib.sha1(b"content 7").digest()).decode()
+    assert cdx[0]["timestamp"] == "20250601000000"
+
+
+def test_cdx_dataset_parallel(tmp_path, ray_session):
+    from opengxt_ray.sources import warc as W
+    paths = []
+    for s in range(3):
+        p = str(tmp_path / f"shard-{s}.warc.gz")
+        W.write_warc(p, [{"url": f"https://h/{s}/{i}",
+                          "payload": b"x" * (i + 1)}
+                         for i in range(10)], gzip_per_record=True)
+        paths.append(p)
+    ds = W.cdx_dataset(paths)
+    rows = ds.take_all()
+    assert len(rows) == 30
+    assert {r["filename"] for r in rows} == {
+        "shard-0.warc.gz", "shard-1.warc.gz", "shard-2.warc.gz"}
+    # the index is actually usable for fetch
+    r = [x for x in rows if x["url"] == "https://h/2/4"][0]
+    rec = W.read_warc_at(str(tmp_path / r["filename"]),
+                         r["offset"], r["length"])
+    _, body = W.strip_http(rec["payload"])
+    assert body == b"xxxxx"
+
+
+def test_charset_sniffing_precedence():
+    from opengxt_ray.sources.warc import sniff_charset
+    assert sniff_charset(b"\xef\xbb\xbfabc") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfea\x00") == "utf-16-le"
+    assert sniff_charset(b"x", "text/html; charset=ISO-8859-1") == \
+        "iso-8859-1"
+    assert sniff_charset(b'<META CHARSET="Shift_JIS">') == "shift_jis"
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=windows-1251">') == "windows-1251"
+    assert sniff_charset("héllo".encode()) == "utf-8"
+    assert sniff_charset(b"\xe9\xe9") == "latin-1"
+
+
+def test_decode_payloads_never_raises(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from opengxt_ray.sources.warc import decode_payloads
+    batch = pa.table({"payload": [
+        b"caf\xe9",                        # latin-1
+        "naïve".encode("utf-8"),           # utf-8
+        b"",                               # empty
+        b'<meta charset="nosuch-enc">x',   # bogus declared charset
+        "日本".encode("utf-8"),             # multibyte
+    ]})
+    out = decode_payloads(ray.data.from_arrow(batch)).take_all()
+    texts = [r["text"] for r in out]
+    assert texts[0] == "café" and texts[1] == "naïve"
+    assert texts[4] == "日本"
+    assert all(isinstance(t, str) for t in texts)
