@@ -21,8 +21,12 @@ ED50, Tokyo) carry a published 7-parameter Helmert shift to WGS84
 XYZ on the source ellipsoid → Helmert → geodetic on the target
 ellipsoid. Single-Helmert accuracy is the published one (~3.5 m for
 OSGB36 vs the OSTN grid, ~5-10 m for the 3-parameter ED50/Tokyo
-shifts) — adequate for analysis joins; survey-grade grid shifts
-(OSTN15/NADCON) remain out of scope (documented).
+shifts) — adequate for analysis joins. Round 5 adds the NTv2-style
+GRID-SHIFT mechanism (``GridShift`` + ``register_grid_shift``):
+bilinear node interpolation inside the grid extent, fixed-point
+inverse, Helmert fallback outside — registering a national grid's
+node table (OSTN15/NADCON/NTv2 files are external data, not shipped)
+makes the same ``transform`` call survey-grade.
 """
 
 from __future__ import annotations
@@ -342,9 +346,20 @@ def _helmert_apply(params: tuple, X, Y, Z, inverse: bool = False):
             dz + m * (-ry * X + rx * Y + Z))
 
 
-def _datum_shift(src: CRSDef, dst: CRSDef, lon, lat):
+def _datum_shift(src: CRSDef, dst: CRSDef, lon, lat, grids=None):
     """Geographic coords on src's datum → dst's datum (via WGS84
-    geocentric; identity when both datums share the zero shift)."""
+    geocentric; identity when both datums share the zero shift).
+
+    ``grids`` overrides the process-local ``GRID_SHIFTS`` registry —
+    REQUIRED in distributed stages: module globals registered on the
+    driver do NOT exist in Ray worker processes, so Dataset-level
+    callers must capture the grid dict in their closure (see
+    ``make_reproject(grids=...)``) rather than rely on
+    ``register_grid_shift``."""
+    if grids is None:
+        grids = GRID_SHIFTS
+    if src.datum in grids or dst.datum in grids:
+        return _datum_shift_gridded(src, dst, lon, lat, grids)
     sp = DATUM_SHIFTS.get(src.datum, DATUM_SHIFTS["WGS84"])
     dp = DATUM_SHIFTS.get(dst.datum, DATUM_SHIFTS["WGS84"])
     if sp == dp:
@@ -357,9 +372,145 @@ def _datum_shift(src: CRSDef, dst: CRSDef, lon, lat):
     return _ecef_to_geodetic(dst.a, dst.f, X, Y, Z)
 
 
-def transform(src: CRSDef, dst: CRSDef, x, y):
+def transform(src: CRSDef, dst: CRSDef, x, y, grids=None):
     """src coords → dst coords through geographic, applying the
-    Helmert datum shift when the datums differ (module docstring)."""
+    Helmert datum shift when the datums differ (module docstring);
+    ``grids`` ships NTv2-style shift grids into the call (distributed
+    callers must pass it — see ``_datum_shift``)."""
     lon, lat = inverse(src, x, y)
-    lon, lat = _datum_shift(src, dst, lon, lat)
+    lon, lat = _datum_shift(src, dst, lon, lat, grids)
     return forward(dst, lon, lat)
+
+
+# ---------------------------------------------------------------------------
+# NTv2-style grid-shift datum corrections (survey-grade path)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GridShift:
+    """A lat/lon shift grid in the NTv2 formulation: regular grid over
+    [lat0, lat0+dlat·(nlat−1)] × [lon0, lon0+dlon·(nlon−1)] of
+    arcsecond corrections ADDED to source-datum coordinates to obtain
+    WGS84 coordinates; bilinear interpolation between nodes; the
+    inverse is the standard NTv2 fixed-point iteration.
+
+    This is the mechanism national grids (OSTN15, NADCON, NTv2
+    distribution files) plug into — their node tables are external
+    data not shippable here, so accuracy with the built-in Helmert
+    fallback stays at the documented ~3.5–10 m; registering a real
+    grid makes the SAME transform survey-grade. Reference inherits
+    this from GeoTools referencing
+    (GT/transformation/ReprojectFeatureCollection.java:1).
+    """
+
+    lat0: float
+    lon0: float
+    dlat: float
+    dlon: float
+    shift_lat: np.ndarray   # (nlat, nlon) arcseconds
+    shift_lon: np.ndarray   # (nlat, nlon) arcseconds
+
+    def _interp(self, lon, lat):
+        """Bilinear node interpolation; returns (dlon_sec, dlat_sec,
+        inside_mask)."""
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        fi = (lat - self.lat0) / self.dlat
+        fj = (lon - self.lon0) / self.dlon
+        nlat, nlon = self.shift_lat.shape
+        inside = (fi >= 0) & (fi <= nlat - 1) & (fj >= 0) & (fj <= nlon - 1)
+        i = np.clip(np.floor(fi).astype(np.int64), 0, nlat - 2)
+        j = np.clip(np.floor(fj).astype(np.int64), 0, nlon - 2)
+        ti = np.clip(fi - i, 0.0, 1.0)
+        tj = np.clip(fj - j, 0.0, 1.0)
+
+        def bil(g):
+            return ((1 - ti) * (1 - tj) * g[i, j]
+                    + (1 - ti) * tj * g[i, j + 1]
+                    + ti * (1 - tj) * g[i + 1, j]
+                    + ti * tj * g[i + 1, j + 1])
+
+        return bil(self.shift_lon), bil(self.shift_lat), inside
+
+    def apply(self, lon, lat):
+        """source datum → WGS84. Returns (lon, lat, inside_mask) —
+        callers Helmert-fall-back outside the grid (NTv2 behavior)."""
+        dlon_s, dlat_s, inside = self._interp(lon, lat)
+        return (np.asarray(lon, np.float64) + dlon_s / 3600.0 * inside,
+                np.asarray(lat, np.float64) + dlat_s / 3600.0 * inside,
+                inside)
+
+    def apply_inverse(self, lon, lat, iters: int = 4):
+        """WGS84 → source datum: fixed-point iteration x ← p − s(x)
+        (the published NTv2 inverse; converges sub-mm in ≤4 rounds
+        for real-grid shift magnitudes)."""
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        slon, slat = lon.copy(), lat.copy()
+        inside = np.ones_like(lon, bool)
+        for _ in range(iters):
+            dlon_s, dlat_s, inside = self._interp(slon, slat)
+            slon = lon - dlon_s / 3600.0 * inside
+            slat = lat - dlat_s / 3600.0 * inside
+        return slon, slat, inside
+
+
+#: datum name → registered GridShift (to WGS84). Empty by default —
+#: national grid files are external data; register at startup.
+GRID_SHIFTS: dict[str, GridShift] = {}
+
+
+def register_grid_shift(datum: str, grid: GridShift) -> None:
+    """Install a shift grid for ``datum``; subsequent ``transform``
+    calls through that datum use grid interpolation inside the grid
+    extent and the Helmert parameters outside it."""
+    GRID_SHIFTS[datum] = grid
+
+
+def unregister_grid_shift(datum: str) -> None:
+    GRID_SHIFTS.pop(datum, None)
+
+
+def _helmert_leg(params, a, f, lon, lat, to_wgs84: bool):
+    """One datum leg through ECEF on the given ellipsoid (WGS84 on
+    the other end)."""
+    if to_wgs84:
+        X, Y, Z = _geodetic_to_ecef(a, f, lon, lat)
+        X, Y, Z = _helmert_apply(params, X, Y, Z)
+        return _ecef_to_geodetic(*_WGS84, X, Y, Z)
+    X, Y, Z = _geodetic_to_ecef(*_WGS84, lon, lat)
+    X, Y, Z = _helmert_apply(params, X, Y, Z, inverse=True)
+    return _ecef_to_geodetic(a, f, X, Y, Z)
+
+
+def _datum_shift_gridded(src: CRSDef, dst: CRSDef, lon, lat, grids):
+    """Datum shift when at least one side has a registered grid:
+    each leg goes through WGS84 geographic, grid-interpolated inside
+    the grid extent, Helmert outside (NTv2 fallback semantics)."""
+    sp = DATUM_SHIFTS.get(src.datum, DATUM_SHIFTS["WGS84"])
+    dp = DATUM_SHIFTS.get(dst.datum, DATUM_SHIFTS["WGS84"])
+    sg = grids.get(src.datum)
+    dg = grids.get(dst.datum)
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    # leg 1: src datum → WGS84
+    if sg is not None:
+        glon, glat, inside = sg.apply(lon, lat)
+        if not inside.all() and any(sp):
+            hlon, hlat = _helmert_leg(sp, src.a, src.f, lon, lat, True)
+            glon = np.where(inside, glon, hlon)
+            glat = np.where(inside, glat, hlat)
+        lon, lat = glon, glat
+    elif any(sp):
+        lon, lat = _helmert_leg(sp, src.a, src.f, lon, lat, True)
+    # leg 2: WGS84 → dst datum
+    if dg is not None:
+        glon, glat, inside = dg.apply_inverse(lon, lat)
+        if not inside.all() and any(dp):
+            hlon, hlat = _helmert_leg(dp, dst.a, dst.f, lon, lat, False)
+            glon = np.where(inside, glon, hlon)
+            glat = np.where(inside, glat, hlat)
+        lon, lat = glon, glat
+    elif any(dp):
+        lon, lat = _helmert_leg(dp, dst.a, dst.f, lon, lat, False)
+    return lon, lat

@@ -693,7 +693,7 @@ def _parse_utm_epsg(code: str):
     return -183.0 + 6.0 * zone, 10_000_000.0 if south else 0.0
 
 
-def make_reproject(src: str, dst: str, *, geom_col="geom"):
+def make_reproject(src: str, dst: str, *, geom_col="geom", grids=None):
     """ReprojectFeatureCollection for the web pair 4326↔3857, the
     UTM-zone family 4326↔EPSG:326xx/327xx (hand-rolled Snyder
     transverse Mercator, geomops.utm_forward/utm_inverse — round-trip
@@ -706,10 +706,13 @@ def make_reproject(src: str, dst: str, *, geom_col="geom"):
     National Grid, ED50 / EPSG:23031, Tokyo EPSG:4301 — applied
     automatically inside ``crs.transform`` when the datums differ).
 
-    Survey-grade datum GRIDS (OSTN15/NADCON) remain out of scope
-    without pyproj (single-Helmert accuracy ~3.5-10 m, documented in
-    core/crs.py); the engine's CRS convention stores the code in
-    schema metadata.
+    Round 5: survey-grade datum grids plug in via ``grids`` — a
+    ``{datum: core.crs.GridShift}`` dict (NTv2-style node tables,
+    e.g. loaded from an OSTN15/NADCON distribution file) captured in
+    the stage CLOSURE so it ships to Ray workers; driver-side
+    ``crs.register_grid_shift`` alone does NOT propagate to worker
+    processes. Without ``grids``, single-Helmert accuracy ~3.5-10 m
+    (documented in core/crs.py).
     """
 
     def fwd(c):  # 4326 → 3857
@@ -752,8 +755,9 @@ def make_reproject(src: str, dst: str, *, geom_col="geom"):
         if sdef is None or ddef is None:
             raise ValueError(f"unsupported CRS pair {src} → {dst}")
 
-        def f(c, sdef=sdef, ddef=ddef):
-            x, y = _crs.transform(sdef, ddef, c[:, 0], c[:, 1])
+        def f(c, sdef=sdef, ddef=ddef, grids=grids):
+            x, y = _crs.transform(sdef, ddef, c[:, 0], c[:, 1],
+                                  grids=grids)
             return np.column_stack([x, y])
 
     return lambda b: _coord_transform(b, geom_col, f)

@@ -373,3 +373,139 @@ def test_datum_shift_pole_safe():
     lon2, lat2 = C.transform(osgb, wgs, lon, lat)
     assert np.isfinite(lat2).all()
     assert abs(lat2[0] - 90.0) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# NTv2-style grid-shift datum corrections (round 5)
+# ---------------------------------------------------------------------------
+
+def _linear_grid():
+    """Synthetic grid whose shift is a LINEAR field in (lon, lat) —
+    bilinear interpolation reproduces a linear field exactly, so the
+    expected values are analytic."""
+    from opengxt_ray.core.crs import GridShift
+    lats = np.arange(49.0, 62.0 + 1e-9, 0.5)
+    lons = np.arange(-8.0, 2.0 + 1e-9, 0.5)
+    LON, LAT = np.meshgrid(lons, lats)
+    # arcseconds: dlon = 1.2 + 0.1·lon − 0.05·lat; dlat = −0.8 + 0.02·lon
+    s_lon = 1.2 + 0.1 * LON - 0.05 * LAT
+    s_lat = -0.8 + 0.02 * LON
+    return GridShift(lat0=49.0, lon0=-8.0, dlat=0.5, dlon=0.5,
+                     shift_lat=s_lat, shift_lon=s_lon)
+
+
+def test_grid_shift_bilinear_exact_on_linear_field():
+    g = _linear_grid()
+    lon = np.array([-3.17, 0.91, -7.99, 1.99])
+    lat = np.array([51.03, 60.47, 49.01, 61.99])
+    glon, glat, inside = g.apply(lon, lat)
+    assert inside.all()
+    exp_lon = lon + (1.2 + 0.1 * lon - 0.05 * lat) / 3600.0
+    exp_lat = lat + (-0.8 + 0.02 * lon) / 3600.0
+    np.testing.assert_allclose(glon, exp_lon, atol=1e-12)
+    np.testing.assert_allclose(glat, exp_lat, atol=1e-12)
+
+
+def test_grid_shift_inverse_roundtrip():
+    g = _linear_grid()
+    lon = np.linspace(-7.5, 1.5, 40)
+    lat = np.linspace(49.5, 61.5, 40)
+    glon, glat, _ = g.apply(lon, lat)
+    blon, blat, inside = g.apply_inverse(glon, glat)
+    assert inside.all()
+    np.testing.assert_allclose(blon, lon, atol=1e-10)   # sub-mm
+    np.testing.assert_allclose(blat, lat, atol=1e-10)
+
+
+def test_grid_consistent_with_helmert_and_fallback():
+    """A grid whose nodes are sampled FROM the Helmert shift must
+    reproduce the Helmert result (interpolation error only) inside
+    the grid, and EXACTLY outside it (fallback path)."""
+    from opengxt_ray.core import crs as C
+    src = C.parse_crs("EPSG:4277")   # OSGB36 geographic
+    dst = C.parse_crs("EPSG:4326")
+    lats = np.arange(49.0, 62.0 + 1e-9, 0.05)
+    lons = np.arange(-8.0, 2.0 + 1e-9, 0.05)
+    LON, LAT = np.meshgrid(lons, lats)
+    hl, hp = C._datum_shift(src, dst, LON.ravel(), LAT.ravel())
+    s_lon = (hl.reshape(LON.shape) - LON) * 3600.0
+    s_lat = (hp.reshape(LAT.shape) - LAT) * 3600.0
+    grid = C.GridShift(lat0=49.0, lon0=-8.0, dlat=0.05, dlon=0.05,
+                       shift_lat=s_lat, shift_lon=s_lon)
+    pts_lon = np.array([-2.33, 0.44, -6.1, 25.0])   # last OUTSIDE
+    pts_lat = np.array([53.71, 52.2, 50.9, 40.0])
+    ref_lon, ref_lat = C._datum_shift(src, dst, pts_lon, pts_lat)
+    C.register_grid_shift("OSGB36", grid)
+    try:
+        got_lon, got_lat = C._datum_shift(src, dst, pts_lon, pts_lat)
+    finally:
+        C.unregister_grid_shift("OSGB36")
+    # inside: within bilinear error of the 0.05° sampling (≪ 1e-6°)
+    np.testing.assert_allclose(got_lon[:3], ref_lon[:3], atol=2e-7)
+    np.testing.assert_allclose(got_lat[:3], ref_lat[:3], atol=2e-7)
+    # outside: exact Helmert fallback
+    assert got_lon[3] == ref_lon[3] and got_lat[3] == ref_lat[3]
+
+
+def test_grid_shift_through_projected_transform():
+    """End-to-end: registering a grid changes EPSG:27700→4326 output
+    by the grid correction; unregistering restores the Helmert path."""
+    from opengxt_ray.core import crs as C
+    src = C.parse_crs("EPSG:27700")
+    dst = C.parse_crs("EPSG:4326")
+    x = np.array([530_000.0])
+    y = np.array([180_000.0])
+    base_lon, base_lat = C.transform(src, dst, x, y)
+    # constant +1" lon shift grid over Britain
+    ones = np.ones((27, 21))
+    C.register_grid_shift("OSGB36", C.GridShift(
+        lat0=49.0, lon0=-8.0, dlat=0.5, dlon=0.5,
+        shift_lat=np.zeros((27, 21)), shift_lon=ones))
+    try:
+        glon, glat = C.transform(src, dst, x, y)
+    finally:
+        C.unregister_grid_shift("OSGB36")
+    # the grid REPLACES the Helmert shift: output = raw OSGB36
+    # geographic + exactly the grid's +1" lon / 0" lat correction
+    raw_lon, raw_lat = C.inverse(src, x, y)
+    np.testing.assert_allclose(glon, raw_lon + 1.0 / 3600.0, atol=1e-12)
+    np.testing.assert_allclose(glat, raw_lat, atol=1e-12)
+    assert abs(glon - base_lon) > 1e-6  # grid really took over
+    after_lon, after_lat = C.transform(src, dst, x, y)
+    assert after_lon == base_lon and after_lat == base_lat
+
+
+def test_grid_ships_to_workers_via_stage_closure(ray_session):
+    """Grids must travel IN the stage closure: driver-side
+    register_grid_shift does not exist in Ray worker processes. The
+    +1" lon grid must move every output by exactly 1" vs the plain
+    Helmert stage."""
+    import pyarrow as pa
+    import ray
+
+    from opengxt_ray.core import wkb as _wkb
+    from opengxt_ray.stages.transforms import make_reproject
+
+    x = np.linspace(420_000, 580_000, 64)
+    y = np.linspace(120_000, 280_000, 64)
+    t = pa.table({"geom": pa.array(
+        [_wkb.encode_point(float(a), float(b)) for a, b in zip(x, y)],
+        pa.binary())})
+    grid = crs.GridShift(49.0, -8.0, 0.5, 0.5,
+                         np.zeros((27, 21)), np.ones((27, 21)))
+    ds = ray.data.from_arrow(t).repartition(4)
+    base = ds.map_batches(
+        make_reproject("EPSG:27700", "EPSG:4326"),
+        batch_format="pyarrow").take_all()
+    shifted = ds.map_batches(
+        make_reproject("EPSG:27700", "EPSG:4326",
+                       grids={"OSGB36": grid}),
+        batch_format="pyarrow").take_all()
+    lon_b, _ = _wkb.decode_points([r["geom"] for r in base])
+    lon_s, _ = _wkb.decode_points([r["geom"] for r in shifted])
+    # grid REPLACES the Helmert lon shift; vs raw OSGB36 lon it is +1"
+    src = crs.parse_crs("EPSG:27700")
+    raw_lon, _ = crs.inverse(src, x, y)
+    np.testing.assert_allclose(np.sort(lon_s), np.sort(raw_lon + 1 / 3600.0),
+                               atol=1e-12)
+    assert np.abs(np.sort(lon_s) - np.sort(lon_b)).min() > 1e-6
