@@ -197,6 +197,42 @@ def bench_dedup_10x(sf_dir, n_docs: int = DEDUP_10X_DOCS):
     return out.count()
 
 
+def bench_crawl_delta(sf_dir, n_docs: int = 200_000):
+    """Incremental crawl dedup at 200k-new vs 200k-old docs with a 50%
+    exact-overlap band (shifted id window over the deterministic
+    corpus): Bloom build over the old side (two-level OR tree),
+    prefilter on the new side — the novel half streams through with NO
+    shuffle, only the overlapped half + Bloom false positives enter
+    the bucket-grouped exact anti-join."""
+    from opengxt_ray.textops.dedup import incremental_dedup
+
+    old = synth_dedup_corpus(n_docs)
+    new = synth_dedup_corpus_window(n_docs // 2, n_docs + n_docs // 2)
+    out = incremental_dedup(new, old)
+    n = out.count()
+    assert n == n_docs // 2, n  # exact: only the fresh window survives
+    return n
+
+
+def synth_dedup_corpus_window(lo: int, hi: int):
+    """synth_dedup_corpus over an id window [lo, hi) — text is a pure
+    function of id, so overlapping windows are exact duplicates."""
+    import pyarrow.compute as pc
+
+    return synth_dedup_corpus(hi).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], lo)),
+        batch_format="pyarrow")
+
+
+def bench_charlm(sf_dir, n_docs: int = 200_000):
+    """Corpus char-bigram LM scoring at 200k docs (~36M chars): count
+    pass (vocabulary-bounded shuffle) + broadcast scoring pass."""
+    from opengxt_ray.textops.charlm import charlm_score
+
+    ds = synth_dedup_corpus(n_docs)
+    return charlm_score(ds).count()
+
+
 def bench_ann(sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
@@ -425,6 +461,8 @@ BENCHES = {
     "html_extract": bench_html_extract,
     "pq_topk": bench_pq_topk,
     "warc_ingest": bench_warc_ingest,
+    "charlm": bench_charlm,
+    "crawl_delta": bench_crawl_delta,
     "dedup_10x": bench_dedup_10x,
 }
 

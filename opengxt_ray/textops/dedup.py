@@ -1045,8 +1045,6 @@ def incremental_dedup(new_ds, old_ds, *, text_col: str = "text",
     (GT/overlay DifferenceProcess.java:1 semantics, keyed by content
     instead of geometry).
     """
-    from ..core.broadcast import put_broadcast, resolve_state
-
     num_partitions = num_partitions or default_shuffle_partitions()
 
     def _key(batch: pa.Table, keep_id: bool) -> pa.Table:
@@ -1061,37 +1059,36 @@ def incremental_dedup(new_ds, old_ds, *, text_col: str = "text",
             cols[id_col] = batch[id_col]
         return pa.table(cols)
 
+    import ray
+
     old_keys = old_ds.map_batches(_key, batch_format="pyarrow",
                                   fn_kwargs={"keep_id": False})
     bloom = build_bloom(old_ds, key_col=key_col or text_col,
                         bloom_bits=bloom_bits)
-    btok = put_broadcast(bloom)
+    # task-pool prefilter with the bitmap in plasma: tasks re-fetch
+    # zero-copy from the LOCAL object store (no actor pool to start,
+    # no ray#53727 constructor-ref surface); the list wrapper stops
+    # Ray from inlining the payload into every task spec
+    bloom_ref = [ray.put(bloom)]
 
-    class _Prefilter:
-        """Split new rows into definite-novel vs bloom-positive
-        candidates; bitmap fetched once per actor (__init__)."""
+    def _prefilter(batch: pa.Table, *, ref,
+                   want_candidates: bool) -> pa.Table:
+        bm = ray.get(ref[0])       # zero-copy local plasma view
+        keyed = _key(batch, True)
+        h = keyed["key_hash"].to_numpy(zero_copy_only=False).view(
+            np.uint64)
+        lo, hi = _bloom_positions(h, bloom_bits)
+        hit = (((bm[lo >> 3] >> (lo & 7)) & 1)
+               & ((bm[hi >> 3] >> (hi & 7)) & 1)).astype(bool)
+        return keyed.filter(pa.array(hit if want_candidates else ~hit))
 
-        def __init__(self, token, want_candidates: bool):
-            self.bm = resolve_state(token)
-            self.want = want_candidates
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keyed = _key(batch, True)
-            h = keyed["key_hash"].to_numpy(zero_copy_only=False).view(
-                np.uint64)
-            lo, hi = _bloom_positions(h, bloom_bits)
-            hit = (((self.bm[lo >> 3] >> (lo & 7)) & 1)
-                   & ((self.bm[hi >> 3] >> (hi & 7)) & 1)).astype(bool)
-            mask = hit if self.want else ~hit
-            return keyed.filter(pa.array(mask))
-
-    common = dict(batch_format="pyarrow",
-                  concurrency=max(default_concurrency() // 2, 1),
-                  batch_size=4096)
-    novel = new_ds.map_batches(_Prefilter, fn_constructor_args=(btok, False),
-                               **common)
-    cand = new_ds.map_batches(_Prefilter, fn_constructor_args=(btok, True),
-                              **common)
+    common = dict(batch_format="pyarrow", batch_size=4096)
+    novel = new_ds.map_batches(
+        _prefilter, fn_kwargs={"ref": bloom_ref, "want_candidates": False},
+        **common)
+    cand = new_ds.map_batches(
+        _prefilter, fn_kwargs={"ref": bloom_ref, "want_candidates": True},
+        **common)
 
     # exact confirm: bucket-grouped anti-join of candidates vs old keys
     def _tag(batch: pa.Table, is_old: int) -> pa.Table:
