@@ -1653,6 +1653,50 @@ def _q_crawl_delta(sf_dir: str):
     return incremental_dedup(new, old, key_col="bag_key")
 
 
+def _q_corpus_curation(sf_dir: str):
+    """End-to-end corpus curation (round 5) — the FineWeb/Gopher-shaped
+    composite: per-doc word count + type-token ratio + corpus char-LM
+    fluency, then INTEGER-exact keep rules (cross-multiplied ratios, no
+    float compares): mean bigram frequency ≥ 1750, TTR ≥ 0.4, length ≥
+    100 bigrams. One metrics pass (word stats ride through the charlm
+    scorer via keep_cols), one vectorized filter — the whole funnel a
+    training-data pipeline runs before dedup."""
+    import pyarrow.compute as pc
+    import ray
+
+    from opengxt_ray.textops.charlm import charlm_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _wordstats(b: pa.Table) -> pa.Table:
+        nw, nu = [], []
+        for t in b["text"].to_pylist():
+            ws = (t or "").split(" ")
+            nw.append(len(ws))
+            nu.append(len(set(ws)))
+        return b.append_column(
+            "n_words", pa.array(nw, pa.int64())).append_column(
+            "n_uniq", pa.array(nu, pa.int64()))
+
+    scored = charlm_score(ds.map_batches(_wordstats,
+                                         batch_format="pyarrow"),
+                          keep_cols=("n_words", "n_uniq"))
+
+    def _keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.greater_equal(b["sum_freq"],
+                             pc.multiply(b["n_bigrams"], 1750)),
+            pc.greater_equal(pc.multiply(b["n_uniq"], 10),
+                             pc.multiply(b["n_words"], 4))),
+            pc.greater_equal(b["n_bigrams"], 100))
+        out = b.filter(m)
+        return out.select(["doc_id", "n_words", "n_uniq",
+                           "n_bigrams", "sum_freq"])
+
+    return scored.map_batches(_keep, batch_format="pyarrow")
+
+
 def _q_robots_filter(sf_dir: str):
     """RFC 9309 robots.txt filter (round 5): deterministic crawl paths
     from customer keys, a parsed multi-group robots.txt (plain-prefix
@@ -1773,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charlm_score": _q_charlm_score,
         "crawl_delta": _q_crawl_delta,
         "robots_filter": _q_robots_filter,
+        "corpus_curation": _q_corpus_curation,
     }
 
 
@@ -3101,5 +3146,37 @@ def oracle_sql() -> dict[str, str]:
                        AS match_len
             FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
                 USING (c_custkey)
+        """,
+        "corpus_curation": """
+            WITH bg AS (
+                SELECT doc_id,
+                       unnest([substr(text, i, 2)
+                               for i in range(1, length(text))]) AS bigram
+                FROM documents WHERE length(text) >= 2
+            ),
+            cnts AS (
+                SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+                FROM bg GROUP BY bigram
+            ),
+            s AS (
+                SELECT bg.doc_id,
+                       CAST(sum(c.cnt) AS BIGINT) AS sum_freq,
+                       CAST(count(*) AS BIGINT) AS n_bigrams
+                FROM bg JOIN cnts c USING (bigram) GROUP BY bg.doc_id
+            ),
+            w AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_words,
+                       CAST(len(list_distinct(string_split(text, ' ')))
+                           AS BIGINT) AS n_uniq
+                FROM documents
+            )
+            SELECT s.doc_id, w.n_words, w.n_uniq, s.n_bigrams,
+                   s.sum_freq
+            FROM s JOIN w USING (doc_id)
+            WHERE s.sum_freq >= s.n_bigrams * 1750
+              AND w.n_uniq * 10 >= w.n_words * 4
+              AND s.n_bigrams >= 100
         """,
     }

@@ -679,6 +679,11 @@ def _populate() -> None:
       "hash anti-join confirm; SQL-oracled gate crawl_delta. "
       "Reference analogue: GT/overlay DifferenceProcess.java:1 "
       "set-difference semantics, keyed by content")
+    E("CorpusCuration", "trainingdata", CLM.charlm_score,
+      "engine extension (round 5): FineWeb/Gopher-shaped curation "
+      "funnel — word/type-token metrics ride through the charlm "
+      "scorer (keep_cols), integer cross-multiplied keep rules; "
+      "SQL-oracled composite gate corpus_curation")
     E("RobotsFilter", "trainingdata", URL.robots_filter,
       "engine extension (round 5): RFC 9309 robots.txt crawl-"
       "permission filter — group-selecting parser, longest-match/"

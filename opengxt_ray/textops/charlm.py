@@ -103,11 +103,13 @@ class _Scorer:
     fetched ONCE per actor in ``__init__`` (never re-shipped per
     batch)."""
 
-    def __init__(self, freq_token, text_col: str, id_col: str):
+    def __init__(self, freq_token, text_col: str, id_col: str,
+                 keep_cols: tuple = ()):
         from ..core.broadcast import resolve_state
         self.keys, self.cnts = resolve_state(freq_token)
         self.text_col = text_col
         self.id_col = id_col
+        self.keep_cols = keep_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch[self.text_col].to_pylist()]
@@ -123,14 +125,18 @@ class _Scorer:
                 offsets = np.zeros(nz.size, np.int64)
                 offsets[1:] = np.cumsum(nbig[nz])[:-1]
                 sums[nz] = np.add.reduceat(freq, offsets)
-        return pa.table({self.id_col: batch[self.id_col],
-                         "n_bigrams": pa.array(nbig, pa.int64()),
-                         "sum_freq": pa.array(sums, pa.int64())})
+        cols = {self.id_col: batch[self.id_col],
+                "n_bigrams": pa.array(nbig, pa.int64()),
+                "sum_freq": pa.array(sums, pa.int64())}
+        for c in self.keep_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
 
 def charlm_score(ds, *, text_col: str = "text", id_col: str = "doc_id",
                  freq=None, max_vocab: int = 1 << 22,
-                 concurrency: int | None = None):
+                 concurrency: int | None = None,
+                 keep_cols: tuple = ()):
     """Score every document by the corpus-frequency sum of its char
     bigrams (integer-exact LM fluency signal).
 
@@ -152,6 +158,6 @@ def charlm_score(ds, *, text_col: str = "text", id_col: str = "doc_id",
     freq_token = put_broadcast(freq)
     return ds.map_batches(
         _Scorer, batch_format="pyarrow",
-        fn_constructor_args=(freq_token, text_col, id_col),
+        fn_constructor_args=(freq_token, text_col, id_col, keep_cols),
         concurrency=concurrency or default_concurrency(),
         batch_size=1024)

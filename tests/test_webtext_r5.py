@@ -171,3 +171,13 @@ def test_robots_filter_dataset(ray_session):
     assert kept == ["/ok", "/static/s.css"]
     audit = robots_filter(ds, ROBOTS, keep_denied=True)
     assert audit.count() == 4
+
+
+def test_charlm_keep_cols_pass_through(ray_session):
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": [0, 1], "text": ["ab ab", "cd"],
+         "extra": [7, 9]}))
+    rows = sorted(charlm_score(ds, keep_cols=("extra",)).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert [r["extra"] for r in rows] == [7, 9]
+    assert set(rows[0]) == {"doc_id", "n_bigrams", "sum_freq", "extra"}
