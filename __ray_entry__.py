@@ -1653,6 +1653,31 @@ def _q_crawl_delta(sf_dir: str):
     return incremental_dedup(new, old, key_col="bag_key")
 
 
+def _q_top_terms(sf_dir: str):
+    """Corpus top-50 terms (round 5): vocabulary-bounded count shuffle,
+    deterministic (cnt DESC, term ASC) selection both sides."""
+    import ray
+
+    from opengxt_ray.textops.terms import top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return top_terms(ds, k=50)
+
+
+def _q_doc_keywords(sf_dir: str):
+    """Per-doc top-3 keywords (round 5): integer-exact tf·idf ordering
+    (tf DESC, corpus-df ASC, term ASC) — broadcast df table +
+    lexsort/reduceat extraction, hash-exact vs the SQL window oracle."""
+    import ray
+
+    from opengxt_ray.textops.terms import doc_keywords
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return doc_keywords(ds, k=3)
+
+
 def _q_corpus_curation(sf_dir: str):
     """End-to-end corpus curation (round 5) — the FineWeb/Gopher-shaped
     composite: per-doc word count + type-token ratio + corpus char-LM
@@ -1818,6 +1843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": _q_crawl_delta,
         "robots_filter": _q_robots_filter,
         "corpus_curation": _q_corpus_curation,
+        "top_terms": _q_top_terms,
+        "doc_keywords": _q_doc_keywords,
     }
 
 
@@ -3178,5 +3205,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.sum_freq >= s.n_bigrams * 1750
               AND w.n_uniq * 10 >= w.n_words * 4
               AND s.n_bigrams >= 100
+        """,
+        "top_terms": """
+            WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt
+            FROM w GROUP BY term
+            ORDER BY cnt DESC, term LIMIT 50
+        """,
+        "doc_keywords": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM w GROUP BY doc_id, term
+            ),
+            df AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)
+                    AS df
+                FROM w GROUP BY term
+            ),
+            r AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+                           AS rn
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
         """,
     }

@@ -684,6 +684,17 @@ def _populate() -> None:
       "funnel — word/type-token metrics ride through the charlm "
       "scorer (keep_cols), integer cross-multiplied keep rules; "
       "SQL-oracled composite gate corpus_curation")
+    from .textops import terms as TRM
+
+    E("TopTerms", "trainingdata", TRM.top_terms,
+      "engine extension (round 5): corpus top-k vocabulary — "
+      "vocabulary-bounded (term, cnt) shuffle, deterministic "
+      "(cnt DESC, term) selection; SQL-oracled gate top_terms")
+    E("DocKeywords", "trainingdata", TRM.doc_keywords,
+      "engine extension (round 5): per-doc keyword extraction with "
+      "the integer-exact tf·idf ordering (tf DESC, df ASC, term) — "
+      "broadcast df table + lexsort/reduceat; SQL-oracled gate "
+      "doc_keywords")
     E("RobotsFilter", "trainingdata", URL.robots_filter,
       "engine extension (round 5): RFC 9309 robots.txt crawl-"
       "permission filter — group-selecting parser, longest-match/"

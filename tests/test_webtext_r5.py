@@ -181,3 +181,37 @@ def test_charlm_keep_cols_pass_through(ray_session):
                   key=lambda r: r["doc_id"])
     assert [r["extra"] for r in rows] == [7, 9]
     assert set(rows[0]) == {"doc_id", "n_bigrams", "sum_freq", "extra"}
+
+
+# ---------------------------------------------------------------------------
+# term statistics / keywords
+# ---------------------------------------------------------------------------
+
+def test_top_terms_and_keywords_brute(ray_session):
+    from collections import Counter
+
+    from opengxt_ray.textops.terms import doc_keywords, top_terms
+    texts = ["a b b c", "b c c d", "a a a", "", "x y z z"]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(5)), "text": texts})).repartition(3)
+    tt = top_terms(ds, k=3)
+    cnt = Counter(w for t in texts for w in (t.split(" ") if t else []))
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(tt["term"].to_pylist(), tt["cnt"].to_pylist())) == exp
+    # keywords: doc 0 → tf b=2 then (a,c tf=1; df a=2 < c=2? a==c → term)
+    df = Counter(w for t in texts for w in set(t.split(" ") if t else []))
+    rows = doc_keywords(ds, k=2).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["df"]))
+    for d, t in enumerate(texts):
+        ws = t.split(" ") if t else []
+        tfs = Counter(ws)
+        exp_rank = sorted(((term, tf, df[term]) for term, tf in
+                           tfs.items()),
+                          key=lambda x: (-x[1], x[2], x[0]))[:2]
+        got = sorted(by_doc.get(d, []),
+                     key=lambda x: (-x[1], x[2], x[0]))
+        assert got == exp_rank, (d, got, exp_rank)
+    assert 3 not in by_doc  # empty doc yields no keywords
