@@ -1653,6 +1653,32 @@ def _q_crawl_delta(sf_dir: str):
     return incremental_dedup(new, old, key_col="bag_key")
 
 
+def _q_text_normalize(sf_dir: str):
+    """Unicode canonicalization (round 5): NFC (combining acute folds
+    into the precomposed char), casefold, whitespace squash — the
+    pass before any dedup key. Both sides build the IDENTICAL raw
+    string (combining mark, tab, doubled spaces) from customer keys;
+    DuckDB mirrors with nfc_normalize/lower/regexp_replace."""
+    import ray
+
+    from opengxt_ray.textops.normalize import normalize_texts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+
+    def _mk(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy()
+        txt = [f"CAFÉ  TesT\tNr {int(x)}  END " for x in k]
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "text": pa.array(txt, pa.string())})
+
+    out = normalize_texts(ds.map_batches(_mk, batch_format="pyarrow"),
+                          out_col="norm")
+    return out.map_batches(
+        lambda b: b.select(["c_custkey", "norm"]),
+        batch_format="pyarrow")
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus top-50 terms (round 5): vocabulary-bounded count shuffle,
     deterministic (cnt DESC, term ASC) selection both sides."""
@@ -1845,6 +1871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": _q_corpus_curation,
         "top_terms": _q_top_terms,
         "doc_keywords": _q_doc_keywords,
+        "text_normalize": _q_text_normalize,
     }
 
 
@@ -3238,5 +3265,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf JOIN df USING (term)
             )
             SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
+        """,
+        "text_normalize": r"""
+            SELECT c_custkey,
+                   trim(regexp_replace(lower(nfc_normalize(
+                       'CAFE' || chr(769) || '  TesT' || chr(9)
+                       || 'Nr ' || c_custkey || '  END ')),
+                       '\s+', ' ', 'g')) AS norm
+            FROM customer
         """,
     }

@@ -684,6 +684,25 @@ def _populate() -> None:
       "funnel — word/type-token metrics ride through the charlm "
       "scorer (keep_cols), integer cross-multiplied keep rules; "
       "SQL-oracled composite gate corpus_curation")
+    from .textops import normalize as NRM
+
+    E("TextNormalize", "trainingdata", NRM.normalize_texts,
+      "engine extension (round 5): Unicode NFC/NFKC + casefold + "
+      "whitespace squash — the canonicalization pass before dedup "
+      "keys; SQL-oracled gate text_normalize (DuckDB nfc_normalize)")
+    from .textops import sketch as SKT
+
+    E("CountMinSketch", "trainingdata", SKT.cms_build,
+      "engine extension (round 5): mergeable count-min frequency "
+      "sketch (Cormode & Muthukrishnan 2005, public) — per-batch "
+      "partials, addition merge via two-level reduce; over-count "
+      "guarantee + eps*N bound pytest-proven (approximate by design, "
+      "no SQL oracle)")
+    E("HyperLogLog", "trainingdata", SKT.hll_distinct,
+      "engine extension (round 5): mergeable HLL distinct counter "
+      "(Flajolet et al. 2007, public) — register-max merge, "
+      "linear-counting small-range correction; accuracy + merge-law "
+      "pytest-proven (approximate by design, no SQL oracle)")
     from .textops import terms as TRM
 
     E("TopTerms", "trainingdata", TRM.top_terms,

@@ -215,3 +215,92 @@ def test_top_terms_and_keywords_brute(ray_session):
                      key=lambda x: (-x[1], x[2], x[0]))
         assert got == exp_rank, (d, got, exp_rank)
     assert 3 not in by_doc  # empty doc yields no keywords
+
+
+# ---------------------------------------------------------------------------
+# sketches: count-min + HyperLogLog
+# ---------------------------------------------------------------------------
+
+def _skewed_words(n):
+    """Zipf-ish corpus: word w{i} appears with frequency ∝ 1/(i+1)."""
+    rng = np.random.default_rng(13)
+    z = rng.zipf(1.5, size=n)
+    return [f"w{min(int(v), 500)}" for v in z]
+
+
+def test_cms_never_undercounts_and_bounded(ray_session):
+    from collections import Counter
+
+    from opengxt_ray.textops.sketch import cms_build, cms_query
+    words = _skewed_words(30_000)
+    true = Counter(words)
+    ds = ray.data.from_arrow(pa.table({"w": words})).repartition(6)
+    cms = cms_build(ds, col="w", width=4096, depth=4)
+    items = list(true)
+    est = cms_query(cms, items)
+    t = np.array([true[w] for w in items])
+    assert (est >= t).all()                      # CMS guarantee
+    # ε·N bound with ε = e/width, failure prob δ = e^-depth per item;
+    # allow the expected handful of tail misses
+    eps_n = np.e / 4096 * len(words)
+    assert (est - t <= eps_n).mean() > 0.95
+    assert cms.sum() == 4 * len(words)           # mass conservation
+
+
+def test_cms_sharded_build_is_exact_merge(ray_session):
+    from opengxt_ray.textops.sketch import cms_build
+    words = _skewed_words(5_000)
+    t = pa.table({"w": words})
+    one = cms_build(ray.data.from_arrow(t), col="w", width=512, depth=3)
+    many = cms_build(ray.data.from_arrow(t).repartition(11),
+                     col="w", width=512, depth=3)
+    assert (one == many).all()   # addition merge is exact
+
+
+def test_cms_weighted(ray_session):
+    from opengxt_ray.textops.sketch import cms_build, cms_query
+    t = pa.table({"w": ["a", "b", "a"], "n": [5, 7, 1]})
+    cms = cms_build(ray.data.from_arrow(t), col="w", weight_col="n",
+                    width=256, depth=4)
+    est = cms_query(cms, ["a", "b"])
+    assert est[0] >= 6 and est[1] >= 7
+    assert cms.sum() == 4 * 13
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    from opengxt_ray.textops.sketch import (hll_build, hll_distinct,
+                                            hll_estimate)
+    n_distinct = 30_000
+    vals = [f"item-{i % n_distinct}" for i in range(60_000)]
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    est = hll_distinct(ds, col="v", p=12)
+    # 1.04/sqrt(4096) ≈ 1.6% std error; allow 5%
+    assert abs(est - n_distinct) / n_distinct < 0.05
+    # merge law: max of shard registers == whole-corpus registers
+    a = hll_build(ray.data.from_arrow(pa.table({"v": vals[:30_000]})),
+                  col="v", p=10)
+    b = hll_build(ray.data.from_arrow(pa.table({"v": vals[30_000:]})),
+                  col="v", p=10)
+    whole = hll_build(ray.data.from_arrow(pa.table({"v": vals})),
+                      col="v", p=10)
+    assert (np.maximum(a, b) == whole).all()
+    # small-range correction: tiny sets are near-exact
+    small = hll_build(ray.data.from_arrow(
+        pa.table({"v": [f"x{i}" for i in range(100)]})), col="v", p=12)
+    assert abs(hll_estimate(small) - 100) < 3
+
+
+def test_normalize_texts(ray_session):
+    from opengxt_ray.textops.normalize import normalize_texts
+    raw = ["CAFÉ  x\tY ", "", "A B", "nfkc ﬁ"]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": [0, 1, 2, 3], "text": raw}))
+    rows = sorted(normalize_texts(ds).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert rows[0]["text"] == "café x y"
+    assert rows[1]["text"] == ""
+    assert rows[2]["text"] == "a b"      # NBSP is \s in Python re
+    assert rows[3]["text"] == "nfkc ﬁ"   # NFC keeps the ligature...
+    rows = sorted(normalize_texts(ds, form="NFKC").take_all(),
+                  key=lambda r: r["doc_id"])
+    assert rows[3]["text"] == "nfkc fi"  # ...NFKC folds it
