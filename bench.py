@@ -250,21 +250,15 @@ def bench_ann(sf_dir):
     return brute_topk(ds, qids, qm, k=10).count()
 
 
-def bench_pq_topk(sf_dir):
-    """PQ/ADC compressed-corpus top-k over a 80k-vector synthetic
-    corpus (the sf embeddings table is tiny): train on a hash sample,
-    encode to 8-byte codes, LUT-score."""
+def _pq_synth_corpus(dim: int = 64, n: int = 80_000):
+    """Deterministic 80k-vector pseudo-embedding corpus (the sf
+    embeddings table is tiny): hash-seeded sin mixture."""
     import numpy as np
     import pyarrow as pa
     import ray
 
-    from opengxt_ray.vector.ann import pq_topk
-
-    dim, n = 64, 80_000
-
     def _synth(b: pa.Table) -> pa.Table:
         ids = b["id"].to_numpy()
-        # deterministic pseudo-embeddings: hash-seeded sin mixture
         base = (ids[:, None] * np.arange(1, dim + 1)[None, :]).astype(
             np.float64)
         V = np.sin(base * 0.618) + np.cos(base * 0.231)
@@ -273,12 +267,37 @@ def bench_pq_topk(sf_dir):
             "embedding": pa.array([list(map(float, v)) for v in V],
                                   pa.list_(pa.float32()))})
 
-    ds = ray.data.range(n, override_num_blocks=32).map_batches(
+    return ray.data.range(n, override_num_blocks=32).map_batches(
         _synth, batch_format="pyarrow")
+
+
+def bench_pq_topk(sf_dir):
+    """PQ/ADC compressed-corpus top-k over the 80k synthetic corpus:
+    train on a hash sample, encode to 8-byte codes, LUT-score."""
+    import numpy as np
+
+    from opengxt_ray.vector.ann import pq_topk
+
+    ds = _pq_synth_corpus()
     rs = np.random.RandomState(5)
-    Q = rs.standard_normal((16, dim))
+    Q = rs.standard_normal((16, 64))
     return pq_topk(ds, np.arange(16), Q, k=10, m=8, ksub=256,
                    sample_n=8_000).count()
+
+
+def bench_ivfpq_topk(sf_dir):
+    """IVF-PQ over the same 80k synthetic corpus as pq_topk: coarse
+    routing (nprobe 8/64 → ~1/8 of the corpus scanned) plus 8-byte
+    ADC codes in the shuffle — the full-scale ANN composition."""
+    import numpy as np
+
+    from opengxt_ray.vector.ann import ivfpq_topk
+
+    ds = _pq_synth_corpus()
+    rs = np.random.RandomState(5)
+    Q = rs.standard_normal((16, 64))
+    return ivfpq_topk(ds, np.arange(16), Q, k=10, nlist=64, nprobe=8,
+                      m=8, ksub=256, sample_n=8_000).count()
 
 
 def bench_warc_ingest(sf_dir, n_pages: int = 100_000):
@@ -460,6 +479,7 @@ BENCHES = {
     "raster_vectorize": bench_raster_vectorize,
     "html_extract": bench_html_extract,
     "pq_topk": bench_pq_topk,
+    "ivfpq_topk": bench_ivfpq_topk,
     "warc_ingest": bench_warc_ingest,
     "charlm": bench_charlm,
     "crawl_delta": bench_crawl_delta,

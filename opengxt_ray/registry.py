@@ -545,6 +545,13 @@ def _populate() -> None:
       "encoding (Jégou et al., TPAMI 2011) — m uint8 codes/vector, "
       "32x memory reduction at D=64/float32; the step that fits a "
       "10^12-vector corpus in cluster RAM")
+    E("AnnIvfPqTopK", "trainingdata", ANN.ivfpq_topk,
+      "engine extension (round 5): IVF-PQ composition (FAISS IVFPQ "
+      "shape, Jégou et al. 2011) — coarse routing prunes WHICH "
+      "vectors move (nprobe/nlist), PQ compresses WHAT moves (8-byte "
+      "codes, 32x smaller exchange than ivf_topk); raw-vector "
+      "codebooks instead of per-bucket residuals (documented); exact "
+      "(score, id) partial-top-k tie-break shared with all scorers")
     E("PQTopK", "trainingdata", ANN.pq_topk,
       "engine extension (round 5): ADC approximate cosine top-k over "
       "PQ codes — per-query LUTs built once per actor, uint8 "

@@ -105,3 +105,80 @@ def test_pq_validation():
         A.train_pq_codebooks(M, m=4)
     with pytest.raises(ValueError, match="uint8"):
         A.train_pq_codebooks(np.zeros((10, 32)), m=4, ksub=512)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (round 5)
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_full_probe_exact_when_codebook_covers(ray_session):
+    """nprobe = nlist (no routing loss) + ksub ≥ distinct subvectors
+    (no quantization loss) → IVF-PQ equals brute force exactly."""
+    rs = np.random.RandomState(7)
+    protos = rs.standard_normal((12, 32))
+    V = protos[rs.randint(0, 12, 500)]
+    Q = rs.standard_normal((6, 32))
+    qids = np.arange(6)
+    brute = A.brute_topk(_mk_ds(V), qids, Q, k=8).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    ivfpq = A.ivfpq_topk(_mk_ds(V), qids, Q, k=8, nlist=6, nprobe=6,
+                         m=4, ksub=64, sample_n=500).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # ADC sums the subspace dots in a different float order than one
+    # flat dot product, so near-tied DISTINCT protos can flip by an
+    # ulp; assert the result is an equally-good top-k: per rank, the
+    # returned id's TRUE cosine equals brute's score at that rank.
+    np.testing.assert_allclose(ivfpq["score"], brute["score"],
+                               rtol=1e-9)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    true = (Vn[ivfpq["vec_id"].to_numpy()]
+            * Qn[ivfpq["query_id"].to_numpy()]).sum(axis=1)
+    np.testing.assert_allclose(true, brute["score"], rtol=1e-6)
+    # and within exact-tie groups the id tie-break is deterministic:
+    # queries 0-4 (no boundary near-tie) match brute id-for-id
+    head = ivfpq[ivfpq.query_id < 5]
+    assert list(head["vec_id"]) == \
+        list(brute[brute.query_id < 5]["vec_id"])
+
+
+def test_ivfpq_partial_probe_quality_on_clusters(ray_session):
+    """Clustered corpus, queries at cluster centers, nprobe ≪ nlist:
+    IVF routing must confine results to the query's own cluster, and
+    ADC scores must be near the true optimum. (Exact top-10 identity
+    is NOT expected: within a tight cluster ADC scores tie, which is
+    inherent to PQ, not a routing defect.)"""
+    rs = np.random.RandomState(11)
+    centers = rs.standard_normal((10, 32)) * 4
+    V = np.vstack([c + 0.05 * rs.standard_normal((80, 32))
+                   for c in centers])
+    Q = centers[:4] + 0.01 * rs.standard_normal((4, 32))
+    qids = np.arange(4)
+    brute = A.brute_topk(_mk_ds(V), qids, Q, k=10).to_pandas()
+    appx = A.ivfpq_topk(_mk_ds(V), qids, Q, k=10, nlist=10, nprobe=3,
+                        m=4, ksub=128, sample_n=800).to_pandas()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    for qi, qid in enumerate(qids):
+        got = appx[appx.query_id == qid]
+        assert len(got) == 10
+        # every result is a member of the query's true cluster
+        assert ((got.vec_id // 80) == qi).all(), got.vec_id.tolist()
+        # true cosine of every returned member ≈ the brute optimum
+        true_best = brute[brute.query_id == qid].score.max()
+        true_scores = Vn[got.vec_id.to_numpy()] @ Qn[qi]
+        assert (true_scores > true_best - 0.01).all()
+
+
+def test_ivfpq_deterministic(ray_session):
+    rs = np.random.RandomState(5)
+    V = rs.standard_normal((300, 32))
+    Q = rs.standard_normal((3, 32))
+    a = A.ivfpq_topk(_mk_ds(V), np.arange(3), Q, k=5, nlist=4,
+                     nprobe=4, m=4, ksub=32, sample_n=300).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = A.ivfpq_topk(_mk_ds(V, nblocks=7), np.arange(3), Q, k=5,
+                     nlist=4, nprobe=4, m=4, ksub=32,
+                     sample_n=300).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)  # block layout must not change the answer
