@@ -545,6 +545,17 @@ def _populate() -> None:
       "encoding (Jégou et al., TPAMI 2011) — m uint8 codes/vector, "
       "32x memory reduction at D=64/float32; the step that fits a "
       "10^12-vector corpus in cluster RAM")
+    from .vector import stats as VST
+
+    E("EmbeddingMoments", "trainingdata", VST.embedding_moments,
+      "engine extension (round 5): streaming mean/covariance of an "
+      "embedding column — per-batch (n, Σx, ΣxxT) sufficient "
+      "statistics, two-level reduce, driver holds D+D² floats only")
+    E("PcaWhiten", "trainingdata", VST.pca_fit,
+      "engine extension (round 5): distributed PCA / whitening "
+      "rotation (OPQ prerequisite, Ge et al. 2013 public) — one "
+      "covariance pass + driver eigh, deterministic component signs; "
+      "pca_transform projects as a stateless batch map")
     E("AnnIvfPqTopK", "trainingdata", ANN.ivfpq_topk,
       "engine extension (round 5): IVF-PQ composition (FAISS IVFPQ "
       "shape, Jégou et al. 2011) — coarse routing prunes WHICH "
