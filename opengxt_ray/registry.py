@@ -702,6 +702,15 @@ def _populate() -> None:
       "funnel — word/type-token metrics ride through the charlm "
       "scorer (keep_cols), integer cross-multiplied keep rules; "
       "SQL-oracled composite gate corpus_curation")
+    from .pipelines import webtext as WTX
+
+    E("CurateCrawl", "pipeline", WTX.curate_crawl,
+      "engine extension (round 5): end-to-end crawl curation — WARC "
+      "shards → robots filter → charset decode → html extract → "
+      "normalize → integer quality funnel → exact dedup (slim hash "
+      "shuffle + one bounded payload re-attach) → checkpoint-"
+      "resumable bucketed parquet; every stage is an already-gated "
+      "operator, composition pytest-covered end-to-end incl. resume")
     from .textops import normalize as NRM
 
     E("TextNormalize", "trainingdata", NRM.normalize_texts,
