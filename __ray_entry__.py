@@ -1653,6 +1653,19 @@ def _q_crawl_delta(sf_dir: str):
     return incremental_dedup(new, old, key_col="bag_key")
 
 
+def _q_domain_cap(sf_dir: str):
+    """Per-key document cap (round 5, FineWeb-style crawl balancing):
+    keep the 10 smallest doc_ids per source — slim (key, id) shuffle,
+    bucket-grouped vectorized ranking, SQL row_number oracle."""
+    import ray
+
+    from opengxt_ray.textops.dedup import cap_per_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    return cap_per_key(ds, key_col="source", id_col="doc_id", n=10)
+
+
 def _q_text_normalize(sf_dir: str):
     """Unicode canonicalization (round 5): NFC (combining acute folds
     into the precomposed char), casefold, whitespace squash — the
@@ -1872,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "doc_keywords": _q_doc_keywords,
         "text_normalize": _q_text_normalize,
+        "domain_cap": _q_domain_cap,
     }
 
 
@@ -3273,5 +3287,13 @@ def oracle_sql() -> dict[str, str]:
                        || 'Nr ' || c_custkey || '  END ')),
                        '\s+', ' ', 'g')) AS norm
             FROM customer
+        """,
+        "domain_cap": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 10
         """,
     }

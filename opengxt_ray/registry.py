@@ -690,6 +690,10 @@ def _populate() -> None:
       "count shuffle + broadcast table scoring; SQL-oracled gate "
       "charlm_score. Nearest reference analogue: "
       "GT/statistics DataStatisticsProcess.java:1")
+    E("CapPerKey", "trainingdata", TD.cap_per_key,
+      "engine extension (round 5): per-domain document cap "
+      "(FineWeb/C4 crawl balancing) — slim (key, id) shuffle, "
+      "bucket-grouped vectorized rank; SQL-oracled gate domain_cap")
     E("IncrementalDedup", "trainingdata", TD.incremental_dedup,
       "engine extension (round 5): crawl-delta dedup of a new "
       "snapshot against a prior corpus — broadcast Bloom prefilter "

@@ -1124,3 +1124,59 @@ def incremental_dedup(new_ds, old_ds, *, text_col: str = "text",
     novel_ids = novel.map_batches(
         lambda b: b.select([id_col]), batch_format="pyarrow")
     return novel_ids.union(survivors)
+
+
+# ---------------------------------------------------------------------------
+# Per-key document cap (crawl balancing)
+# ---------------------------------------------------------------------------
+
+def cap_per_key(ds, *, key_col: str, id_col: str = "doc_id",
+                n: int = 100, num_partitions: int | None = None):
+    """Keep at most ``n`` rows per key — the per-domain document cap a
+    balanced training corpus applies so no single site dominates
+    (FineWeb/C4-style crawl balancing).
+
+    Selection is the ``n`` SMALLEST ``id_col`` values per key —
+    deterministic and SQL-mirrorable (``row_number() OVER (PARTITION
+    BY key ORDER BY id) <= n``). For an unbiased random cap, feed a
+    hash column as ``id_col``.
+
+    Scale shape: only ``(key, id)`` shuffles (never payloads); groups
+    are bucketized by key hash and ranked VECTORIZED (lexsort/reduceat
+    run-starts), never per-key Python. Rejoin wide columns afterwards
+    via ``ops.join.slim_join_reattach``.
+    """
+    num_partitions = num_partitions or default_shuffle_partitions()
+
+    def _slim(b: pa.Table) -> pa.Table:
+        keys = b[key_col]
+        h = hash_strings(keys) if pa.types.is_string(keys.type) \
+            else keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            m = h * np.uint64(0x9E3779B97F4A7C15)
+        bkt = ((m >> np.uint64(40)).astype(np.int64)
+               % np.int64(num_partitions * 8))
+        return pa.table({key_col: keys, id_col: b[id_col],
+                         "bkt": pa.array(bkt, pa.int64())})
+
+    slim = ds.map_batches(_slim, batch_format="pyarrow")
+
+    def _cap(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # empty shuffle partition — typed
+            return pa.table({
+                key_col: pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64())})
+        keys = np.asarray(group[key_col].to_pylist(), dtype=object)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys.astype(str)))
+        ks, vs = keys[order], ids[order]
+        new_key = np.concatenate([[True], ks[1:] != ks[:-1]])
+        idx = np.arange(ks.size)
+        rank = idx - np.maximum.accumulate(np.where(new_key, idx, 0))
+        keep = rank < n
+        return pa.table({key_col: pa.array(ks[keep].astype(str),
+                                           pa.string()),
+                         id_col: pa.array(vs[keep], pa.int64())})
+
+    return slim.groupby("bkt", num_partitions=num_partitions) \
+        .map_groups(_cap, batch_format="pyarrow")

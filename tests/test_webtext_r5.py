@@ -304,3 +304,25 @@ def test_normalize_texts(ray_session):
     rows = sorted(normalize_texts(ds, form="NFKC").take_all(),
                   key=lambda r: r["doc_id"])
     assert rows[3]["text"] == "nfkc fi"  # ...NFKC folds it
+
+
+def test_cap_per_key_matches_brute(ray_session):
+    from opengxt_ray.textops.dedup import cap_per_key
+    rng = np.random.default_rng(3)
+    keys = [f"dom{int(k)}" for k in rng.integers(0, 7, 200)]
+    ids = rng.permutation(200)
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "source": pa.array(keys, pa.string())})).repartition(5)
+    got = sorted((r["source"], r["doc_id"]) for r in
+                 cap_per_key(ds, key_col="source", n=5).take_all())
+    exp = []
+    from collections import defaultdict
+    per = defaultdict(list)
+    for k, i in zip(keys, ids):
+        per[k].append(int(i))
+    for k, v in per.items():
+        exp.extend((k, i) for i in sorted(v)[:5])
+    assert got == sorted(exp)
+    # n larger than any group: everything survives
+    assert cap_per_key(ds, key_col="source", n=999).count() == 200
