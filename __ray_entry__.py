@@ -1653,6 +1653,24 @@ def _q_crawl_delta(sf_dir: str):
     return incremental_dedup(new, old, key_col="bag_key")
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (round 5): users cohorted by first
+    active day, distinct active users per (cohort, day-offset) —
+    all-integer epoch days, slim (user, day) shuffles only."""
+    import ray
+
+    from opengxt_ray.ops.histogram import cohort_retention
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    out = cohort_retention(ds)
+    return out.map_batches(
+        lambda b: pa.table({"cohort_day": b["cohort_day"],
+                            "offs": b["offs"],
+                            "n_users": b["count()"]}),
+        batch_format="pyarrow")
+
+
 def _q_domain_cap(sf_dir: str):
     """Per-key document cap (round 5, FineWeb-style crawl balancing):
     keep the 10 smallest doc_ids per source — slim (key, id) shuffle,
@@ -1664,6 +1682,19 @@ def _q_domain_cap(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source"])
     return cap_per_key(ds, key_col="source", id_col="doc_id", n=10)
+
+
+def _q_inverted_index(sf_dir: str):
+    """Inverted index build (round 5): term → (n_docs, ascending
+    posting list) — slim distinct (term, doc) shuffle, bucket-grouped
+    vectorized assembly, SQL list-aggregation oracle."""
+    import ray
+
+    from opengxt_ray.textops.terms import inverted_index
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return inverted_index(ds)
 
 
 def _q_text_normalize(sf_dir: str):
@@ -1886,6 +1917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "text_normalize": _q_text_normalize,
         "domain_cap": _q_domain_cap,
+        "cohort_retention": _q_cohort_retention,
+        "inverted_index": _q_inverted_index,
     }
 
 
@@ -3295,5 +3328,37 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY doc_id) AS rn
                 FROM documents
             ) WHERE rn <= 10
+        """,
+        "cohort_retention": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day
+                FROM events
+            ),
+            c AS (
+                SELECT user_id, min(day) AS cohort_day
+                FROM d GROUP BY user_id
+            ),
+            x AS (
+                SELECT DISTINCT d.user_id, c.cohort_day,
+                       d.day - c.cohort_day AS offs
+                FROM d JOIN c USING (user_id)
+            )
+            SELECT cohort_day, offs, CAST(count(*) AS BIGINT)
+                       AS n_users
+            FROM x GROUP BY cohort_day, offs
+        """,
+        "inverted_index": """
+            WITH w AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   array_to_string(list_sort(list(doc_id)), ',')
+                       AS postings
+            FROM w GROUP BY term
         """,
     }

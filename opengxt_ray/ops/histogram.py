@@ -168,3 +168,99 @@ def funnel(events_ds, steps: list[str], *, user_col: str = "user_id",
         "users": pa.array([int(agg[f"sum(s{i})"]) for i in range(len(steps))],
                           pa.int64()),
     })
+
+
+def cohort_retention(events_ds, *, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     num_partitions: int | None = None):
+    """Cohort retention matrix — the standard events-pipeline rollup:
+    users are cohorted by their FIRST active day; each (cohort_day,
+    day_offset) cell counts the distinct users of that cohort active
+    ``offset`` days later. All-integer (epoch days), hash-exact vs the
+    SQL min/date_diff oracle.
+
+    Scale shape: pass 1 reduces events to per-user first-day via
+    ``groupby(user).min`` (slim (user, day) shuffle); pass 2 co-groups
+    the distinct (user, day) activity with the cohort table by USER
+    hash bucket (union + groupby — never a driver-side map), computes
+    offsets vectorized, and a final small groupby counts distinct
+    users per (cohort, offset) — output is calendar-sized, not
+    event-sized.
+    """
+    import ray
+
+    from ..core.fid import hash_ints
+    from ..core.util import default_shuffle_partitions
+
+    num_partitions = num_partitions or default_shuffle_partitions()
+    US_PER_DAY = 86_400_000_000
+
+    def _days(b: pa.Table, tag: int) -> pa.Table:
+        import pyarrow.compute as pc
+        u = b[user_col].to_numpy(zero_copy_only=False)
+        day = (pc.cast(b[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False) // US_PER_DAY)
+        t = pa.table({user_col: pa.array(u, pa.int64()),
+                      "day": pa.array(day, pa.int64())})
+        if tag >= 0:
+            t = t.append_column("tag", pa.array(
+                np.full(len(u), tag, np.int64)))
+        return t
+
+    # pass 1: per-user cohort day (min active day)
+    cohorts = events_ds.map_batches(
+        lambda b: _days(b, -1), batch_format="pyarrow").groupby(
+        user_col, num_partitions=num_partitions).min("day")
+
+    # distinct (user, day) activity — dedup inside the same bucket
+    # co-shuffle as the cohort join (one exchange, not two)
+    def _bkt(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkt = (hash_ints(u) % np.uint64(num_partitions * 8)).astype(
+            np.int64)
+        return b.append_column("bkt", pa.array(bkt, pa.int64()))
+
+    acts = events_ds.map_batches(
+        lambda b: _days(b, 0), batch_format="pyarrow")
+    coh_tagged = cohorts.map_batches(
+        lambda b: pa.table({user_col: b[user_col],
+                            "day": b["min(day)"],
+                            "tag": pa.array(
+                                np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    unioned = acts.union(coh_tagged).map_batches(
+        _bkt, batch_format="pyarrow")
+
+    def _offsets(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # empty shuffle partition — typed
+            return pa.table({"cohort_day": pa.array([], pa.int64()),
+                             "offs": pa.array([], pa.int64()),
+                             user_col: pa.array([], pa.int64())})
+        u = group[user_col].to_numpy(zero_copy_only=False)
+        d = group["day"].to_numpy(zero_copy_only=False)
+        tag = group["tag"].to_numpy(zero_copy_only=False)
+        # cohort lookup within the bucket: every user's cohort row is
+        # co-located here by construction
+        cu = u[tag == 1]
+        cd = d[tag == 1]
+        order = np.argsort(cu)
+        cu, cd = cu[order], cd[order]
+        au, ad = u[tag == 0], d[tag == 0]
+        pos = np.searchsorted(cu, au)
+        cohort = cd[np.clip(pos, 0, max(cu.size - 1, 0))]
+        offs = ad - cohort
+        # distinct (cohort, offs, user) within the bucket = global
+        # distinct (users live in exactly one bucket)
+        key = np.stack([cohort, offs, au])
+        _, first = np.unique(key, axis=1, return_index=True)
+        return pa.table({
+            "cohort_day": pa.array(cohort[first], pa.int64()),
+            "offs": pa.array(offs[first], pa.int64()),
+            user_col: pa.array(au[first], pa.int64())})
+
+    import ray.data.aggregate as A
+
+    distinct = unioned.groupby("bkt", num_partitions=num_partitions) \
+        .map_groups(_offsets, batch_format="pyarrow")
+    return distinct.groupby(["cohort_day", "offs"]).aggregate(
+        A.Count())

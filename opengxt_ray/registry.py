@@ -745,6 +745,17 @@ def _populate() -> None:
       "the integer-exact tf·idf ordering (tf DESC, df ASC, term) — "
       "broadcast df table + lexsort/reduceat; SQL-oracled gate "
       "doc_keywords")
+    E("InvertedIndex", "trainingdata", TRM.inverted_index,
+      "engine extension (round 5): search-index construction — slim "
+      "distinct (term, doc) shuffle, bucket-grouped vectorized "
+      "posting-list assembly; SQL-oracled gate inverted_index")
+    from .ops import histogram as HG2
+
+    E("CohortRetention", "events", HG2.cohort_retention,
+      "engine extension (round 5): cohort retention matrix — "
+      "per-user first-day cohorting, user-bucket co-shuffle of "
+      "cohort+activity, all-integer epoch days; SQL-oracled gate "
+      "cohort_retention")
     E("RobotsFilter", "trainingdata", URL.robots_filter,
       "engine extension (round 5): RFC 9309 robots.txt crawl-"
       "permission filter — group-selecting parser, longest-match/"

@@ -179,3 +179,78 @@ def doc_keywords(ds, *, text_col: str = "text", id_col: str = "doc_id",
         fn_constructor_args=(token, text_col, id_col, k),
         concurrency=concurrency or default_concurrency(),
         batch_size=1024)
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   num_partitions: int | None = None):
+    """Inverted index build: term → (n_docs, sorted posting list) —
+    the search-index construction pass over a corpus.
+
+    Scale shape: per-batch distinct ``(term, doc)`` pairs shuffle
+    (slim — the text never moves); terms are bucketized by hash and
+    posting lists assembled VECTORIZED per bucket (lexsort + run
+    detection; the per-term string join is the posting-list
+    materialization itself, not avoidable work). Returns
+    ``(term, n_docs, postings)`` with postings a comma-joined
+    ascending id list (deterministic, SQL-mirrorable).
+    """
+    from ..core.fid import hash_strings
+    from ..core.util import default_shuffle_partitions
+
+    num_partitions = num_partitions or default_shuffle_partitions()
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        flat, counts = _explode(texts)
+        if flat.size == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64())})
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64),
+                            counts)
+        uterm, inv = np.unique(flat, return_inverse=True)
+        pair = doc_idx * np.int64(len(uterm)) + inv
+        up = np.unique(pair)
+        t_i = (up % len(uterm)).astype(np.int64)
+        d_i = (up // len(uterm)).astype(np.int64)
+        terms = uterm[t_i].astype(str)
+        h = hash_strings(list(terms))
+        with np.errstate(over="ignore"):
+            m = h * np.uint64(0x9E3779B97F4A7C15)
+        bkt = ((m >> np.uint64(40)).astype(np.int64)
+               % np.int64(num_partitions * 8))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         id_col: pa.array(ids[d_i], pa.int64()),
+                         "bkt": pa.array(bkt, pa.int64())})
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+
+    def _assemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # empty shuffle partition — typed
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        t = np.asarray(group["term"].to_pylist(), dtype=object)
+        d = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t.astype(str)))
+        ts, ds_ = t[order], d[order]
+        new_t = np.concatenate([[True], ts[1:] != ts[:-1]])
+        # cross-batch duplicates of the same (term, doc) pair collapse
+        dup = np.concatenate([[False],
+                              (ts[1:] == ts[:-1]) & (ds_[1:] == ds_[:-1])])
+        keep = ~dup
+        ts, ds_, new_t = ts[keep], ds_[keep], new_t[keep]
+        starts = np.flatnonzero(new_t)
+        ends = np.concatenate([starts[1:], [ts.size]])
+        terms_out, n_out, post_out = [], [], []
+        for s, e in zip(starts, ends):
+            terms_out.append(str(ts[s]))
+            n_out.append(int(e - s))
+            post_out.append(",".join(str(int(x)) for x in ds_[s:e]))
+        return pa.table({"term": pa.array(terms_out, pa.string()),
+                         "n_docs": pa.array(n_out, pa.int64()),
+                         "postings": pa.array(post_out, pa.string())})
+
+    return pairs.groupby("bkt", num_partitions=num_partitions) \
+        .map_groups(_assemble, batch_format="pyarrow")

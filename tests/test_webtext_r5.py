@@ -326,3 +326,36 @@ def test_cap_per_key_matches_brute(ray_session):
     assert got == sorted(exp)
     # n larger than any group: everything survives
     assert cap_per_key(ds, key_col="source", n=999).count() == 200
+
+
+def test_inverted_index_brute(ray_session):
+    from opengxt_ray.textops.terms import inverted_index
+    texts = ["a b a", "b c", "", "c a"]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": [10, 20, 30, 40], "text": texts})).repartition(3)
+    rows = {r["term"]: (r["n_docs"], r["postings"])
+            for r in inverted_index(ds).take_all()}
+    assert rows == {"a": (2, "10,40"), "b": (2, "10,20"),
+                    "c": (2, "20,40")}
+
+
+def test_cohort_retention_brute(ray_session):
+    import datetime as dt
+
+    from opengxt_ray.ops.histogram import cohort_retention
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base), (1, base + dt.timedelta(days=1)),
+        (1, base + dt.timedelta(days=1, hours=5)),   # same (u, day)
+        (2, base), (2, base + dt.timedelta(days=3)),
+        (3, base + dt.timedelta(days=1)),            # later cohort
+    ]
+    t = pa.table({"user_id": pa.array([u for u, _ in rows], pa.int64()),
+                  "ts": pa.array([ts for _, ts in rows],
+                                 pa.timestamp("us"))})
+    out = cohort_retention(ray.data.from_arrow(t).repartition(2))
+    got = {(r["cohort_day"], r["offs"]): r["count()"]
+           for r in out.take_all()}
+    d0 = (base - dt.datetime(1970, 1, 1)).days
+    assert got == {(d0, 0): 2, (d0, 1): 1, (d0, 3): 1,
+                   (d0 + 1, 0): 1}
