@@ -38,6 +38,7 @@ from ..textops.urlops import match_robots_batch, parse_robots
 def curate_crawl(warc_paths, *, robots_txt: str = "",
                  min_bigrams: int = 50, min_freq_per_bigram: int = 0,
                  ttr_num: int = 3, ttr_den: int = 10,
+                 charlm_freq=None, scratch_dir: str | None = None,
                  out_dir: str | None = None, nbuckets: int = 16):
     """Raw WARC shards → curated (url, text, metrics) Dataset.
 
@@ -95,10 +96,14 @@ def curate_crawl(warc_paths, *, robots_txt: str = "",
 
     ds = ds.map_batches(_norm_stats, batch_format="pyarrow")
 
-    # char-LM fluency (two-pass; corpus-trained) + integer keep rules
+    # char-LM fluency + integer keep rules. Default trains the LM on
+    # this corpus (a SECOND pass over the shards — Ray re-executes the
+    # extract lineage for the count pass); production crawls pass
+    # ``charlm_freq`` from a reference corpus (the CCNet formulation:
+    # score under a CLEAN LM) which makes the whole funnel SINGLE-pass
     scored = charlm_score(ds, text_col="text", id_col="url",
                           keep_cols=("text", "n_words", "n_uniq"),
-                          concurrency=pool)
+                          freq=charlm_freq, concurrency=pool)
 
     def _keep(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.and_(
@@ -111,6 +116,24 @@ def curate_crawl(warc_paths, *, robots_txt: str = "",
         return b.filter(m)
 
     kept = scored.map_batches(_keep, batch_format="pyarrow")
+
+    # The dedup tail consumes ``kept`` TWICE (winner selection +
+    # payload re-attach); without a boundary Ray re-executes the whole
+    # extract lineage for each branch. ``scratch_dir`` checkpoints the
+    # funnel output (slim text + metrics, html long gone) as resumable
+    # bucketed parquet and re-reads it — the production stage-boundary
+    # shape (also where a crashed run resumes from).
+    if scratch_dir is not None:
+        import glob as _glob
+
+        from ..state.checkpoint import checkpointed_write
+
+        checkpointed_write(kept, scratch_dir, key_col="url",
+                           num_buckets=nbuckets, stage="funnel")
+        import ray as _ray
+
+        kept = _ray.data.read_parquet(sorted(_glob.glob(
+            f"{scratch_dir}/bucket=*/*.parquet")))
 
     # exact dedup on normalized text, repo shuffle discipline: the
     # groupby shuffles ONLY (16-byte hash, url); the surviving url set

@@ -77,3 +77,23 @@ def test_curate_crawl_checkpointed_and_resumable(tmp_path, ray_session):
     ds2 = curate_crawl(paths, out_dir=out_dir, nbuckets=4,
                        min_bigrams=20, ttr_num=1, ttr_den=10)
     assert ds2.count() == n1
+
+
+def test_curate_crawl_scratch_and_reference_lm(tmp_path, ray_session):
+    """The single-pass production shape: reference LM + funnel stage
+    checkpoint — results identical to the default two-pass run."""
+    from opengxt_ray.textops.charlm import bigram_frequency_table
+    paths, _ = _mk_shards(tmp_path, n_shards=1)
+    base = sorted((r["url"], r["text"]) for r in curate_crawl(
+        paths, min_bigrams=20, ttr_num=1, ttr_den=10).take_all())
+    # reference LM changes only sum_freq (not membership at threshold 0)
+    ref = ray.data.from_arrow(pa.table(
+        {"text": ["word1 word2 " * 40]}))
+    freq = bigram_frequency_table(ref)
+    got = sorted((r["url"], r["text"]) for r in curate_crawl(
+        paths, min_bigrams=20, ttr_num=1, ttr_den=10,
+        charlm_freq=freq,
+        scratch_dir=str(tmp_path / "scratch")).take_all())
+    assert got == base
+    import glob
+    assert glob.glob(str(tmp_path / "scratch" / "_manifest" / "*.json"))
