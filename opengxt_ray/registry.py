@@ -638,6 +638,12 @@ def _populate() -> None:
       "engine extension (round 5): WARC writer — per-record gzip "
       "members (Common-Crawl layout, splittable), deterministic "
       "uuid5 record ids")
+    E("WarcReadIndexed", "source", WRC.warc_dataset_indexed,
+      "engine extension (round 5): CDX-driven WARC read — exact "
+      "member (offset, length) ranges grouped into ~target_bytes "
+      "byte-range read tasks, so ingest parallelism is RECORD-"
+      "bounded instead of shard-bounded (the cc-index consumer "
+      "read pattern); output row-identical to WarcRead (pytest)")
     E("CdxIndex", "source", WRC.cdx_dataset,
       "engine extension (round 5): cc-index CDX build — SURT url "
       "keys, sha1-b32 body digests, gzip-member (offset, length) "

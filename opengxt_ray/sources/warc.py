@@ -508,3 +508,102 @@ def decode_payloads(ds, *, payload_col: str = "payload",
             b, payload_col=payload_col,
             content_type_col=content_type_col, out_col=out_col),
         batch_format="pyarrow")
+
+
+def cdx_spans(bypath: dict, cdx_rows, *, target_bytes: int = 32 << 20):
+    """Group contiguous CDX member runs per file into ~target_bytes
+    read spans — the task list an indexed read fans out over."""
+    spans = []
+    by_file: dict[str, list] = {}
+    for r in cdx_rows:
+        fn = r["filename"]
+        if fn in bypath:
+            by_file.setdefault(fn, []).append(
+                (int(r["offset"]), int(r["length"])))
+    for fn, members in by_file.items():
+        members.sort()
+        start = members[0][0]
+        end = members[0][0] + members[0][1]
+        for off, ln in members[1:]:
+            if off == end and (end - start) < target_bytes:
+                end = off + ln
+            else:
+                spans.append({"path": bypath[fn], "start": start,
+                              "end": end})
+                start, end = off, off + ln
+        spans.append({"path": bypath[fn], "start": start, "end": end})
+    return spans
+
+
+def warc_dataset_indexed(paths, cdx_rows, *, parse_http: bool = True,
+                         columns=None, target_bytes: int = 32 << 20,
+                         rec_types: tuple = ("response",)):
+    """CDX-driven WARC read: the index's exact (offset, length) member
+    ranges split each shard into ~``target_bytes`` byte-range read
+    tasks — parallelism becomes RECORD-bounded instead of shard-
+    bounded (a plain ``warc_dataset`` runs one task per shard; with
+    few big shards that caps the whole ingest). This is how cc-index
+    consumers actually read Common Crawl: ranged GETs of member spans.
+
+    ``cdx_rows``: iterable of dicts with ``filename``/``offset``/
+    ``length`` (the ``build_cdx``/``cdx_dataset`` columns). ``paths``
+    maps filenames to real paths (list of paths; basenames must match
+    the index). Output schema matches ``warc_dataset``.
+    """
+    import os
+
+    import ray
+
+    if isinstance(paths, str):
+        paths = [paths]
+    bypath = {os.path.basename(p): p for p in paths}
+    cols = list(columns) if columns is not None else list(_ALL_COLS)
+    bad = set(cols) - set(_ALL_COLS)
+    if bad:
+        raise ValueError(f"unknown WARC columns {sorted(bad)}")
+
+    spans = cdx_spans(bypath, cdx_rows, target_bytes=target_bytes)
+
+    def _read_span(batch: pa.Table):
+        for path, start, end in zip(batch["path"].to_pylist(),
+                                    batch["start"].to_pylist(),
+                                    batch["end"].to_pylist()):
+            with open(path, "rb") as f:
+                f.seek(start)
+                blob = f.read(end - start)
+            rows = {c: [] for c in cols}
+            n = 0
+            # spans are whole concatenated gzip members. GzipFile
+            # streams multi-member input in buffered chunks; BOTH
+            # obvious alternatives are traps: a per-member
+            # decompressobj loop pays Python overhead per record, and
+            # gzip.decompress() is QUADRATIC on multi-member blobs
+            # (it copies unused_data per member — measured 8.4 s vs
+            # 0.19 s on one 5 MB shard)
+            raw = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+            for rec in iter_warc_bytes(raw):
+                if rec["rec_type"] not in rec_types:
+                    continue
+                payload = rec["payload"]
+                status = 0
+                if parse_http:
+                    status, payload = strip_http(payload)
+                for c in cols:
+                    if c == "status":
+                        rows[c].append(status)
+                    elif c == "payload":
+                        rows[c].append(payload)
+                    else:
+                        rows[c].append(rec[c])
+                n += 1
+            if n:
+                yield _to_table(rows, cols)
+
+    if not spans:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(_to_table(
+            {c: [] for c in cols}, cols))
+    return ray.data.from_items(spans,
+                               override_num_blocks=len(spans)) \
+        .map_batches(_read_span, batch_format="pyarrow")

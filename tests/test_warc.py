@@ -200,3 +200,32 @@ def test_decode_payloads_never_raises(ray_session):
     assert texts[0] == "café" and texts[1] == "naïve"
     assert texts[4] == "日本"
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_warc_dataset_indexed_matches_plain(tmp_path, ray_session):
+    """CDX-driven byte-range reads return EXACTLY the rows of the
+    plain shard reader, with record-bounded task parallelism."""
+    paths = []
+    for s in range(2):
+        p = str(tmp_path / f"ix{s}.warc.gz")
+        W.write_warc(p, [{"url": f"https://x/{s}/{i}",
+                          "payload": f"body {s}-{i}".encode() * (i + 1)}
+                         for i in range(40)], gzip_per_record=True)
+        paths.append(p)
+    cdx = [r for p in paths for r in W.build_cdx(p)]
+    plain = sorted((r["url"], r["payload"]) for r in W.warc_dataset(
+        paths, columns=["url", "payload"]).take_all())
+    # tiny target_bytes → MANY spans (record-bounded parallelism)
+    import os
+    bypath = {os.path.basename(p): p for p in paths}
+    spans = W.cdx_spans(bypath, cdx, target_bytes=512)
+    assert len(spans) > 10        # far more tasks than 2 shards
+    ds = W.warc_dataset_indexed(paths, cdx,
+                                columns=["url", "payload"],
+                                target_bytes=512)
+    indexed = sorted((r["url"], r["payload"]) for r in ds.take_all())
+    assert indexed == plain
+    # status column parses through the indexed path too
+    st = W.warc_dataset_indexed(paths, cdx,
+                                columns=["url", "status"]).take_all()
+    assert all(r["status"] == 200 for r in st)
